@@ -1,0 +1,84 @@
+"""Exact (order-independent) numeric aggregation helpers.
+
+Floating-point sums depend on reduction order, which differs between
+engines and between runs at different parallelism. The reference engine
+had the same issue and ignored it (its tests use integer counts). For a
+*differential-oracle* correctness gate we need bit-identical results from
+Spark and DuckDB, so double aggregates are computed as exact decimal sums
+and only cast back to double at the end:
+
+    Spark : sum(cast(x as decimal(30,6)))  -> cast double
+    DuckDB: CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE)
+
+The per-element double→decimal rounding is deterministic and identical in
+both engines for any non-tie value (ties at the 6th decimal of a binary
+double are measure-zero), and decimal addition is exact and associative —
+so the final double matches regardless of partitioning or merge order.
+This also makes results *stable at 100 TB*: re-running with different
+shuffle partitioning yields the same bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(30,6)"
+
+
+def dsum(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent sum of a double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(30,{scale})")).cast("double")
+
+
+def dsum_sql(expr: str, scale: int = 6) -> str:
+    """DuckDB-side rendering of :func:`dsum` over SQL expression ``expr``."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE)"
+
+
+def davg(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent mean: exact decimal sum divided by count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c, scale) / F.count(c)
+
+
+def davg_sql(expr: str, scale: int = 6) -> str:
+    return f"({dsum_sql(expr, scale)} / COUNT({expr}))"
+
+
+def dstddev_pop(col: Column | str) -> Column:
+    """Population stddev via exact decimal sums (sum, sum of squares).
+
+    Mirrors the reference's WordStandardDeviation formulation
+    (two accumulated sums, then sqrt((sumsq - sum^2/n)/n) on the driver;
+    reference EX/WordStandardDeviation.java:90-129) — but distributed and
+    order-independent.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.count(c).cast("double")
+    s = dsum(c)
+    sq = F.sum((c * c).cast("decimal(30,6)")).cast("double")
+    return F.sqrt((sq - s * s / n) / n)
+
+
+def dstddev_pop_sql(expr: str) -> str:
+    n = f"CAST(COUNT({expr}) AS DOUBLE)"
+    s = dsum_sql(expr)
+    sq = f"CAST(SUM(CAST(({expr}) * ({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+    return f"SQRT(({sq} - {s} * {s} / {n}) / {n})"
+
+
+def dstddev_samp(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.count(c).cast("double")
+    s = dsum(c)
+    sq = F.sum((c * c).cast("decimal(30,6)")).cast("double")
+    return F.sqrt((sq - s * s / n) / (n - F.lit(1.0)))
+
+
+def dstddev_samp_sql(expr: str) -> str:
+    n = f"CAST(COUNT({expr}) AS DOUBLE)"
+    s = dsum_sql(expr)
+    sq = f"CAST(SUM(CAST(({expr}) * ({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+    return f"SQRT(({sq} - {s} * {s} / {n}) / ({n} - 1.0))"

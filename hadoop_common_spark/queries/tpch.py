@@ -1,0 +1,288 @@
+"""Core relational query set over the star schema.
+
+These exercise the reference's whole-job "query" trio — scan + filter +
+multi-way join (EX/Join.java), partitioned aggregation with partial
+aggregates (lib/aggregate, combiner semantics MapTask.java:1009), and
+global sort (EX/Sort.java) — as single declarative plans that Catalyst
+optimizes (pushdown, pruning, join selection, partial/final HashAggregate).
+
+Scale notes (100 TB): `region`/`nation` are broadcast (map-side join —
+the reference's DistributedCache idiom, filecache/DistributedCache.java:134);
+fact-fact joins shuffle on their keys and rely on AQE for skew; aggregates
+use exact decimal sums (see functions/exact.py) so results are stable
+under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_common_spark.functions.exact import dsum, dsum_sql
+from hadoop_common_spark.queries import query
+
+def REVENUE() -> "F.Column":
+    # lazy: Column construction needs an active SparkContext
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
+
+
+@query(
+    "flagship_revenue_by_nation",
+    oracle=f"""
+    SELECT n_name AS nation,
+           {dsum_sql(REVENUE_SQL)} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation (ASIA, 1996): the flagship 4-way join + agg + filter.
+
+    Reference parity: EX/Join.java (map-side join) + lib/aggregate sums +
+    EX/Sort.java ordering, in one Catalyst plan. Dims are broadcast.
+    """
+    lineitem = spark.table("lineitem")
+    orders = spark.table("orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    customer = spark.table("customer")
+    nation = spark.table("nation")
+    region = spark.table("region").filter(F.col("r_name") == "ASIA")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(REVENUE()).alias("revenue"))
+    )
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql(REVENUE_SQL)} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           ({dsum_sql('l_quantity')} / COUNT(l_quantity)) AS avg_qty,
+           ({dsum_sql('l_extendedprice')} / COUNT(l_extendedprice)) AS avg_price,
+           ({dsum_sql('l_discount')} / COUNT(l_discount)) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: partial+final aggregation over the
+    big fact (reference combiner semantics, MapTask.java:1009)."""
+    li = spark.table("lineitem").filter(F.col("l_shipdate") <= "2001-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(REVENUE()).alias("sum_disc_price"),
+        dsum(REVENUE() * (1 + F.col("l_tax"))).alias("sum_charge"),
+        (dsum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+        (dsum("l_extendedprice") / F.count("l_extendedprice")).alias("avg_price"),
+        (dsum("l_discount") / F.count("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "top_unshipped_orders",
+    oracle=f"""
+    SELECT l_orderkey, {dsum_sql(REVENUE_SQL)} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style top-k: join + agg + TakeOrderedAndProject (the
+    reference's single-reducer top-k idiom, EX/Grep.java:87)."""
+    cust = spark.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = spark.table("orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = spark.table("lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(REVENUE()).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "order_priority_count",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style semi-join (EXISTS) → left_semi: the reference's
+    Bloom-filter semi-join idiom (HC/util/bloom/BloomFilter.java:83) as a
+    first-class join type."""
+    orders = spark.table("orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = spark.table("lineitem")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "nation_trade_volume",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           {dsum_sql(REVENUE_SQL)} AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name IN ('NATION_1','NATION_2','NATION_3')
+      AND sn.n_name IN ('NATION_1','NATION_2','NATION_3')
+    GROUP BY cust_nation, supp_nation
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style bi-dimensional join (customer nation × supplier
+    nation): the reference's N-source CompositeInputFormat join
+    (lib/join/CompositeInputFormat.java:59) generalized."""
+    nations = ["NATION_1", "NATION_2", "NATION_3"]
+    cn = spark.table("nation").filter(F.col("n_name").isin(nations)).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = spark.table("nation").filter(F.col("n_name").isin(nations)).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        spark.table("lineitem")
+        .join(spark.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(spark.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(spark.table("supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(dsum(REVENUE()).alias("volume"))
+    )
+
+
+@query(
+    "top_returning_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, {dsum_sql(REVENUE_SQL)} AS revenue, n_name AS nation
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: returned-item revenue per customer, top 20."""
+    orders = spark.table("orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = spark.table("lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        spark.table("customer")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(spark.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(dsum(REVENUE()).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "nation")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    SELECT order_count, COUNT(*) AS num_customers
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS order_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY order_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: left outer join + two-level aggregation (orders per
+    customer including zero, then histogram of those counts — the
+    reference's ValueHistogram shape, lib/aggregate/ValueHistogram.java)."""
+    per_cust = (
+        spark.table("customer")
+        .join(spark.table("orders"), F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    return per_cust.groupBy("order_count").agg(F.count(F.lit(1)).alias("num_customers"))
+
+
+@query(
+    "brand_part_stats",
+    oracle=f"""
+    SELECT p_brand, COUNT(*) AS part_count,
+           ({dsum_sql('p_retailprice')} / COUNT(p_retailprice)) AS avg_price,
+           MAX(p_size) AS max_size, MIN(p_size) AS min_size
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def brand_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-table aggregate: count/avg/max/min per brand (the
+    reference's LongValueMax/Min + DoubleValueSum aggregators,
+    lib/aggregate/LongValueMax.java)."""
+    return spark.table("part").groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("part_count"),
+        (dsum("p_retailprice") / F.count("p_retailprice")).alias("avg_price"),
+        F.max("p_size").alias("max_size"),
+        F.min("p_size").alias("min_size"),
+    )

@@ -1,0 +1,70 @@
+"""SparkSession construction and scale-oriented configuration.
+
+The reference engine's tuning surface (``mapreduce.task.io.sort.mb``,
+``io.sort.factor``, shuffle parallel copies — reference
+``mapred/MapTask.java:947``, ``mapreduce/MRJobConfig.java:154,281``) is
+physical-execution tuning that Spark's Tungsten sort-shuffle already owns.
+The knobs that remain *semantically* meaningful are partition counts and
+adaptivity — set here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs we want on every session, including sessions the
+# test driver hands us (where we cannot influence builder-time config).
+_RUNTIME_CONFS = {
+    # Deterministic timestamp semantics regardless of host TZ.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime re-planning (partition coalescing, skew-join splitting,
+    # dynamic join strategy). Replaces the reference's manual skew tooling
+    # (RehashPartitioner) and uber-mode heuristics.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-UDF path (the sanctioned Python slow path).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure_for_scale(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable scale/determinism confs to an existing session.
+
+    Safe to call on a session we did not build (the verify driver's).
+    """
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Some confs may be static in exotic deployments; never fail a
+            # query over a tuning knob.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "hadoop_common_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or get) a SparkSession tuned for the current machine.
+
+    On a real cluster the same code runs unchanged — only ``master`` and
+    memory sizing come from the environment (spark-submit), and
+    ``spark.sql.shuffle.partitions`` should scale with total cores
+    (AQE coalesces down when partitions are small).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if not os.environ.get("SPARK_MASTER") and "local" not in os.environ.get("MASTER", ""):
+        builder = builder.master(f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure_for_scale(spark)

@@ -1,0 +1,28 @@
+"""Smoke tests for the driver contract (__spark_entry__)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"nation", "revenue"}
+    assert all(r.revenue > 0 for r in rows)
+
+
+def test_queries_and_oracles_align(spark):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 8
+    # every oracle key must have a query
+    assert set(oracles) <= set(qs)
+
+
+def test_flagship_plan_broadcasts_dims(spark, sf_dir):
+    qs = entrymod.queries()
+    df = qs["flagship_revenue_by_nation"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
