@@ -1,0 +1,103 @@
+"""The aggregate-framework DSL: descriptor-driven aggregation.
+
+Reference: MRC/mapreduce/lib/aggregate/* — a generic mapper/combiner/
+reducer interprets ``aggregator:type:id`` descriptor strings and applies
+the named aggregator per key (dispatch table at
+ValueAggregatorBaseDescriptor.java:39-117, job factory
+ValueAggregatorJob.java:119). The eight aggregator types map to Column
+expressions; partial/final split (the reference's combiner,
+MapTask.java:1009) is automatic in Catalyst's HashAggregate.
+
+``UniqValueCount``'s item cap (UniqValueCount.java:63) truncates the set
+*during accumulation* in the reference — order-dependent and
+nondeterministic under parallel merge. Our semantics: exact distinct
+count, with the cap applied to a deterministically sorted value set
+(documented deviation, SURVEY.md §7.3).
+
+``ValueHistogram`` (ValueHistogram.java:83-120) reports, per key:
+#distinct values, min/median/max/mean/stddev of the per-value counts.
+That is two-level aggregation — see :func:`value_histogram`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_common_spark.functions.exact import dsum
+
+
+def _uniq_value_count(c: Column, cap: int | None = None) -> Column:
+    if cap is None:
+        return F.countDistinct(c)
+    return F.least(F.countDistinct(c), F.lit(cap)).cast("bigint")
+
+
+AGGREGATORS: dict[str, Callable[..., Column]] = {
+    # reference: LongValueSum.java
+    "LongValueSum": lambda c: F.sum(c.cast("long")),
+    # reference: DoubleValueSum.java — exact decimal sum for stability
+    "DoubleValueSum": lambda c: dsum(c),
+    # reference: LongValueMax.java / LongValueMin.java
+    "LongValueMax": lambda c: F.max(c.cast("long")),
+    "LongValueMin": lambda c: F.min(c.cast("long")),
+    # reference: StringValueMax.java / StringValueMin.java (lexicographic)
+    "StringValueMax": lambda c: F.max(c.cast("string")),
+    "StringValueMin": lambda c: F.min(c.cast("string")),
+    # reference: UniqValueCount.java (with optional cap)
+    "UniqValueCount": _uniq_value_count,
+    # ValueHistogram is structurally different → value_histogram()
+}
+
+
+def aggregate_job(
+    df: DataFrame,
+    key_cols: list[str],
+    specs: list[tuple[str, str, str] | tuple[str, str, str, int]],
+) -> DataFrame:
+    """Run a descriptor-driven aggregation: one ``groupBy().agg()``.
+
+    ``specs`` entries are ``(out_name, aggregator_type, column[, cap])``
+    — the Spark translation of ``aggregator:type:id`` descriptor strings
+    (ValueAggregatorBaseDescriptor.generateEntry, :99-117).
+    """
+    aggs = []
+    for spec in specs:
+        out_name, agg_type, col = spec[0], spec[1], spec[2]
+        fn = AGGREGATORS.get(agg_type)
+        if fn is None:
+            raise ValueError(f"unknown aggregator type: {agg_type!r}")
+        if len(spec) == 4:
+            aggs.append(fn(F.col(col), spec[3]).alias(out_name))
+        else:
+            aggs.append(fn(F.col(col)).alias(out_name))
+    return df.groupBy(*key_cols).agg(*aggs)
+
+
+def value_histogram(df: DataFrame, key_cols: list[str], value_col: str) -> DataFrame:
+    """Per-key histogram report over value frequencies
+    (ValueHistogram.getReport, ValueHistogram.java:83-120):
+    #distinct values and min/median/max/mean/stddev of the counts.
+
+    Two chained aggregations — both stay in HashAggregate; the second
+    input (one row per distinct (key,value)) is already small.
+    Median is exact (reference scans the sorted count list); stddev is
+    population stddev over integer counts via exact sums.
+    """
+    counts = df.groupBy(*key_cols, value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    n = F.count("_cnt")
+    s = F.sum("_cnt")
+    sq = F.sum(F.col("_cnt") * F.col("_cnt"))
+    return counts.groupBy(*key_cols).agg(
+        n.alias("n_distinct_values"),
+        F.min("_cnt").alias("min_count"),
+        F.expr("percentile(_cnt, 0.5)").alias("median_count"),
+        F.max("_cnt").alias("max_count"),
+        (s.cast("double") / n.cast("double")).alias("mean_count"),
+        F.sqrt(
+            (sq.cast("double") - s.cast("double") * s.cast("double") / n.cast("double"))
+            / n.cast("double")
+        ).alias("stddev_count"),
+    )

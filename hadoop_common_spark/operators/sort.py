@@ -1,0 +1,68 @@
+"""Sort operators: total-order sort, secondary sort, top-k.
+
+Reference:
+- TotalOrderPartitioner + InputSampler (lib/partition/
+  TotalOrderPartitioner.java:102-113, InputSampler.java:97-314): global
+  sort via sampled split points. Spark's ``orderBy`` /
+  ``repartitionByRange`` runs the same design (RangePartitioner samples
+  internally) — at 100 TB this is the only sane global-sort strategy.
+- Secondary sort (EX/SecondarySort.java:103-145): composite key sorted
+  by (k1,k2), grouped by k1 — reducer sees values ordered by k2. Spark:
+  window functions (streaming-friendly) or
+  sort_array(collect_list(struct)) (materializes the group; avoid for
+  huge groups — SURVEY.md §7.3).
+- Top-k: the reference's single-reducer idiom (EX/Grep.java:87);
+  Spark plans orderBy+limit as TakeOrderedAndProject (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def total_order_sort(df: DataFrame, cols: list[str | Column], num_partitions: int | None = None) -> DataFrame:
+    """Globally sorted output across partition files: partition i's rows
+    all precede partition i+1's (the TeraSort contract,
+    EX/terasort/TeraSort.java:58). Range partitioning + in-partition sort;
+    sampling is Spark's RangePartitioner."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    if num_partitions:
+        out = df.repartitionByRange(num_partitions, *cs)
+    else:
+        out = df.repartitionByRange(*cs)
+    return out.sortWithinPartitions(*cs)
+
+
+def secondary_sort_ranked(
+    df: DataFrame, group_cols: list[str], order_cols: list[Column | str]
+) -> DataFrame:
+    """Secondary sort, window formulation: rank within each group by the
+    secondary key. Scales to huge groups (no materialization)."""
+    ocs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w = Window.partitionBy(*group_cols).orderBy(*ocs)
+    return df.withColumn("rn", F.row_number().over(w))
+
+
+def secondary_sort_collected(
+    df: DataFrame, group_cols: list[str], order_struct_cols: list[str]
+) -> DataFrame:
+    """Secondary sort, collect formulation: per group, the value list
+    sorted by the leading struct fields — byte-for-byte the reducer-input
+    view (ReduceContextImpl.java:131-183). Materializes each group in
+    memory: prefer the window formulation for skewed/huge groups."""
+    return df.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list(F.struct(*order_struct_cols))).alias("sorted_values")
+    )
+
+
+def top_k(df: DataFrame, k: int, cols: list[Column]) -> DataFrame:
+    """orderBy + limit → TakeOrderedAndProject: per-partition heaps + one
+    merge, never a global shuffle sort."""
+    return df.orderBy(*cols).limit(k)
+
+
+def top_k_per_group(df: DataFrame, group_cols: list[str], k: int, order_cols: list[Column]) -> DataFrame:
+    """Grouped top-k via window rank filter — one shuffle on the group key."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")

@@ -1,0 +1,137 @@
+"""Text operators: tokenization, regex extraction, word statistics, and
+LLM-pipeline text analysis (language ID, quality scoring, fingerprinting).
+
+Reference parity:
+- TokenCounterMapper (whitespace tokenize → (token,1)) —
+  MRC/mapreduce/lib/map/TokenCounterMapper.java
+- RegexMapper (emit regex matches) — MRC/mapreduce/lib/map/RegexMapper.java:38-58
+- WordMean / WordMedian / WordStandardDeviation — EX/WordMean.java:54-91,
+  EX/WordMedian.java:121, EX/WordStandardDeviation.java:90-129
+- Grep (extract → count → sort desc) — EX/Grep.java:55-92
+
+Everything is built-in `pyspark.sql.functions` (JVM-side, codegen'd) — no
+Python UDFs in any hot path, so plans stay in WholeStageCodegen at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\s+"
+
+
+def tokenize(df: DataFrame, text_col: str, out_col: str = "word") -> DataFrame:
+    """Whitespace tokenization → one row per token (TokenCounterMapper)."""
+    return df.select(
+        F.explode(F.split(F.col(text_col), TOKEN_RE)).alias(out_col)
+    ).filter(F.col(out_col) != "")
+
+
+def word_count(df: DataFrame, text_col: str) -> DataFrame:
+    """scan → tokenize → count (EX/WordCount.java map:36 reduce:52;
+    combiner semantics come free as partial HashAggregate)."""
+    return (
+        tokenize(df, text_col)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def grep(df: DataFrame, text_col: str, pattern: str, group: int = 0) -> DataFrame:
+    """Regex extract-all → count per match, descending (EX/Grep.java's
+    two-job chain collapsed into one lazy plan — no HDFS round trip)."""
+    return (
+        df.select(F.explode(F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(group))).alias("match"))
+        .groupBy("match")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("match"))
+    )
+
+
+def word_length_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """mean/median/stddev of token length (WordMean/WordMedian/
+    WordStandardDeviation in one pass; exact decimal sums for stability)."""
+    from hadoop_common_spark.functions.exact import dsum
+
+    words = tokenize(df, text_col).select(F.length("word").cast("double").alias("len"))
+    n = F.count("len")
+    s = dsum("len")
+    sq = F.sum((F.col("len") * F.col("len")).cast("decimal(30,6)")).cast("double")
+    return words.agg(
+        n.alias("n_words"),
+        (s / n).alias("mean_len"),
+        F.expr("percentile(len, 0.5)").alias("median_len"),
+        F.sqrt((sq - s * s / n.cast("double")) / n.cast("double")).alias("stddev_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline text analysis (engine extension beyond the reference)
+# ---------------------------------------------------------------------------
+
+# Deterministic marker-word lists for the n-gram-free language heuristic.
+# (The real system would use fastText/cld3; this container has neither, so
+# the heuristic is a pure-SQL scoring over stopword hits — fully
+# distributed, no Python.)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.lower(F.col(text_col)), TOKEN_RE)
+
+
+def lang_id(df: DataFrame, text_col: str, out_col: str = "pred_lang") -> DataFrame:
+    """Stopword-hit language ID: argmax over per-language marker counts;
+    ties broken by language code order. Pure built-ins."""
+    scored = df
+    for lang in LANG_MARKERS:
+        scored = scored.withColumn(
+            f"_score_{lang}",
+            F.size(F.filter(_tokens(text_col), lambda t, lang=lang: t.isin(LANG_MARKERS[lang]))),
+        )
+    best = F.greatest(*[F.col(f"_score_{lang}") for lang in LANG_MARKERS])
+    pred = F.coalesce(
+        *[
+            F.when((F.col(f"_score_{lang}") == best) & (best > 0), F.lit(lang))
+            for lang in sorted(LANG_MARKERS)
+        ],
+        F.lit("unknown"),
+    )
+    out = scored.withColumn(out_col, pred)
+    return out.drop(*[f"_score_{lang}" for lang in LANG_MARKERS])
+
+
+def token_count(text_col: str) -> Column:
+    """Whitespace token count (the `wc -w` baseline for budget accounting)."""
+    t = F.trim(F.col(text_col))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, TOKEN_RE))).cast("bigint")
+
+
+def quality_score(text_col: str) -> Column:
+    """Deterministic document quality heuristic in [0,1]:
+    mix of length band, mean word length band, and alpha ratio.
+    All built-in functions — runs at scan speed."""
+    n_chars = F.length(F.col(text_col)).cast("double")
+    n_tok = token_count(text_col).cast("double")
+    mean_word = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z ]", "")).cast("double") / n_chars,
+    ).otherwise(F.lit(0.0))
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    word_ok = F.when((mean_word >= 2.0) & (mean_word <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (0.4 * len_ok + 0.3 * word_ok + 0.3 * alpha_ratio).cast("double")
+
+
+def fingerprint(text_col: str, bits: int = 60) -> Column:
+    """Deterministic 60-bit document fingerprint from md5 (content hash —
+    cross-engine reproducible, unlike murmur; used for exact dedup keys)."""
+    hexdigits = bits // 4
+    return F.conv(F.substring(F.md5(F.col(text_col)), 1, hexdigits), 16, 10).cast("bigint")

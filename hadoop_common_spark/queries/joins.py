@@ -1,0 +1,197 @@
+"""Join queries (SURVEY.md §2.4): inner/full-outer/override N-way joins,
+semi/anti, theta, and the as-of join extension."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_common_spark.operators.joins import (
+    anti_join,
+    asof_join,
+    multiway_join,
+    override_join,
+    semi_join,
+    theta_join,
+)
+from hadoop_common_spark.queries import query
+
+
+@query(
+    "join_inner_pairs",
+    oracle="""
+    SELECT c_nationkey AS nationkey, COUNT(*) AS pair_count
+    FROM customer JOIN supplier ON c_nationkey = s_nationkey
+    GROUP BY c_nationkey
+    """,
+)
+def join_inner_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InnerJoinRecordReader (:54): per-key cross product of matching
+    sources (the TupleWritable iteration), counted per key."""
+    c = spark.table("customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = spark.table("supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return multiway_join([c, s], "nationkey", "inner").groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("pair_count")
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, cust_cnt, supp_cnt
+    FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS cust_cnt FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nationkey, COUNT(*) AS supp_cnt FROM supplier GROUP BY 1) s
+    ON c.nationkey = s.nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OuterJoinRecordReader: full outer with empty tuple slots → NULLs
+    (TupleWritable.has(), TupleWritable.java:73)."""
+    c = (
+        spark.table("customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("cust_cnt"))
+    )
+    s = (
+        spark.table("supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("supp_cnt"))
+    )
+    return multiway_join([c, s], "nationkey", "full")
+
+
+@query(
+    "join_override",
+    oracle="""
+    SELECT COALESCE(s1.nationkey, s2.nationkey) AS nationkey,
+           CASE WHEN s2.nationkey IS NOT NULL THEN s2.val ELSE s1.val END AS val
+    FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS val FROM customer GROUP BY 1) s1
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nationkey, COUNT(*) AS val FROM supplier
+          WHERE s_acctbal > 5000 GROUP BY 1) s2
+    ON s1.nationkey = s2.nationkey
+    """,
+)
+def join_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """override(S1,S2): rightmost source wins per key
+    (OverrideRecordReader.java:35-36,53,77); S2 is deliberately sparse so
+    both arms are exercised."""
+    s1 = (
+        spark.table("customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("val"))
+    )
+    s2 = (
+        spark.table("supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("val"))
+    )
+    return override_join([s1, s2], "nationkey", "val")
+
+
+@query(
+    "join_semi_anti",
+    oracle="""
+    SELECT c_mktsegment, SUM(has_order) AS with_orders, SUM(1 - has_order) AS without_orders
+    FROM (
+      SELECT c_mktsegment,
+             CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+                  THEN 1 ELSE 0 END AS has_order
+      FROM customer
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi/left_anti (the Bloom-filter membership idiom,
+    HC/util/bloom/BloomFilter.java:83): customers with vs without orders
+    per segment, from one pair of joins."""
+    cust = spark.table("customer")
+    orders = spark.table("orders")
+    on = F.col("o_custkey") == F.col("c_custkey")
+    with_orders = (
+        semi_join(cust, orders, on)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("with_orders"))
+    )
+    without = (
+        anti_join(cust, orders, on)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("without_orders"))
+    )
+    return (
+        with_orders.join(without, "c_mktsegment", "full")
+        .select(
+            "c_mktsegment",
+            F.coalesce("with_orders", F.lit(0)).alias("with_orders"),
+            F.coalesce("without_orders", F.lit(0)).alias("without_orders"),
+        )
+    )
+
+
+@query(
+    "theta_join_acctbal",
+    oracle="""
+    SELECT s_nationkey AS nationkey, COUNT(*) AS dominated_pairs
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+    GROUP BY s_nationkey
+    """,
+)
+def theta_join_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataJoin-style theta join (DataJoinReducerBase.joinAndCollect
+    :174-214): equi-prefix on nation + inequality predicate; Catalyst
+    keeps the equi-part as the shuffle key and applies the rest as a
+    post-join filter — same regroup-then-nested-loop shape, automatic."""
+    s = spark.table("supplier")
+    c = spark.table("customer")
+    pred = (F.col("s_nationkey") == F.col("c_nationkey")) & (
+        F.col("s_acctbal") > F.col("c_acctbal")
+    )
+    return (
+        theta_join(s, c, pred)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("dominated_pairs"))
+    )
+
+
+@query(
+    "asof_join_last_purchase",
+    oracle="""
+    SELECT e.event_id, p.value AS purchase_value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'click') e
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (engine extension — the reference has no temporal joins,
+    SURVEY §2.4): for each click, the latest purchase value by the same
+    user at or before the click. Union + conditional-window LOCF — one
+    shuffle, no range cross product. The right side is deduped per
+    (user, ts) (keep max event_id) so ties are deterministic."""
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    w = F.row_number().over(
+        Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    )
+    purchases = purchases.withColumn("rn", w).filter(F.col("rn") == 1).drop("rn", "event_id")
+    joined = asof_join(
+        clicks.select("event_id", "user_id", "ts"),
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["value"],
+    )
+    return joined.select("event_id", F.col("value_asof").alias("purchase_value_asof"))
