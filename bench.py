@@ -1,0 +1,123 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized through the noop sink (full plan execution,
+no driver-side collect) — the closest local analog to a cluster job whose
+output is written, per the reference's benchmark drivers (MRBench,
+TestDFSIO). A TeraSort-equivalent (total-order sort over synthetic
+fixed-width records, EX/terasort/TeraSort.java:58) is included alongside
+the SURVEY §2 query set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_DIR)
+
+# One representative per operator family (SURVEY.md §2) — broad enough to
+# expose a regression anywhere, small enough to finish in minutes at sf0.1.
+HEADLINE = [
+    "flagship_revenue_by_nation",   # 4-way join + agg + sort (M0)
+    "pricing_summary",              # wide aggregation (TPC-H Q1 shape)
+    "order_priority_count",         # semi-join + agg
+    "top_returning_customers",      # join + top-k
+    "wordcount",                    # tokenize/explode/count
+    "grep_count",                   # regex extract + count + sort desc
+    "aggregate_framework",          # agg-DSL translation
+    "value_histogram",              # two-level aggregation
+    "field_selection",              # projection DSL
+    "join_override",                # full outer + coalesce (rightmost wins)
+    "theta_join_acctbal",           # non-equi join
+    "total_order_sort_head",        # range partition + sort
+    "secondary_sort_window",        # window-function secondary sort
+    "top_k_per_group",              # ranked window + filter
+    "window_tumbling_hourly",       # event-time tumbling window (batch form)
+    "window_sessionize",            # session windows (batch form)
+    "dedup_exact",                  # content-hash dedup
+    "dedup_minhash_lsh",            # MinHash+LSH near-dup
+    "dedup_simhash",                # SimHash near-dup
+    "similarity_cosine_topk",       # brute-force ANN baseline
+    "similarity_lsh_buckets",       # LSH-bucketed ANN
+    "text_quality_scores",          # text quality metrics
+    "text_lang_id",                 # n-gram language id
+    "multimodal_fake_decode",       # binary-column pipeline plumbing
+]
+
+
+def _run_noop(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def bench_terasort(spark, n_rows: int) -> None:
+    """TeraSort-equivalent: total-order sort of synthetic 100-byte-ish
+    records (10-char key / 90-char payload), à la TeraGen→TeraSort."""
+    from pyspark.sql import functions as F
+
+    recs = (
+        spark.range(n_rows)
+        .select(
+            F.substring(F.md5(F.col("id").cast("string")), 1, 10).alias("key"),
+            F.rpad(F.md5((F.col("id") + 1).cast("string")), 90, "x").alias("payload"),
+        )
+    )
+    # orderBy -> RangePartitioner (sampled split points), the Spark analog
+    # of TotalOrderPartitioner + InputSampler.
+    _run_noop(recs.orderBy("key"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    from hadoop_common_spark.queries import load_all
+    from hadoop_common_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = registry.get(name)
+        if qd is None:
+            continue
+        t0 = time.time()
+        try:
+            _run_noop(qd.fn(spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # a broken query must not hide the others
+            print(f"# bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    t0 = time.time()
+    try:
+        bench_terasort(spark, n_rows=int(2_000_000 * max(sf, 0.001) / 0.1))
+        timings["terasort_equivalent"] = round(time.time() - t0, 3)
+    except Exception as e:
+        print(f"# bench error terasort: {type(e).__name__}: {e}", file=sys.stderr)
+        timings["terasort_equivalent"] = -1.0
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,199 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference's closest machinery is membership filtering
+(HC/util/bloom/BloomFilter.java:83, BloomMapFile.java:49) and
+UniqValueCount — these operators are the engine extension the north star
+asks for, built Spark-first:
+
+- All hashing is **md5-based** (not Spark's murmur3 `hash()`): md5 is
+  engine-independent, so results are reproducible across engines and
+  across cluster re-runs — and the DuckDB oracle can replay them.
+- Everything is built-in expressions (split/transform/aggregate/
+  groupBy) — no Python in the hot path; plans stay in codegen.
+- Scale shape: MinHash-LSH is the classic shingle→signature→band→
+  bucket-join pipeline; the only shuffles are the per-band bucket join
+  and the final verify join. Signature computation is map-side (16 min()
+  partial aggregates). At 100 TB the band join's fan-out is bounded by
+  bucket sizes — salt or raise `bands`/`rows` if a bucket explodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX15 = 15  # 60-bit hashes: fit in signed int64 in both Spark and DuckDB
+
+
+def hash60(c: Column) -> Column:
+    """Deterministic 60-bit integer hash of a string column via md5."""
+    return F.conv(F.substring(F.md5(c), 1, HEX15), 16, 10).cast("bigint")
+
+
+def hash60_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`hash60`."""
+    return f"('0x' || substr(md5({expr}), 1, {HEX15}))::BIGINT"
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by content hash: keep min id per md5(content), count
+    members (dropDuplicates + provenance). One hash-partitioned shuffle."""
+    return (
+        df.withColumn("_h", F.md5(F.col(content_col)))
+        .groupBy("_h")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(F.col("_h").alias("content_md5"), "keep_id", "n_copies")
+    )
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (≥n tokens assumed;
+    shorter docs should be filtered or handled upstream)."""
+    toks = F.split(F.col(text_col), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)])  # noqa: E731
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def word_shingles_sql(text_expr: str, n: int = 3) -> str:
+    parts = " || ' ' || ".join(f"t[i+{k}]" for k in range(n))
+    return (
+        f"list_distinct(list_transform(generate_series(1, len(t)-{n-1}), i -> {parts}))"
+        f" /* t := string_split_regex({text_expr}) */"
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature per document: ``h_j = min over shingles of
+    md5(shingle || '#' || j)``. Computed as ``num_hashes`` min() partial
+    aggregates after one explode — map-side combine keeps the shuffle at
+    one row per document."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_sh")
+    )
+    aggs = [
+        F.min(hash60(F.concat(F.col("_sh"), F.lit(f"#{j}")))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_keys(sig_df: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
+    """Explode a signature into (id, band, band_key) rows; docs sharing a
+    band_key are candidates (AND within band, OR across bands)."""
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        key = F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
+    return sig_df.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
+    ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → signature → band
+    buckets → candidate pairs → exact Jaccard verify ≥ threshold.
+
+    Returns (id_a, id_b, jaccard), id_a < id_b. Jaccard is exact over
+    distinct shingle sets (integer set sizes → double division —
+    deterministic across engines).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    bk = lsh_band_keys(sig, id_col, bands, rows)
+    a = bk.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = bk.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+    """SimHash fingerprint: per token (with multiplicity) take a 60-bit
+    md5 hash; each bit votes ±1; the fingerprint sets bits with positive
+    vote. Near-dups differ in few bits (Hamming distance).
+
+    Explode formulation (token × bit) — simple and oracle-checkable. For
+    a 100 TB run, fold the bit loop into an array-accumulator
+    ``F.aggregate`` to avoid the ×bits row blowup.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("_tok"),
+    ).filter(F.col("_tok") != "")
+    h = toks.withColumn("_h", hash60(F.col("_tok")))
+    bitted = h.select(
+        id_col, "_h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(_h >> j) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    return (
+        bitted.groupBy(id_col, "j")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << j")).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard within a blocking column (lang, source,
+    length band...). Blocking bounds the quadratic term — the classic
+    scale trick when LSH recall isn't needed."""
+    sh = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col),
+        word_shingles(text_col, shingle_n).alias("_sh"),
+    )
+    a = sh.select(F.col("_blk"), F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_blk"), F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

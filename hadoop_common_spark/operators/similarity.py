@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+Engine extension (north star): approximate-nearest-neighbor over the
+`embeddings` table. Two tiers:
+
+- **Brute-force cosine top-k** — the exact baseline. All arithmetic is
+  element-wise double products summed as exact decimals, so cosine values
+  are bit-identical across engines and partitionings (same trick as
+  functions/exact.py); ranking on them is therefore deterministic.
+- **Sign-LSH bucketing** — the scale path: h hyperplanes with
+  deterministic md5-derived coefficients; each vector's bucket is the
+  sign pattern of its projections. ANN search probes only the query's
+  bucket (optionally neighboring buckets). Bucketing is a narrow map;
+  the only shuffle is the bucket equi-join.
+
+At 100 TB-scale ANN you'd add IVF centroids (k-means) — out of scope for
+parity, the LSH variant demonstrates the blocked-join architecture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# decimal(28,12): addition widens to (29,12) (no scale loss); values are
+# bounded (|dot| <= dim) so 16 integer digits are ample.
+DEC = "decimal(28,12)"
+
+
+def dot_exact(a: Column, b: Column) -> Column:
+    """Exact (order-independent) dot product of two double arrays:
+    per-element double multiply, decimal-summed, cast back to double."""
+    prods = F.zip_with(a, b, lambda x, y: (x * y).cast(DEC))
+    return F.aggregate(
+        prods, F.lit(0).cast(DEC), lambda acc, x: (acc + x).cast(DEC)
+    ).cast("double")
+
+
+def dot_exact_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(28,12)))) AS DOUBLE)"
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity from exact dots: dot/(sqrt(na)*sqrt(nb)) — the
+    final double expression has identical operands in every engine."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return dot_exact(ad, bd) / (
+        F.sqrt(dot_exact(ad, ad)) * F.sqrt(dot_exact(bd, bd))
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (
+        f"({dot_exact_sql(a, b)} / "
+        f"(SQRT({dot_exact_sql(a, a)}) * SQRT({dot_exact_sql(b, b)})))"
+    )
+
+
+def cosine_topk_bruteforce(
+    data: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector, excluding self.
+
+    queries × data cross join — for a bounded query set this is the
+    correct baseline (broadcast the queries); rank via per-query window.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    d = data.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("d_vec")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("d_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def _coef(plane: int, i: int) -> Column:
+    # coef(plane, i) = (md5_int(plane || '_' || i) % 2001 - 1000) / 1000 —
+    # deterministic pseudo-random hyperplane coefficients, no RNG state.
+    h = F.conv(F.substring(F.md5(F.lit(f"{plane}_{i}")), 1, 15), 16, 10).cast("bigint")
+    return ((h % 2001) - 1000).cast("double") / F.lit(1000.0)
+
+
+def sign_lsh_bucket(vec_col: Column, dim: int, planes: int) -> Column:
+    """Bucket id = bits of sign(v · hyperplane_p) for p in 0..planes-1."""
+    bucket = F.lit(0).cast("bigint")
+    for p in range(planes):
+        proj = sum(
+            (F.element_at(vec_col, i + 1).cast("double") * _coef(p, i))
+            for i in range(dim)
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0))
+    return bucket
+
+
+def sign_lsh_bucket_sql(vec_expr: str, dim: int, planes: int) -> str:
+    terms = []
+    for p in range(planes):
+        coefs = " + ".join(
+            f"(CAST({vec_expr}[{i+1}] AS DOUBLE) * "
+            f"((('0x' || substr(md5('{p}_{i}'), 1, 15))::BIGINT % 2001 - 1000) / 1000.0))"
+            for i in range(dim)
+        )
+        terms.append(f"(CASE WHEN ({coefs}) > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"

@@ -90,11 +90,17 @@ def _tokens(text_col: str) -> Column:
 def lang_id(df: DataFrame, text_col: str, out_col: str = "pred_lang") -> DataFrame:
     """Stopword-hit language ID: argmax over per-language marker counts;
     ties broken by language code order. Pure built-ins."""
+    def marker_pred(lang: str):
+        # single-arg lambda: pyspark higher-order fns treat a 2-arg lambda
+        # as (element, index)
+        markers = LANG_MARKERS[lang]
+        return lambda t: t.isin(markers)
+
     scored = df
     for lang in LANG_MARKERS:
         scored = scored.withColumn(
             f"_score_{lang}",
-            F.size(F.filter(_tokens(text_col), lambda t, lang=lang: t.isin(LANG_MARKERS[lang]))),
+            F.size(F.filter(_tokens(text_col), marker_pred(lang))),
         )
     best = F.greatest(*[F.col(f"_score_{lang}") for lang in LANG_MARKERS])
     pred = F.coalesce(

@@ -1,0 +1,150 @@
+"""Deduplication queries (LLM-pipeline extension): exact, MinHash-LSH,
+SimHash, blocked n-gram Jaccard — over `documents` / `events`."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_common_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from hadoop_common_spark.queries import query
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS = NUM_HASHES // BANDS
+
+_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(t)-2), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+
+_SIG_MINS = ",\n         ".join(
+    f"MIN(('0x' || substr(md5(s || '#{j}'), 1, 15))::BIGINT) AS h{j}"
+    for j in range(NUM_HASHES)
+)
+
+_BAND_CASES = "\n      ".join(
+    "WHEN {b} THEN md5({key})".format(
+        b=b,
+        key=" || ',' || ".join(f"h{b * ROWS + r}" for r in range(ROWS)),
+    )
+    for b in range(BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS s FROM base
+),
+sig AS (
+  SELECT doc_id,
+         {_SIG_MINS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.band,
+    CASE b.band
+      {_BAND_CASES}
+    END AS band_key
+  FROM sig, (VALUES (0),(1),(2),(3)) b(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM bands a JOIN bands b2
+    ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id
+),
+shs AS (
+  SELECT doc_id, {_SHINGLES} AS sset FROM base
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE) /
+         (CAST(len(x.sset) + len(y.sset) AS DOUBLE)
+          - CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE)) AS jaccard
+  FROM cand JOIN shs x ON cand.id_a = x.doc_id JOIN shs y ON cand.id_b = y.doc_id
+) WHERE jaccard >= 0.5
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: word-3-gram shingles → 16 md5
+    minhashes → 4 bands → bucket join → exact-Jaccard verify ≥ 0.5.
+    (Reference analog: Bloom-filter membership — HC/util/bloom; this is
+    the modern sketch pipeline the north star asks for.)"""
+    return minhash_lsh_pairs(
+        spark.table("documents"), "doc_id", "text",
+        num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5,
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT content_md5, keep_id, n_copies FROM (
+      SELECT md5(props) AS content_md5,
+             MIN(event_id) AS keep_id,
+             COUNT(*) AS n_copies
+      FROM events GROUP BY md5(props)
+    )
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (dropDuplicates + keep-min-id
+    provenance): events.props has heavy duplication, so the grouping is
+    exercised for real."""
+    return exact_dedup(spark.table("events"), "props", "event_id")
+
+
+_SIMHASH_ORACLE = """
+WITH th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)
+  WHERE tok != ''
+),
+votes AS (
+  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, (SELECT unnest(generate_series(0, 59)) AS j) bits
+  GROUP BY doc_id, j
+)
+SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints (near-dups = small Hamming distance);
+    md5-based bit votes, engine-independent."""
+    return simhash(spark.table("documents"), "doc_id", "text", bits=60)
+
+
+_NGRAM_ORACLE = f"""
+WITH shs AS (
+  SELECT lang, doc_id, {_SHINGLES} AS sset
+  FROM (SELECT lang, doc_id, string_split_regex(text, '\\s+') AS t FROM documents)
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+         (CAST(len(a.sset) + len(b.sset) AS DOUBLE)
+          - CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)) AS jaccard
+  FROM shs a JOIN shs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+) WHERE jaccard >= 0.05
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs 3-gram Jaccard blocked by lang (quadratic bounded by the
+    block; the no-sketch fallback when exact recall is required)."""
+    return ngram_jaccard_pairs(
+        spark.table("documents"), "doc_id", "text", "lang", threshold=0.05
+    )

@@ -1,0 +1,98 @@
+"""Similarity-search queries (LLM-pipeline extension) over `embeddings`."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_common_spark.operators.similarity import (
+    cosine,
+    cosine_sql,
+    cosine_topk_bruteforce,
+    sign_lsh_bucket,
+    sign_lsh_bucket_sql,
+)
+from hadoop_common_spark.queries import query
+
+DIM = 64
+PLANES = 8
+
+_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+),
+d AS (
+  SELECT vec_id AS neighbor_id, embedding AS d_vec FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {cosine_sql('q_vec', 'd_vec')} AS cos
+  FROM d, q WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("similarity_cosine_topk", oracle=_TOPK_ORACLE)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors: the exact ANN
+    baseline. Queries broadcast; cosine via exact decimal dot products so
+    ranking is deterministic across engines/partitionings."""
+    emb = spark.table("embeddings")
+    return cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
+_BUCKET_ORACLE = f"""
+SELECT bucket, COUNT(*) AS n_vectors
+FROM (
+  SELECT {sign_lsh_bucket_sql('embedding', DIM, PLANES)} AS bucket
+  FROM embeddings
+)
+GROUP BY bucket
+"""
+
+
+@query("similarity_lsh_buckets", oracle=_BUCKET_ORACLE)
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing (random-hyperplane ANN blocking): bucket id =
+    sign pattern of 8 md5-derived hyperplane projections. At scale, ANN
+    search joins query buckets to data buckets instead of cross-joining
+    everything — this query materializes the bucket histogram."""
+    emb = spark.table("embeddings")
+    return (
+        emb.select(sign_lsh_bucket(F.col("embedding"), DIM, PLANES).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+_NEARDUP_ORACLE = f"""
+SELECT id_a, id_b, cos FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {cosine_sql('a.embedding', 'b.embedding')} AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cos >= 0.9
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_NEARDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label (the
+    embedding-space analog of ngram_jaccard_pairs)."""
+    emb = spark.table("embeddings")
+    a = emb.select(F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("e_a"), F.col("e_b")))
+        .filter(F.col("cos") >= 0.9)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,125 @@
+"""Text-analysis queries (LLM-pipeline extension): language ID, quality
+scoring, token counting, fingerprinting — over `documents`."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_common_spark.operators.textstats import (
+    LANG_MARKERS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from hadoop_common_spark.queries import query
+
+_SCORES_SQL = ",\n      ".join(
+    "len(list_filter(string_split_regex(lower(text), '\\s+'), "
+    f"x -> x IN ({', '.join(repr(m) for m in LANG_MARKERS[lang])}))) AS score_{lang}"
+    for lang in LANG_MARKERS
+)
+_BEST_SQL = "greatest(" + ", ".join(f"score_{lang}" for lang in LANG_MARKERS) + ")"
+_PRED_SQL = (
+    "COALESCE("
+    + ", ".join(
+        f"CASE WHEN score_{lang} = {_BEST_SQL} AND {_BEST_SQL} > 0 THEN '{lang}' END"
+        for lang in sorted(LANG_MARKERS)
+    )
+    + ", 'unknown')"
+)
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT pred_lang, COUNT(*) AS n_docs FROM (
+      SELECT {_PRED_SQL} AS pred_lang FROM (
+        SELECT {_SCORES_SQL} FROM documents
+      )
+    ) GROUP BY pred_lang
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (n-gram-free heuristic): argmax of
+    per-language marker-token hits, ties broken by code order. Pure
+    built-ins — runs at scan speed, no Python."""
+    scored = lang_id(spark.table("documents"), "text")
+    return scored.groupBy("pred_lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "text_quality_scores",
+    oracle="""
+    SELECT doc_id,
+           ((0.4 * len_ok + 0.3 * word_ok) + 0.3 * alpha_ratio) AS quality
+    FROM (
+      SELECT doc_id,
+             CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1.0 ELSE 0.0 END AS len_ok,
+             CASE WHEN n_tok > 0 AND (n_chars / n_tok) >= 2.0 AND (n_chars / n_tok) <= 12.0
+                  THEN 1.0 ELSE 0.0 END AS word_ok,
+             CASE WHEN n_chars > 0
+                  THEN CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / n_chars
+                  ELSE 0.0 END AS alpha_ratio
+      FROM (
+        SELECT doc_id, text,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE) AS n_tok
+        FROM documents
+      )
+    )
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality heuristic in [0,1]: length band + mean word
+    length band + alpha ratio (the C4/Gopher-style rule-based filters,
+    expressed as scan-speed SQL)."""
+    return spark.table("documents").select(
+        "doc_id", quality_score("text").alias("quality")
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           (CAST(SUM(n_tok) AS DOUBLE) / COUNT(n_tok)) AS avg_tokens,
+           MAX(n_tok) AS max_tokens
+    FROM (
+      SELECT lang,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tok
+      FROM documents
+    )
+    GROUP BY lang
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count accounting per language (budgeting pass of a training
+    pipeline): sum/avg/max whitespace tokens."""
+    df = spark.table("documents").select(
+        "lang", token_count("text").alias("n_tok")
+    )
+    return df.groupBy("lang").agg(
+        F.sum("n_tok").alias("total_tokens"),
+        (F.sum("n_tok").cast("double") / F.count("n_tok")).alias("avg_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+    )
+
+
+@query(
+    "text_fingerprints",
+    oracle="""
+    SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+    FROM documents
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit md5 content fingerprints (the dedup/bucketing key primitive
+    — cross-engine reproducible, unlike murmur3 hash())."""
+    return spark.table("documents").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )

@@ -1,0 +1,148 @@
+"""Time-window queries over `events` — batch formulations of the
+streaming operators (SURVEY.md §2.10).
+
+The reference is batch-only (no watermarks/windows/state anywhere in
+MapReduce); these queries define the window *semantics* on the batch
+path, and hadoop_common_spark.streaming re-exposes the same windows via
+Structured Streaming (readStream + withWatermark). Keeping the oracle on
+the batch form is exactly the §2.10 plan: every streaming op has a
+batch-equivalent formulation DuckDB can check.
+
+Window keys are epoch-second bigints (not timestamps): integer bucket
+math is identical in every engine and timezone-proof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_common_spark.functions.exact import dsum, dsum_sql
+from hadoop_common_spark.queries import query
+
+EPOCH = "CAST(ts AS LONG)"  # spark: seconds, floor
+EPOCH_SQL = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+
+@query(
+    "window_tumbling_hourly",
+    oracle=f"""
+    SELECT ({EPOCH_SQL} // 3600) * 3600 AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window per event_type (streaming:
+    ``groupBy(window(ts, '1 hour'), event_type)`` — see streaming/jobs.py)."""
+    df = spark.table("events")
+    bucket = (F.expr(f"{EPOCH} div 3600") * 3600).alias("window_start")
+    return df.groupBy(bucket, "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+@query(
+    "window_sliding_10m_5m",
+    oracle=f"""
+    SELECT window_start, COUNT(*) AS n_events
+    FROM (
+      SELECT unnest([
+               ({EPOCH_SQL} // 300) * 300 - 300,
+               ({EPOCH_SQL} // 300) * 300
+             ]) AS window_start
+      FROM events
+    )
+    GROUP BY window_start
+    """,
+)
+def window_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window, 10 min size / 5 min slide: each event lands in the
+    two windows covering it (explode of window starts — exactly Spark's
+    streaming `window(ts, '10 minutes', '5 minutes')` expansion)."""
+    df = spark.table("events")
+    s1 = F.expr(f"({EPOCH} div 300) * 300")
+    return (
+        df.select(F.explode(F.array(s1 - 300, s1)).alias("window_start"))
+        .groupBy("window_start")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "window_sessionize",
+    oracle=f"""
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MAX(e) - MIN(e) AS duration_s
+    FROM (
+      SELECT user_id, e,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY e, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM (
+        SELECT user_id, event_id, e,
+               CASE WHEN e - lag(e) OVER (PARTITION BY user_id ORDER BY e, event_id) > 1800
+                    OR lag(e) OVER (PARTITION BY user_id ORDER BY e, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM (SELECT user_id, event_id, {EPOCH_SQL} AS e FROM events)
+      )
+    )
+    GROUP BY user_id, session_id
+    """,
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min gap): lag → new-session flag →
+    running sum = session id → per-session stats. The batch equivalent of
+    streaming ``session_window(ts, '30 minutes')``; one shuffle on
+    user_id, everything else window functions."""
+    df = spark.table("events").select(
+        "user_id", "event_id", F.expr(EPOCH).alias("e")
+    )
+    w = Window.partitionBy("user_id").orderBy("e", "event_id")
+    lagged = df.withColumn("_prev", F.lag("e").over(w))
+    flagged = lagged.withColumn(
+        "new_sess",
+        F.when(
+            F.col("_prev").isNull() | (F.col("e") - F.col("_prev") > 1800), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("e") - F.min("e")).alias("duration_s"),
+    )
+
+
+@query(
+    "window_user_running_total",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+             PARTITION BY user_id ORDER BY {EPOCH_SQL}, event_id
+             ROWS UNBOUNDED PRECEDING
+           ) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def window_user_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total ordered by time — the cumulative-state shape
+    of a stateful streaming operator, as a batch window (exact decimal
+    accumulation so every prefix matches bit-for-bit)."""
+    df = spark.table("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr(EPOCH), "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double").alias("running_value"),
+    )

@@ -1,0 +1,143 @@
+"""Reader facades: every InputFormat family from SURVEY.md §2.1 as a
+``spark.read`` construction (Catalyst owns splits, pruning, pushdown).
+
+| Reference InputFormat | Here |
+|---|---|
+| FileInputFormat split math (getSplits :334)      | spark.sql.files.maxPartitionBytes |
+| PathFilter / globs (:160)                        | pathGlobFilter option |
+| TextInputFormat / LineRecordReader               | read_text |
+| KeyValueTextInputFormat (:63)                    | read_kv_text |
+| NLineInputFormat (fan-out control)               | read_text + repartition |
+| FixedLengthInputFormat (:50)                     | read_fixed_width |
+| SequenceFile* (K/V containers)                   | Parquet (native container) |
+| CombineFileInputFormat (small-file packing)      | files.openCostInBytes (automatic) |
+| MultipleInputs / DelegatingMapper                | read_multi (per-source transform + unionByName) |
+| DBInputFormat / DataDrivenDBInputFormat (:69)    | read_jdbc (same min/max split strategy built in) |
+| StreamXmlRecordReader                            | read_xml_records |
+| EmptyInputFormat / RandomInputFormat             | spark.range |
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_text(
+    spark: SparkSession, path: str, glob: str | None = None, lines_per_partition: int | None = None
+) -> DataFrame:
+    """Lines as a `value` column (TextInputFormat). ``glob`` replaces
+    PathFilter; NLineInputFormat's fan-out control becomes an explicit
+    repartition (the reference used it to force task counts)."""
+    reader = spark.read
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.text(path)
+    if lines_per_partition:
+        n = max(1, df.count() // lines_per_partition)
+        df = df.repartition(n)
+    return df
+
+
+def read_kv_text(
+    spark: SparkSession, path: str, sep: str = "\t", key_col: str = "key", value_col: str = "value"
+) -> DataFrame:
+    """KeyValueTextInputFormat (:63): split each line at the FIRST
+    separator; missing separator → empty value (reference behavior)."""
+    df = spark.read.text(path)
+    parts = F.split(F.col("value"), sep, 2)
+    return df.select(
+        F.element_at(parts, 1).alias(key_col),
+        # try_element_at: lines without a separator yield a 1-element array
+        # and must map to empty value, not an ANSI out-of-bounds error.
+        F.coalesce(F.try_element_at(parts, F.lit(2)), F.lit("")).alias(value_col),
+    )
+
+
+def read_fixed_width(
+    spark: SparkSession, path: str, widths: dict[str, int]
+) -> DataFrame:
+    """FixedLengthInputFormat (:50): fixed-byte records → typed columns
+    via substring windows. For text storage one record per line; binary
+    fixed-length records would come through format('binaryFile') +
+    the same substring math."""
+    df = spark.read.text(path)
+    cols, off = [], 1
+    for name, w in widths.items():
+        cols.append(F.substring(F.col("value"), off, w).alias(name))
+        off += w
+    return df.select(*cols)
+
+
+def read_multi(
+    sources: list[tuple[DataFrame, Callable[[DataFrame], DataFrame] | None]],
+    tag_col: str | None = "source_tag",
+) -> DataFrame:
+    """MultipleInputs / DelegatingMapper (:150 LoC): per-source transform,
+    then schema-aligned union; optional provenance tag."""
+    out = None
+    for i, (df, fn) in enumerate(sources):
+        cur = fn(df) if fn else df
+        if tag_col:
+            cur = cur.withColumn(tag_col, F.lit(i))
+        out = cur if out is None else out.unionByName(cur, allowMissingColumns=True)
+    assert out is not None, "read_multi needs at least one source"
+    return out
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower: int | None = None,
+    upper: int | None = None,
+    num_partitions: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """DBInputFormat / DataDrivenDBInputFormat: Spark's JDBC source uses
+    the identical min/max-on-a-column split strategy
+    (DataDrivenDBInputFormat.java:69's $CONDITIONS token, built in)."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower))
+            .option("upperBound", str(upper))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_xml_records(
+    spark: SparkSession, path: str, begin: str, end: str, record_col: str = "record"
+) -> DataFrame:
+    """StreamXmlRecordReader: records delimited by begin/end tags.
+    Whole-file read + non-greedy regex extraction (files must fit the
+    task — same constraint as the reference's unsplittable XML mode)."""
+    import re as _re
+
+    df = spark.read.text(path, wholetext=True)
+    pat = _re.escape(begin) + r"(.*?)" + _re.escape(end)
+    return df.select(
+        F.explode(F.regexp_extract_all(F.col("value"), F.lit(pat), F.lit(1))).alias(record_col)
+    )
+
+
+def sampled_scan_percent(df: DataFrame, key_col: str, frequency: int) -> DataFrame:
+    """SequenceFileInputFilter.PercentFilter/MD5Filter (:153,:202): keep
+    keys with hash ≡ 0 (mod frequency); md5-based → deterministic and
+    engine-independent."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    return df.filter(h % frequency == 0)
+
+
+def sampled_scan_regex(df: DataFrame, key_col: str, pattern: str) -> DataFrame:
+    """SequenceFileInputFilter.RegexFilter (:110)."""
+    return df.filter(F.col(key_col).rlike(pattern))

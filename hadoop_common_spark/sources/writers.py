@@ -1,0 +1,75 @@
+"""Writer facades (SURVEY.md §2.2): OutputFormat family as
+``df.write`` constructions. Job commit (the FileOutputCommitter
+`_temporary` rename protocol, lib/output/FileOutputCommitter.java:305)
+is literally the same committer — Spark uses the Hadoop committers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_text_kv(df: DataFrame, path: str, key_col: str, value_col: str, sep: str = "\t") -> None:
+    """TextOutputFormat: ``key<TAB>value`` lines, part-file layout."""
+    df.select(
+        F.concat_ws(sep, F.col(key_col).cast("string"), F.col(value_col).cast("string")).alias(
+            "value"
+        )
+    ).write.mode("overwrite").text(path)
+
+
+def write_parquet(df: DataFrame, path: str, compression: str = "snappy") -> None:
+    """SequenceFileOutputFormat's role (compressed K/V container) →
+    Parquet, the native columnar container."""
+    df.write.mode("overwrite").option("compression", compression).parquet(path)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """MultipleOutputFormat.generateFileNameForKeyValue (:144): output
+    path derived from the record → ``partitionBy`` directory layout (also
+    the scan-side partition-pruning enabler)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_multiple_outputs(
+    df: DataFrame, routes: dict[str, tuple], base_path: str
+) -> None:
+    """MultipleOutputs (:69-73): several named outputs from one job.
+    ``routes`` maps name → (filter_column_expr, format). The input is
+    cached once; each named output is an independent action over the
+    cached plan — the Spark translation of side outputs."""
+    df.persist()
+    try:
+        for name, (predicate, fmt) in routes.items():
+            out = df.filter(predicate)
+            writer = out.write.mode("overwrite")
+            if fmt == "parquet":
+                writer.parquet(f"{base_path}/{name}")
+            elif fmt == "json":
+                writer.json(f"{base_path}/{name}")
+            else:
+                writer.csv(f"{base_path}/{name}", header=True)
+    finally:
+        df.unpersist()
+
+
+def write_sorted_bucketed(
+    df: DataFrame, table_name: str, bucket_col: str, sort_col: str, num_buckets: int = 8
+) -> None:
+    """MapFileOutputFormat (sorted K/V + index for lookup,
+    HC/io/MapFile.java:674 get/:692 getClosest): a sorted, bucketed table
+    — point lookups prune to one bucket + pushed filter; joins on the
+    bucket key skip the shuffle."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(sort_col)
+        .saveAsTable(table_name)
+    )
+
+
+def write_noop(df: DataFrame) -> int:
+    """NullOutputFormat: execute the plan, discard the rows (returns the
+    row count as the observable side effect)."""
+    return df.count()

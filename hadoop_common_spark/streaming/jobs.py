@@ -1,0 +1,104 @@
+"""Structured Streaming superset (SURVEY.md §2.10).
+
+The reference engine is batch-only — no watermarks, windows, or state
+anywhere in MapReduce (closest artifact: JobControl re-run DAGs). This
+module re-exposes the batch window queries (queries/windows.py) as
+*streams*: readStream → watermark → windowed agg → sink. Each streaming
+job has a batch-equivalent formulation the DuckDB oracle checks, so the
+streaming path is demonstration + plumbing, the batch path is the
+correctness contract.
+
+Scale notes: watermark bounds state; tumbling/sliding windows shuffle on
+(window, key); `availableNow` triggers give batch-like backfill runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_common_spark.functions.exact import dsum
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one-file-per-trigger
+    emulation of an arriving stream). events.ts is nanos → normalized to
+    a micros timestamp exactly like the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # Scope the stream to events.parquet only — streaming the bare directory
+    # would sweep in every other table's file under the events schema.
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_hourly_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of queries/windows.py::window_tumbling_hourly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of window_sliding_10m_5m."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"), "n_events"
+        )
+    )
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Streaming sessionization via session_window (batch twin:
+    window_sessionize's gap/lag formulation)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup within the watermark horizon
+    (dropDuplicatesWithinWatermark — the streaming twin of dedup_exact)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drain a stream with an availableNow trigger into a memory sink and
+    return the materialized result (test/demo harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)

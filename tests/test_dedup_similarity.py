@@ -1,0 +1,100 @@
+"""Dedup + similarity operator tests with constructed near-duplicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_common_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from hadoop_common_spark.operators.multimodal import as_media_table, decode_image
+from hadoop_common_spark.operators.similarity import cosine, cosine_topk_bruteforce
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, BASE),
+            (1, BASE),  # exact dup of 0
+            (2, BASE.replace("today", "tomorrow")),  # near dup
+            (3, "completely different content about spark engines and shuffles here"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_exact_dedup_groups(spark):
+    out = {r.keep_id: r.n_copies for r in exact_dedup(_docs(spark), "text", "doc_id").collect()}
+    assert out[0] == 2  # docs 0,1 collapse; keeper is min id
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_minhash_finds_near_dups(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(_docs(spark), "doc_id", "text", threshold=0.3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_identical_docs_equal_fingerprints(spark):
+    fps = {r.doc_id: r.simhash for r in simhash(_docs(spark), "doc_id", "text").collect()}
+    assert fps[0] == fps[1]
+    # near-dup has small hamming distance; unrelated doc has large
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(fps[0], fps[2]) < ham(fps[0], fps[3])
+
+
+def test_ngram_jaccard_blocked(spark):
+    df = _docs(spark).withColumn("blk", F.lit("all"))
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", "blk", threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0 and (0, 2) in pairs
+
+
+def test_cosine_topk_self_similarity(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # close to 0
+            (2, [0.0, 1.0, 0.0]),   # orthogonal to 0
+            (3, [-1.0, 0.0, 0.0]),  # opposite
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = cosine_topk_bruteforce(vecs, vecs.filter(F.col("vec_id") == 0), k=3).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [1, 2, 3]
+
+
+def test_cosine_bounds(spark):
+    df = spark.createDataFrame([([1.0, 2.0], [2.0, 4.0])], ["a", "b"])
+    val = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+    assert abs(val - 1.0) < 1e-12
+
+
+def test_decode_image_fake_matches_formula(spark):
+    import hashlib
+
+    media = as_media_table(_docs(spark), "doc_id", "text")
+    out = {r.doc_id: (r.width, r.height, r.byte_len) for r in decode_image(media).collect()}
+    h = hashlib.md5(BASE.encode()).hexdigest()
+    assert out[0] == (1 + int(h[:15], 16) % 1920, 1 + int(h[15:30], 16) % 1080, len(BASE))
+
+
+def test_decode_image_real_is_stubbed(spark):
+    import pytest
+
+    media = as_media_table(_docs(spark), "doc_id", "text")
+    with pytest.raises(NotImplementedError):
+        decode_image(media, fake=False)

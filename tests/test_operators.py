@@ -1,0 +1,121 @@
+"""Operator unit tests, modeled on the reference's per-operator JUnit
+suites (SURVEY.md §5.1) — tiny synthetic inputs, exact expected outputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_common_spark.operators.fieldsel import FieldSpec, field_select, parse_spec
+from hadoop_common_spark.operators.joins import asof_join, override_join
+from hadoop_common_spark.operators.keyspec import KeySpec, keyspec_sort
+from hadoop_common_spark.operators.sort import total_order_sort
+from hadoop_common_spark.operators.aggregate import aggregate_job
+
+
+class TestFieldSpec:
+    def test_parse_ranges(self):
+        fs = FieldSpec.parse("4,3,0,1-3,7-")
+        assert fs.ranges == [(4, 4), (3, 3), (0, 0), (1, 3), (7, None)]
+
+    def test_parse_full_spec(self):
+        k, v = parse_spec("1,0:2-")
+        assert k.ranges == [(1, 1), (0, 0)]
+        assert v.ranges == [(2, None)]
+
+    def test_field_select(self, spark):
+        # the TestFieldSelection shape: known line, known spec, exact output
+        df = spark.createDataFrame([("a\tb\tc\td\te",)], ["line"])
+        out = field_select(df, "line", "1,0:2-").select("key", "value").collect()[0]
+        assert out.key == "b\ta"
+        assert out.value == "c\td\te"
+
+
+class TestKeySpec:
+    def test_parse(self):
+        ks = KeySpec.parse("-k2,2nr")
+        assert (ks.start_field, ks.end_field, ks.numeric, ks.reverse) == (2, 2, True, True)
+        ks2 = KeySpec.parse("3")
+        assert (ks2.start_field, ks2.end_field) == (3, None)
+
+    def test_numeric_vs_lexicographic(self, spark):
+        # TestMRKeyFieldBasedComparator shape: 10 sorts after 9 numerically,
+        # before it lexicographically
+        df = spark.createDataFrame([("a\t9",), ("b\t10",)], ["l"])
+        lines = lambda specs: [r.l for r in keyspec_sort(df, "l", specs).collect()]  # noqa: E731
+        assert lines(["-k2,2n"]) == ["a\t9", "b\t10"]
+        assert lines(["-k2,2"]) == ["b\t10", "a\t9"]
+
+
+class TestJoins:
+    def test_override_rightmost_wins(self, spark):
+        # TestJoinDatamerge pattern: every key in s1, every 2nd key in s2
+        s1 = spark.createDataFrame([(k, "s1") for k in range(6)], ["k", "v"])
+        s2 = spark.createDataFrame([(k, "s2") for k in range(0, 6, 2)], ["k", "v"])
+        out = {r.k: r.v for r in override_join([s1, s2], "k", "v").collect()}
+        assert out == {0: "s2", 1: "s1", 2: "s2", 3: "s1", 4: "s2", 5: "s1"}
+
+    def test_override_duplicate_keys_winning_source_keeps_all_rows(self, spark):
+        s1 = spark.createDataFrame([(1, "a"), (1, "b")], ["k", "v"])
+        s2 = spark.createDataFrame([(1, "x"), (1, "y")], ["k", "v"])
+        vals = sorted(r.v for r in override_join([s1, s2], "k", "v").collect())
+        assert vals == ["x", "y"]  # per-key, not per-row
+
+    def test_asof_basic(self, spark):
+        left = spark.createDataFrame([(1, 10), (1, 20), (2, 15)], ["k", "t"])
+        right = spark.createDataFrame([(1, 5, 100.0), (1, 15, 200.0), (2, 99, 1.0)], ["k", "t", "val"])
+        out = asof_join(left, right, "k", "t", "t", ["val"])
+        got = {(r.k, r.t): r.val_asof for r in out.collect()}
+        assert got == {(1, 10): 100.0, (1, 20): 200.0, (2, 15): None}
+
+    def test_asof_tie_is_inclusive(self, spark):
+        left = spark.createDataFrame([(1, 10)], ["k", "t"])
+        right = spark.createDataFrame([(1, 10, 7.0)], ["k", "t", "val"])
+        assert asof_join(left, right, "k", "t", "t", ["val"]).collect()[0].val_asof == 7.0
+
+
+class TestTotalOrderSort:
+    def test_global_order_across_partitions(self, spark):
+        # the TeraValidate property: partition i's max <= partition i+1's min
+        df = spark.range(0, 10000).select(
+            (F.col("id") * 2654435761 % 100000).alias("key")
+        )
+        out = total_order_sort(df, ["key"], num_partitions=8)
+        parts = out.select(
+            F.spark_partition_id().alias("p"), F.col("key")
+        ).groupBy("p").agg(F.min("key").alias("mn"), F.max("key").alias("mx"))
+        rows = sorted(parts.collect(), key=lambda r: r.p)
+        for a, b in zip(rows, rows[1:]):
+            assert a.mx <= b.mn
+        # count conservation (SortValidator.RecordStatsChecker)
+        assert out.count() == 10000
+
+
+class TestAggregateJob:
+    def test_unknown_type_raises(self, spark):
+        df = spark.createDataFrame([(1, 2)], ["k", "v"])
+        with pytest.raises(ValueError, match="unknown aggregator"):
+            aggregate_job(df, ["k"], [("x", "NoSuchAgg", "v")])
+
+    def test_all_types(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, "x"), ("a", 3, "y"), ("a", 3, "y"), ("b", 5, "z")],
+            ["k", "n", "s"],
+        )
+        out = {
+            r.k: r
+            for r in aggregate_job(
+                df,
+                ["k"],
+                [
+                    ("s_sum", "LongValueSum", "n"),
+                    ("n_max", "LongValueMax", "n"),
+                    ("n_min", "LongValueMin", "n"),
+                    ("s_max", "StringValueMax", "s"),
+                    ("uniq", "UniqValueCount", "s"),
+                    ("uniq_cap1", "UniqValueCount", "s", 1),
+                ],
+            ).collect()
+        }
+        a = out["a"]
+        assert (a.s_sum, a.n_max, a.n_min, a.s_max, a.uniq, a.uniq_cap1) == (7, 3, 1, "y", 2, 1)

@@ -1,0 +1,105 @@
+"""Reader/writer facade tests (SURVEY.md §2.1/2.2) — file round trips on
+tmp dirs, mirroring the reference's TestSequenceFile/TestMapFile
+round-trip style."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_common_spark.sources.readers import (
+    read_fixed_width,
+    read_kv_text,
+    read_multi,
+    read_text,
+    read_xml_records,
+    sampled_scan_percent,
+    sampled_scan_regex,
+)
+from hadoop_common_spark.sources.writers import (
+    write_multiple_outputs,
+    write_noop,
+    write_partitioned,
+    write_text_kv,
+)
+
+
+def test_read_text_and_glob(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("one\ntwo\n")
+    (tmp_path / "b.log").write_text("three\n")
+    assert read_text(spark, str(tmp_path)).count() == 3
+    assert read_text(spark, str(tmp_path), glob="*.txt").count() == 2
+
+
+def test_read_kv_text_splits_at_first_sep(spark, tmp_path):
+    (tmp_path / "kv.txt").write_text("k1\tv1\tmore\nk2\n")
+    rows = {r.key: r.value for r in read_kv_text(spark, str(tmp_path)).collect()}
+    assert rows == {"k1": "v1\tmore", "k2": ""}
+
+
+def test_read_fixed_width(spark, tmp_path):
+    (tmp_path / "fw.txt").write_text("AAA11\nBBB22\n")
+    rows = sorted(
+        (r.name, r.num) for r in read_fixed_width(spark, str(tmp_path), {"name": 3, "num": 2}).collect()
+    )
+    assert rows == [("AAA", "11"), ("BBB", "22")]
+
+
+def test_read_multi_tags_and_unions(spark):
+    a = spark.createDataFrame([(1,)], ["x"])
+    b = spark.createDataFrame([(2,), (3,)], ["x"])
+    out = read_multi([(a, None), (b, lambda df: df.withColumn("x", F.col("x") * 10))])
+    got = sorted((r.x, r.source_tag) for r in out.collect())
+    assert got == [(1, 0), (20, 1), (30, 1)]
+
+
+def test_read_xml_records(spark, tmp_path):
+    (tmp_path / "x.xml").write_text("<r>alpha</r>junk<r>beta</r>")
+    recs = sorted(r.record for r in read_xml_records(spark, str(tmp_path), "<r>", "</r>").collect())
+    assert recs == ["alpha", "beta"]
+
+
+def test_sampled_scans(spark):
+    df = spark.range(1000).select(F.col("id"))
+    frac = sampled_scan_percent(df, "id", 10).count()
+    assert 50 <= frac <= 200  # ~10% of 1000, md5-deterministic
+    assert sampled_scan_percent(df, "id", 10).count() == frac  # deterministic
+    df2 = spark.createDataFrame([("apple",), ("banana",)], ["k"])
+    assert sampled_scan_regex(df2, "k", "^a").count() == 1
+
+
+def test_write_text_kv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("k1", "v1"), ("k2", "v2")], ["k", "v"])
+    out = str(tmp_path / "out")
+    write_text_kv(df, out, "k", "v")
+    # part-file layout (FileOutputFormat contract)
+    assert any(f.startswith("part-") for f in os.listdir(out))
+    back = {r.key: r.value for r in read_kv_text(spark, out).collect()}
+    assert back == {"k1": "v1", "k2": "v2"}
+
+
+def test_write_partitioned_layout(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], ["part_key", "x"])
+    out = str(tmp_path / "p")
+    write_partitioned(df, out, ["part_key"])
+    subdirs = {d for d in os.listdir(out) if d.startswith("part_key=")}
+    assert subdirs == {"part_key=a", "part_key=b"}
+    # partition pruning reads one dir
+    assert spark.read.parquet(out).filter(F.col("part_key") == "a").count() == 1
+
+
+def test_write_multiple_outputs(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["n", "s"])
+    base = str(tmp_path / "multi")
+    write_multiple_outputs(
+        df,
+        {"evens": (F.col("n") % 2 == 0, "parquet"), "odds": (F.col("n") % 2 == 1, "parquet")},
+        base,
+    )
+    assert spark.read.parquet(f"{base}/evens").collect()[0].n == 2
+    assert spark.read.parquet(f"{base}/odds").collect()[0].n == 1
+
+
+def test_write_noop(spark):
+    assert write_noop(spark.range(7).toDF("id")) == 7

@@ -1,0 +1,87 @@
+"""Structured Streaming superset, pipe operator, and JobGraph tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_common_spark.operators.pipe import pipe_lines
+from hadoop_common_spark.plans.jobcontrol import JobGraph
+from hadoop_common_spark.streaming.jobs import (
+    read_events_stream,
+    run_to_memory,
+    tumbling_hourly_stream,
+)
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    """The §2.10 contract: the streaming window agg equals its batch
+    formulation (which is what the DuckDB oracle checks)."""
+    from hadoop_common_spark.queries import load_all
+
+    stream = read_events_stream(spark, sf_dir)
+    got = run_to_memory(tumbling_hourly_stream(stream), "t_tumbling")
+    batch = load_all()["window_tumbling_hourly"].fn(spark, sf_dir)
+    skey = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value) for r in got.collect()
+    }
+    bkey = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value) for r in batch.collect()
+    }
+    assert skey == bkey
+
+
+def test_pipe_identity_preserves_rows(spark):
+    df = spark.createDataFrame([("hello", 1), ("world", 2)], ["s", "n"])
+    out = pipe_lines(df, "cat", out_cols=["s", "n"])
+    got = sorted((r.s, r.n) for r in out.collect())
+    assert got == [("hello", "1"), ("world", "2")]
+
+
+def test_pipe_external_transform(spark):
+    df = spark.createDataFrame([("abc",), ("xyz",)], ["s"])
+    out = pipe_lines(df, "tr a-z A-Z")
+    assert sorted(r.line for r in out.collect()) == ["ABC", "XYZ"]
+
+
+def test_jobgraph_order_and_results(spark):
+    order = []
+
+    def step(name, dep_val=0):
+        def fn(results):
+            order.append(name)
+            return sum(results.get(d, 0) for d in results) + 1
+
+        return fn
+
+    g = JobGraph()
+    g.add("load", step("load"))
+    g.add("transform", step("transform"), depends_on=["load"])
+    g.add("write", step("write"), depends_on=["transform"])
+    results = g.run()
+    assert order == ["load", "transform", "write"]
+    assert set(results) == {"load", "transform", "write"}
+
+
+def test_jobgraph_duplicate_raises(spark):
+    g = JobGraph().add("a", lambda r: 1)
+    with pytest.raises(ValueError):
+        g.add("a", lambda r: 2)
+
+
+def test_streaming_dedup(spark, sf_dir):
+    from hadoop_common_spark.streaming.jobs import dedup_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n = spark.table("t_dedup").count()
+    batch_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n == batch_n  # event_id is unique → dedup is a no-op pass-through
