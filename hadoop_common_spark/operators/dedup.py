@@ -71,17 +71,18 @@ def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
 ) -> DataFrame:
     """MinHash signature per document: ``h_j = min over shingles of
-    md5(shingle || '#' || j)``. Computed as ``num_hashes`` min() partial
-    aggregates after one explode — map-side combine keeps the shuffle at
-    one row per document."""
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_sh")
-    )
-    aggs = [
-        F.min(hash60(F.concat(F.col("_sh"), F.lit(f"#{j}")))).alias(f"h{j}")
+    md5(shingle || '#' || j)``. Computed entirely map-side as
+    ``array_min(transform(shingles, ...))`` per hash — zero shuffles
+    (an explode+groupBy formulation would shuffle every shingle; min is
+    order-independent so the per-row fold is equivalent)."""
+    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("_sh"), lambda s, j=j: hash60(F.concat(s, F.lit(f"#{j}"))))
+        ).alias(f"h{j}")
         for j in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return sh.select(F.col(id_col), *sig_cols)
 
 
 def lsh_band_keys(sig_df: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
@@ -143,30 +144,25 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
     md5 hash; each bit votes ±1; the fingerprint sets bits with positive
     vote. Near-dups differ in few bits (Hamming distance).
 
-    Explode formulation (token × bit) — simple and oracle-checkable. For
-    a 100 TB run, fold the bit loop into an array-accumulator
-    ``F.aggregate`` to avoid the ×bits row blowup.
-    """
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.col(text_col), r"\s+")).alias("_tok"),
-    ).filter(F.col("_tok") != "")
-    h = toks.withColumn("_h", hash60(F.col("_tok")))
-    bitted = h.select(
-        id_col, "_h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
-    ).withColumn(
-        "vote",
-        F.when(F.expr("(_h >> j) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    Array-fold formulation: token hashes → fold into a ``bits``-length
+    vote vector with ``F.aggregate``/``zip_with`` → fingerprint. Entirely
+    map-side (zero shuffles; integer votes, so exact regardless of fold
+    order — an explode formulation would blow rows up ×bits and shuffle
+    twice)."""
+    masks = F.array(*[F.lit(1 << j).cast("bigint") for j in range(bits)])
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    hashes = F.transform(toks, lambda t: hash60(t))
+    zero = F.array_repeat(F.lit(0).cast("bigint"), bits)
+    bit_votes = lambda h: F.transform(  # noqa: E731
+        masks, lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint")
     )
-    return (
-        bitted.groupBy(id_col, "j")
-        .agg(F.sum("vote").alias("v"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << j")).otherwise(F.lit(0))
-            ).alias("simhash")
-        )
+    votes = F.aggregate(hashes, zero, lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, b: a + b))
+    fingerprint_bits = F.zip_with(
+        votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("bigint"))
+    )
+    return df.select(
+        F.col(id_col),
+        F.aggregate(fingerprint_bits, F.lit(0).cast("bigint"), lambda a, b: a + b).alias("simhash"),
     )
 
 

@@ -19,6 +19,8 @@ parity, the LSH variant demonstrates the blocked-join architecture.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -93,19 +95,28 @@ def cosine_topk_bruteforce(
     )
 
 
-def _coef(plane: int, i: int) -> Column:
-    # coef(plane, i) = (md5_int(plane || '_' || i) % 2001 - 1000) / 1000 —
-    # deterministic pseudo-random hyperplane coefficients, no RNG state.
-    h = F.conv(F.substring(F.md5(F.lit(f"{plane}_{i}")), 1, 15), 16, 10).cast("bigint")
-    return ((h % 2001) - 1000).cast("double") / F.lit(1000.0)
+def _coef_int(plane: int, i: int) -> int:
+    # coef(plane, i) = (md5_int(plane || '_' || i) % 2001 - 1000), an
+    # integer in [-1000, 1000], later divided by 1000.0 — deterministic
+    # pseudo-random hyperplane coefficients, no RNG state. Precomputed in
+    # Python (hashlib md5 == Spark/DuckDB md5) so the Spark plan carries
+    # ~dim literals per plane instead of ~dim md5() calls per row.
+    h = int(hashlib.md5(f"{plane}_{i}".encode()).hexdigest()[:15], 16)
+    return h % 2001 - 1000
 
 
 def sign_lsh_bucket(vec_col: Column, dim: int, planes: int) -> Column:
-    """Bucket id = bits of sign(v · hyperplane_p) for p in 0..planes-1."""
+    """Bucket id = bits of sign(v · hyperplane_p) for p in 0..planes-1.
+
+    The dot product keeps the exact left-to-right double addition order
+    of :func:`sign_lsh_bucket_sql` so near-zero projections sign
+    identically in both engines.
+    """
     bucket = F.lit(0).cast("bigint")
     for p in range(planes):
         proj = sum(
-            (F.element_at(vec_col, i + 1).cast("double") * _coef(p, i))
+            F.element_at(vec_col, i + 1).cast("double")
+            * (F.lit(_coef_int(p, i)).cast("double") / F.lit(1000.0))
             for i in range(dim)
         )
         bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0))
@@ -116,8 +127,7 @@ def sign_lsh_bucket_sql(vec_expr: str, dim: int, planes: int) -> str:
     terms = []
     for p in range(planes):
         coefs = " + ".join(
-            f"(CAST({vec_expr}[{i+1}] AS DOUBLE) * "
-            f"((('0x' || substr(md5('{p}_{i}'), 1, 15))::BIGINT % 2001 - 1000) / 1000.0))"
+            f"(CAST({vec_expr}[{i+1}] AS DOUBLE) * ({_coef_int(p, i)} / 1000.0))"
             for i in range(dim)
         )
         terms.append(f"(CASE WHEN ({coefs}) > 0 THEN {1 << p} ELSE 0 END)")

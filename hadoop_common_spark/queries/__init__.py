@@ -64,6 +64,8 @@ _QUERY_MODULES = [
     "hadoop_common_spark.queries.similarity",
     "hadoop_common_spark.queries.textstats",
     "hadoop_common_spark.queries.multimodal",
+    "hadoop_common_spark.queries.synthetic",
+    "hadoop_common_spark.queries.olap",
 ]
 
 

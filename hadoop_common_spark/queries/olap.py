@@ -1,0 +1,88 @@
+"""OLAP superset queries: cube / rollup / grouping sets.
+
+The reference has none of these (SURVEY.md §2.5: "Grouping sets / cube /
+rollup — not implemented"); they are free capability supersets in Spark
+and part of what a replacement engine must offer. All are single-shuffle
+aggregations (Spark expands the grouping sets before the exchange, with
+partial aggregation per set)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_common_spark.functions.exact import dsum
+from hadoop_common_spark.queries import query
+
+
+@query(
+    "rollup_region_nation_revenue",
+    oracle="""
+    SELECT r_name AS region, n_name AS nation,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals region → nation → grand total via rollup;
+    NULL marks the rolled-up levels (ANSI semantics, same as DuckDB)."""
+    orders, customer = spark.table("orders"), spark.table("customer")
+    nation, region = spark.table("nation"), spark.table("region")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^2 grouping combinations over order status × priority."""
+    return (
+        spark.table("orders")
+        .cube(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "grouping_sets_events",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY GROUPING SETS ((user_id), (event_type))
+    """,
+)
+def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets: per-user totals and per-type totals in one
+    aggregation pass (one shuffle instead of a union of two groupBys)."""
+    return spark.sql(
+        """
+        SELECT user_id, event_type, COUNT(*) AS n_events
+        FROM events
+        GROUP BY GROUPING SETS ((user_id), (event_type))
+        """
+    )

@@ -78,14 +78,16 @@ SELECT id_a, id_b, cos FROM (
          {cosine_sql('a.embedding', 'b.embedding')} AS cos
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id < b.vec_id
-) WHERE cos >= 0.9
+) WHERE cos >= 0.35
 """
 
 
 @query("dedup_embedding_cosine", oracle=_NEARDUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label (the
-    embedding-space analog of ngram_jaccard_pairs)."""
+    embedding-space analog of ngram_jaccard_pairs; 0.35 ~ top 0.1%% of
+    within-label pairs in the synthetic data — high enough to be selective,
+    low enough that the oracle check is non-vacuous)."""
     emb = spark.table("embeddings")
     a = emb.select(F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
     b = emb.select(F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
@@ -93,6 +95,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", cosine(F.col("e_a"), F.col("e_b")))
-        .filter(F.col("cos") >= 0.9)
+        .filter(F.col("cos") >= 0.35)
         .select("id_a", "id_b", "cos")
     )

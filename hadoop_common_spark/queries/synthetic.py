@@ -1,0 +1,79 @@
+"""Generator + benchmark-suite queries: TeraGen/TeraSort/TeraValidate,
+RandomTextWriter, QuasiMonteCarlo (SURVEY.md §2.11)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_common_spark.operators.synthgen import (
+    TERAGEN_SQL,
+    montecarlo_pi,
+    montecarlo_pi_sql,
+    random_text,
+    random_text_sql,
+    teragen,
+    teragen_checksum,
+)
+from hadoop_common_spark.queries import query
+
+N_TERA = 100_000
+N_PI = 200_000
+N_TEXT = 20_000
+
+_CHECKSUM_ORACLE = f"""
+WITH g AS ({TERAGEN_SQL.format(max_i=N_TERA - 1)})
+SELECT COUNT(*) AS n_records,
+       CAST(SUM(('0x' || substr(md5(key || payload), 1, 15))::BIGINT) AS DECIMAL(38,0)) AS checksum
+FROM g
+"""
+
+
+@query("teragen_checksum", oracle=_CHECKSUM_ORACLE)
+def teragen_checksum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TeraGen + TeraValidate's checksum-sum (TeraGen.java:203-223 →
+    TeraValidate comparison): deterministic generation, order-independent
+    decimal checksum. Narrow map + partial agg — zero shuffles."""
+    return teragen_checksum(teragen(spark, N_TERA))
+
+
+_TERASORT_ORACLE = f"""
+WITH g AS ({TERAGEN_SQL.format(max_i=N_TERA - 1)})
+SELECT key, payload FROM g ORDER BY key LIMIT 100
+"""
+
+
+@query("terasort_head", oracle=_TERASORT_ORACLE)
+def terasort_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TeraSort head: total-order sort of TeraGen records (orderBy →
+    RangePartitioner sampling, the TotalOrderPartitioner+InputSampler
+    analog — TeraSort.java:58,177-214), first 100 records. Spark plans
+    TakeOrderedAndProject for sort+limit: no full sort materialization."""
+    return teragen(spark, N_TERA).orderBy("key").limit(100)
+
+
+@query("montecarlo_pi", oracle=montecarlo_pi_sql(N_PI))
+def montecarlo_pi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuasiMonteCarlo pi (EX/QuasiMonteCarlo.java:87,152-199):
+    deterministic md5-derived points, integer in-circle test, global agg."""
+    return montecarlo_pi(spark, N_PI)
+
+
+_RANDTEXT_ORACLE = f"""
+WITH g AS ({random_text_sql(N_TEXT)})
+SELECT word, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM g)
+GROUP BY word
+"""
+
+
+@query("random_text_wordcount", oracle=_RANDTEXT_ORACLE)
+def random_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomTextWriter + WordCount fused: generate synthetic text rows,
+    count the vocabulary. Checks the generator's distribution end-to-end."""
+    txt = random_text(spark, N_TEXT)
+    return (
+        txt.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

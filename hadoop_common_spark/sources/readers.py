@@ -128,6 +128,30 @@ def read_xml_records(
     )
 
 
+def read_csv_skip_bad(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    sep: str = ",",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """SkipBadRecords (mapred/SkipBadRecords.java:55): the reference
+    re-runs tasks in skip mode to bisect away crashing records; Spark's
+    PERMISSIVE parse mode does it declaratively — malformed rows land in
+    ``corrupt_col`` instead of failing the job, one pass, no re-runs.
+
+    Note: Spark refuses queries that reference ONLY ``corrupt_col`` on
+    the raw scan; select data columns alongside it, or cache()/write the
+    frame first when isolating bad rows."""
+    return (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("sep", sep)
+        .schema(schema + f", {corrupt_col} STRING")
+        .csv(path)
+    )
+
+
 def sampled_scan_percent(df: DataFrame, key_col: str, frequency: int) -> DataFrame:
     """SequenceFileInputFilter.PercentFilter/MD5Filter (:153,:202): keep
     keys with hash ≡ 0 (mod frequency); md5-based → deterministic and

@@ -20,6 +20,8 @@ import duckdb  # noqa: E402
 
 
 def _norm(v):
+    if v is None:
+        return "\0NULL"  # sortable sentinel (rollup/cube emit NULL keys)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
