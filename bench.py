@@ -44,11 +44,18 @@ HEADLINE = [
     "dedup_exact",                  # content-hash dedup
     "dedup_minhash_lsh",            # MinHash+LSH near-dup
     "dedup_simhash",                # SimHash near-dup
+    "dedup_ngram_jaccard",          # blocked all-pairs Jaccard
+    "dedup_embedding_cosine",       # embedding near-dup (blocked)
     "similarity_cosine_topk",       # brute-force ANN baseline
     "similarity_lsh_buckets",       # LSH-bucketed ANN
     "text_quality_scores",          # text quality metrics
     "text_lang_id",                 # n-gram language id
     "multimodal_fake_decode",       # binary-column pipeline plumbing
+    "asof_join_last_purchase",      # as-of join extension
+    "window_user_running_total",    # running window aggregate
+    "rollup_region_nation_revenue", # rollup subtotals
+    "montecarlo_pi",                # generator + global agg
+    "random_text_wordcount",        # generator + wordcount
 ]
 
 

@@ -20,10 +20,25 @@ asks for, built Spark-first:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 HEX15 = 15  # 60-bit hashes: fit in signed int64 in both Spark and DuckDB
+
+# Universal-hash family for MinHash: h_j(s) = (a_j * base(s) + b_j) mod P
+# over one 32-bit md5-derived base hash — 1 md5 per shingle instead of
+# num_hashes md5s (the md5s dominate signature cost). a_j < 2^28 and
+# base < 2^32 keep the product under 2^60: no int64 overflow, identical
+# arithmetic in Spark and DuckDB.
+MERSENNE61 = (1 << 61) - 1
+
+
+def _mh_coeffs(j: int) -> tuple[int, int]:
+    a = int(hashlib.md5(f"mh_a_{j}".encode()).hexdigest()[:7], 16) | 1
+    b = int(hashlib.md5(f"mh_b_{j}".encode()).hexdigest()[:7], 16)
+    return a, b
 
 
 def hash60(c: Column) -> Column:
@@ -34,6 +49,25 @@ def hash60(c: Column) -> Column:
 def hash60_sql(expr: str) -> str:
     """DuckDB rendering of :func:`hash60`."""
     return f"('0x' || substr(md5({expr}), 1, {HEX15}))::BIGINT"
+
+
+def hash32(c: Column) -> Column:
+    """Deterministic 32-bit integer hash (md5 prefix) — the MinHash base."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def hash32_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+def minhash_j(base: Column, j: int) -> Column:
+    a, b = _mh_coeffs(j)
+    return (F.lit(a) * base + F.lit(b)) % F.lit(MERSENNE61)
+
+
+def minhash_j_sql(base_expr: str, j: int) -> str:
+    a, b = _mh_coeffs(j)
+    return f"(({a} * {base_expr} + {b}) % {MERSENNE61})"
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -71,18 +105,23 @@ def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
 ) -> DataFrame:
     """MinHash signature per document: ``h_j = min over shingles of
-    md5(shingle || '#' || j)``. Computed entirely map-side as
-    ``array_min(transform(shingles, ...))`` per hash — zero shuffles
-    (an explode+groupBy formulation would shuffle every shingle; min is
-    order-independent so the per-row fold is equivalent)."""
-    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
-    sig_cols = [
-        F.array_min(
-            F.transform(F.col("_sh"), lambda s, j=j: hash60(F.concat(s, F.lit(f"#{j}"))))
-        ).alias(f"h{j}")
-        for j in range(num_hashes)
-    ]
-    return sh.select(F.col(id_col), *sig_cols)
+    (a_j * hash32(shingle) + b_j) mod P`` — one md5 per shingle plus
+    cheap integer arithmetic per hash function, as ``num_hashes`` min()
+    aggregates after one explode.
+
+    Why explode+groupBy and not a per-row ``array_min(transform(...))``
+    fold: the fold looks shuffle-free, but Catalyst's projection collapse
+    inlines the shingle-array expression into every one of the 16
+    signature columns — the (expensive) shingling runs 16× per row
+    (measured ~1.7× slower end-to-end). The explode puts an aggregation
+    boundary after shingling, so it runs once, and the shuffle is
+    map-side partial-aggregated down to one row per document (combiner
+    semantics — fine at 100 TB)."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_sh")
+    ).withColumn("_base", hash32(F.col("_sh")))
+    aggs = [F.min(minhash_j(F.col("_base"), j)).alias(f"h{j}") for j in range(num_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_keys(sig_df: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
@@ -115,7 +154,19 @@ def minhash_lsh_pairs(
     deterministic across engines).
     """
     rows = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    # One shingling pass total: the signature groupBy also collects the
+    # distinct shingle set, so the verify join reads it from the (reused)
+    # aggregation exchange instead of re-shingling each side.
+    sh_rows = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_one")
+    ).withColumn("_base", hash32(F.col("_one")))
+    sig = sh_rows.groupBy(id_col).agg(
+        *[
+            F.min(minhash_j(F.col("_base"), j)).alias(f"h{j}")
+            for j in range(num_hashes)
+        ],
+        F.collect_set("_one").alias("_shset"),
+    )
     bk = lsh_band_keys(sig, id_col, bands, rows)
     a = bk.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = bk.select(F.col(id_col).alias("id_b"), "band", "band_key")
@@ -125,9 +176,8 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("_shset").alias("sh_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("_shset").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (

@@ -73,19 +73,36 @@ def cosine_topk_bruteforce(
 
     queries × data cross join — for a bounded query set this is the
     correct baseline (broadcast the queries); rank via per-query window.
+    Norms are computed once per side BEFORE the join (n+q norm
+    computations instead of n×q×2) — only the cross dot product is
+    per-pair work.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    def with_norm(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+        vd = F.transform(F.col(vecc), lambda x: x.cast("double"))
+        return df.select(
+            F.col(idc), vd.alias(vecc), F.sqrt(dot_exact(vd, vd)).alias(vecc + "_norm")
+        )
+
+    q = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "query_id",
+        "q_vec",
     )
-    d = data.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("d_vec")
+    d = with_norm(
+        data.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("d_vec")),
+        "neighbor_id",
+        "d_vec",
     )
     from pyspark.sql import Window
 
     scored = (
         d.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("d_vec")))
+        .withColumn(
+            "cos",
+            dot_exact(F.col("q_vec"), F.col("d_vec"))
+            / (F.col("q_vec_norm") * F.col("d_vec_norm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -108,17 +125,21 @@ def _coef_int(plane: int, i: int) -> int:
 def sign_lsh_bucket(vec_col: Column, dim: int, planes: int) -> Column:
     """Bucket id = bits of sign(v · hyperplane_p) for p in 0..planes-1.
 
-    The dot product keeps the exact left-to-right double addition order
-    of :func:`sign_lsh_bucket_sql` so near-zero projections sign
+    Per plane, the projection is a left-to-right fold over
+    ``zip_with(vec, coefficients)`` — a compact plan (the unrolled
+    ``sum()`` form is planes×dim expression nodes and blows codegen
+    compile time). The fold's addition order ((0.0+t1)+t2)+… is exactly
+    the chained ``t1 + t2 + …`` order of :func:`sign_lsh_bucket_sql`
+    (0.0 + t1 == t1 in IEEE754), so near-zero projections sign
     identically in both engines.
     """
     bucket = F.lit(0).cast("bigint")
     for p in range(planes):
-        proj = sum(
-            F.element_at(vec_col, i + 1).cast("double")
-            * (F.lit(_coef_int(p, i)).cast("double") / F.lit(1000.0))
-            for i in range(dim)
+        coefs = F.array(
+            *[(F.lit(_coef_int(p, i)).cast("double") / F.lit(1000.0)) for i in range(dim)]
         )
+        terms = F.zip_with(vec_col, coefs, lambda x, c: x.cast("double") * c)
+        proj = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
         bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0))
     return bucket
 

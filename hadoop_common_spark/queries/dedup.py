@@ -23,9 +23,10 @@ _SHINGLES = (
     "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
 )
 
+from hadoop_common_spark.operators.dedup import hash32_sql, minhash_j_sql
+
 _SIG_MINS = ",\n         ".join(
-    f"MIN(('0x' || substr(md5(s || '#{j}'), 1, 15))::BIGINT) AS h{j}"
-    for j in range(NUM_HASHES)
+    f"MIN({minhash_j_sql(hash32_sql('s'), j)}) AS h{j}" for j in range(NUM_HASHES)
 )
 
 _BAND_CASES = "\n      ".join(

@@ -88,13 +88,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding-space analog of ngram_jaccard_pairs; 0.35 ~ top 0.1%% of
     within-label pairs in the synthetic data — high enough to be selective,
     low enough that the oracle check is non-vacuous)."""
+    from hadoop_common_spark.operators.similarity import dot_exact
+
     emb = spark.table("embeddings")
-    a = emb.select(F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
-    b = emb.select(F.col("label"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    # norms once per row before the self-join (not per pair); sqrt(a)*sqrt(b)
+    # keeps the oracle's exact double operands
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    normed = emb.select(
+        "label", "vec_id", vd.alias("e"), F.sqrt(dot_exact(vd, vd)).alias("nrm")
+    )
+    a = normed.select("label", F.col("vec_id").alias("id_a"), F.col("e").alias("e_a"), F.col("nrm").alias("n_a"))
+    b = normed.select("label", F.col("vec_id").alias("id_b"), F.col("e").alias("e_b"), F.col("nrm").alias("n_b"))
     return (
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("e_a"), F.col("e_b")))
+        .withColumn("cos", dot_exact(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")))
         .filter(F.col("cos") >= 0.35)
         .select("id_a", "id_b", "cos")
     )

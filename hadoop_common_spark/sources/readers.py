@@ -128,6 +128,61 @@ def read_xml_records(
     )
 
 
+def read_auto(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """AutoInputFormat (ST/AutoInputFormat.java): sniff the format and
+    dispatch. The reference distinguishes SequenceFile vs text by magic
+    bytes; we sniff Parquet ('PAR1'), JSON ('{'/'['), else delimited/text
+    — from the first file's header only (one tiny driver-side read)."""
+    first = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", F.substring("content", 1, 4).alias("magic"))
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise FileNotFoundError(f"no files under {path}")
+    magic = bytes(first[0].magic)
+    if magic == b"PAR1":
+        return spark.read.options(**options).parquet(path)
+    if magic[:1] in (b"{", b"["):
+        return spark.read.options(**options).json(path)
+    return spark.read.options(**options).csv(path)
+
+
+def distcp(
+    spark: SparkSession, src: str, dst: str, glob: str | None = None, partitions: int = 32
+) -> int:
+    """DistCp (TOOLS/hadoop-distcp DistCp.java:52): parallel file copy as
+    a Spark job — listing via the binaryFile source (the reference's
+    SimpleCopyListing), fan-out via repartition (its UniformSizeInputFormat
+    chunking; AQE handles stragglers where DynamicInputFormat would),
+    byte-identical writes per task. Returns the number of files copied.
+
+    Utility tier: content flows through executor memory per file, fine
+    for the many-small/medium-file case DistCp exists for; multi-TB
+    single files would need a ranged-read variant."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(src).select("path", "content").repartition(partitions)
+
+    def copy_partition(rows):
+        import os
+        from urllib.parse import urlparse
+
+        n = 0
+        for row in rows:
+            rel = os.path.basename(urlparse(row.path).path)
+            os.makedirs(dst, exist_ok=True)
+            with open(os.path.join(dst, rel), "wb") as f:
+                f.write(bytes(row.content))
+            n += 1
+        yield n
+
+    return files.rdd.mapPartitions(copy_partition).sum()
+
+
 def read_csv_skip_bad(
     spark: SparkSession,
     path: str,

@@ -103,3 +103,38 @@ def test_write_multiple_outputs(spark, tmp_path):
 
 def test_write_noop(spark):
     assert write_noop(spark.range(7).toDF("id")) == 7
+
+
+def test_read_auto_sniffs_formats(spark, tmp_path):
+    import json
+
+    pq = tmp_path / "pq"
+    spark.range(5).write.parquet(str(pq))
+    jd = tmp_path / "jd"
+    jd.mkdir()
+    (jd / "a.json").write_text("\n".join(json.dumps({"x": i}) for i in range(3)))
+    cd = tmp_path / "cd"
+    cd.mkdir()
+    (cd / "a.csv").write_text("1,alpha\n2,beta\n")
+
+    from hadoop_common_spark.sources.readers import read_auto
+
+    assert read_auto(spark, str(pq)).count() == 5
+    assert sorted(r.x for r in read_auto(spark, str(jd)).collect()) == [0, 1, 2]
+    assert read_auto(spark, str(cd)).count() == 2
+
+
+def test_distcp_copies_bytes(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.bin").write_bytes(b"\x00\x01payload-a")
+    (src / "b.bin").write_bytes(b"payload-b" * 1000)
+    (src / "skip.txt").write_text("nope")
+    dst = tmp_path / "dst"
+
+    from hadoop_common_spark.sources.readers import distcp
+
+    n = distcp(spark, str(src), str(dst), glob="*.bin", partitions=2)
+    assert n == 2
+    assert (dst / "a.bin").read_bytes() == (src / "a.bin").read_bytes()
+    assert (dst / "b.bin").read_bytes() == (src / "b.bin").read_bytes()
