@@ -1,0 +1,57 @@
+"""Skew mitigation: salting for hot keys.
+
+Reference analog: RehashPartitioner (lib/partition/RehashPartitioner.java
+:48) re-hashes to spread skewed hashCodes, and the reference otherwise
+leaves skew to hand-tuning. Spark's AQE already splits skewed *join*
+partitions at runtime; explicit salting remains the tool for skewed
+**aggregations** (AQE cannot split a hash-aggregate group) and for joins
+where one hot key dwarfs everything.
+
+Two-phase salted aggregation: groupBy(key, salt) partial → groupBy(key)
+final. Both phases are hash aggregates with map-side partials; the first
+shuffle spreads a hot key over ``n_salts`` reducers. Works for any
+algebraic aggregate (sum/count/min/max — anything with a merge step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted(df: DataFrame, n_salts: int = 32, salt_col: str = "_salt") -> DataFrame:
+    """Add a deterministic salt derived from the full row hash (md5 of a
+    canonical concat would be engine-portable, but the salt never leaves
+    the job — xxhash64 is fine and fast)."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, Column]],
+    n_salts: int = 32,
+) -> DataFrame:
+    """Two-phase skew-proof aggregation.
+
+    ``aggs`` maps output name → (merge_fn_name, partial Column), e.g.
+    ``{"total": ("sum", F.sum("v")), "hi": ("max", F.max("v"))}`` —
+    the partial aggregates per (key, salt), then the named merge function
+    combines partials per key. count merges with sum.
+    """
+    part = salted(df, n_salts).groupBy(*key_cols, "_salt").agg(
+        *[c.alias(f"_p_{name}") for name, (_, c) in aggs.items()]
+    )
+    merge = {
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+    }
+    finals = []
+    for name, (how, _) in aggs.items():
+        if how not in merge:
+            raise ValueError(f"non-algebraic merge {how!r} — cannot salt")
+        finals.append(merge[how](f"_p_{name}").alias(name))
+    return part.groupBy(*key_cols).agg(*finals)

@@ -66,6 +66,7 @@ _QUERY_MODULES = [
     "hadoop_common_spark.queries.multimodal",
     "hadoop_common_spark.queries.synthetic",
     "hadoop_common_spark.queries.olap",
+    "hadoop_common_spark.queries.subqueries",
 ]
 
 

@@ -1,0 +1,127 @@
+"""Plan-shape regression tests — the 100 TB contract, asserted.
+
+Correctness says the numbers match; these tests pin the *physical plans*:
+filters pushed to scans, dimensions broadcast, bucketed joins shuffle-free,
+top-k never globally sorting, salting actually splitting hot keys. A
+regression here is invisible at sf0.01 and fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_common_spark.operators.skew import salted_agg
+from hadoop_common_spark.queries import load_all
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def test_flagship_broadcasts_all_dims(spark, sf_dir, registry):
+    df = registry["flagship_revenue_by_nation"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    # lineitem is the stream side; orders/customer/nation/region broadcast
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_pushes_date_filter_to_scan(spark, sf_dir, registry):
+    df = registry["flagship_revenue_by_nation"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_scan_prunes_columns(spark, sf_dir, registry):
+    """A 2-column aggregate must not read all 16 lineitem columns."""
+    df = registry["pricing_summary"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln and "lineitem" in ln)
+    assert "l_comment" not in scan and "l_partkey" not in scan
+
+
+def test_topk_plans_take_ordered(spark, sf_dir, registry):
+    df = registry["top_k_events"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """write_sorted_bucketed (MapFileOutputFormat analog): joining two
+    tables bucketed on the join key needs no exchange at all."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    try:
+        a = spark.range(10000).select(F.col("id"), (F.col("id") * 2).alias("va"))
+        b = spark.range(10000).select(F.col("id"), (F.col("id") * 3).alias("vb"))
+        from hadoop_common_spark.sources.writers import write_sorted_bucketed
+
+        write_sorted_bucketed(a, "bkt_a", "id", "id", num_buckets=4)
+        write_sorted_bucketed(b, "bkt_b", "id", "id", num_buckets=4)
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "id")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_partition_pruning(spark, tmp_path):
+    """write_partitioned (MultipleOutputFormat analog) enables scan-time
+    partition pruning: a filter on the partition column reads 1 of 3
+    directories."""
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(300)], ["v", "part"]
+    )
+    from hadoop_common_spark.sources.writers import write_partitioned
+
+    write_partitioned(df, str(tmp_path / "pt"), ["part"])
+    got = spark.read.parquet(str(tmp_path / "pt")).filter(F.col("part") == "b")
+    plan = plan_of(got)
+    scan = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    assert "PartitionFilters" in scan and "part" in scan
+    assert got.count() == 100
+
+
+def test_salted_agg_matches_and_splits(spark):
+    """Salting: same answer as the direct aggregate, but the hot key's
+    rows spread across n_salts partial groups (two-shuffle plan)."""
+    hot = spark.range(100000).select(F.lit("HOT").alias("k"), F.col("id").alias("v"))
+    cold = spark.range(1000).select(
+        F.concat(F.lit("c"), F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    df = hot.unionByName(cold)
+    got = salted_agg(
+        df,
+        ["k"],
+        {"total": ("sum", F.sum("v")), "n": ("sum", F.count(F.lit(1))), "hi": ("max", F.max("v"))},
+        n_salts=16,
+    )
+    want = df.groupBy("k").agg(
+        F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"), F.max("v").alias("hi")
+    )
+    g = {r.k: (r.total, r.n, r.hi) for r in got.collect()}
+    w = {r.k: (r.total, r.n, r.hi) for r in want.collect()}
+    assert g == w
+    # two-phase: the physical plan aggregates twice
+    assert plan_of(got).count("HashAggregate") >= 4
+
+
+def test_secondary_sort_window_has_single_shuffle(spark, sf_dir, registry):
+    """The window secondary sort must shuffle once on the group key —
+    no extra exchange after the window."""
+    df = registry["secondary_sort_window"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1
