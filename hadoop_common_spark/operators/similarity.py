@@ -3,10 +3,10 @@
 Engine extension (north star): approximate-nearest-neighbor over the
 `embeddings` table. Two tiers:
 
-- **Brute-force cosine top-k** — the exact baseline. All arithmetic is
-  element-wise double products summed as exact decimals, so cosine values
-  are bit-identical across engines and partitionings (same trick as
-  functions/exact.py); ranking on them is therefore deterministic.
+- **Brute-force cosine top-k** — the exact baseline. Dot products fold
+  in array-index order, which no partitioning can change, so cosine
+  values are bit-identical across engines and re-runs without decimal
+  arithmetic; ranking on them is therefore deterministic.
 - **Sign-LSH bucketing** — the scale path: h hyperplanes with
   deterministic md5-derived coefficients; each vector's bucket is the
   sign pattern of its projections. ANN search probes only the query's
@@ -24,35 +24,26 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# decimal(28,12): addition widens to (29,12) (no scale loss); values are
-# bounded (|dot| <= dim) so 16 integer digits are ample.
-DEC = "decimal(28,12)"
-
-
 def dot_exact(a: Column, b: Column) -> Column:
-    """Exact (order-independent) dot product of two double arrays:
-    per-element double multiply, decimal-summed, cast back to double."""
-    prods = F.zip_with(a, b, lambda x, y: (x * y).cast(DEC))
-    return F.aggregate(
-        prods, F.lit(0).cast(DEC), lambda acc, x: (acc + x).cast(DEC)
-    ).cast("double")
+    """Double-fold dot product. Deterministic WITHOUT decimals: the fold
+    order is fixed by array index (((0+t1)+t2)+…), not by partitioning,
+    so Spark and DuckDB (list_reduce, same left fold; 0+t1 == t1) produce
+    the identical double — decimal arithmetic would cost ~5× here."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def dot_exact_sql(a: str, b: str) -> str:
     return (
-        f"CAST(list_sum(list_transform(generate_series(1, len({a})), "
-        f"i -> CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) AS DECIMAL(28,12)))) AS DOUBLE)"
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
     )
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity from exact dots: dot/(sqrt(na)*sqrt(nb)) — the
-    final double expression has identical operands in every engine."""
-    ad = F.transform(a, lambda x: x.cast("double"))
-    bd = F.transform(b, lambda x: x.cast("double"))
-    return dot_exact(ad, bd) / (
-        F.sqrt(dot_exact(ad, ad)) * F.sqrt(dot_exact(bd, bd))
-    )
+    """Cosine similarity: dot/(sqrt(na)*sqrt(nb)) — identical double
+    operands in every engine (see dot_exact)."""
+    return dot_exact(a, b) / (F.sqrt(dot_exact(a, a)) * F.sqrt(dot_exact(b, b)))
 
 
 def cosine_sql(a: str, b: str) -> str:

@@ -123,3 +123,68 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("documents").select(
         "doc_id", fingerprint("text").alias("fp")
     )
+
+
+# BPE-ish pre-tokenization: letter runs / digit runs / punctuation runs,
+# each with optional leading space (the GPT-2 pattern family, minus
+# lookahead so Java regex and RE2 agree exactly).
+BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+@query(
+    "text_bpe_token_stats",
+    oracle=f"""
+    SELECT lang,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           (CAST(SUM(n_bpe) AS DOUBLE) / COUNT(*)) AS avg_bpe_tokens
+    FROM (
+      SELECT lang,
+             len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe
+      FROM documents
+    )
+    GROUP BY lang
+    """,
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word token accounting with a BPE-style pre-tokenizer regex —
+    the budget estimate a training pipeline runs before real tokenization
+    (whitespace counts under-estimate ~30% on punctuated text)."""
+    df = spark.table("documents").select(
+        "lang",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), F.lit(0))).alias("n_bpe"),
+    )
+    return df.groupBy("lang").agg(
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        (F.sum("n_bpe").cast("double") / F.count(F.lit(1))).alias("avg_bpe_tokens"),
+    )
+
+
+@query(
+    "text_winnow_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MIN(('0x' || substr(md5(gram), 1, 15))::BIGINT) AS winnow_fp
+    FROM (
+      SELECT doc_id,
+             substr(text, i, 8) AS gram
+      FROM documents, LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i)
+    )
+    GROUP BY doc_id
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint (winnowing-style): min hash over all
+    8-char grams — stable under small edits anywhere except at the
+    minimizing gram, unlike the whole-content md5. Explode + min: the
+    shuffle carries one partial min per document (map-side combine)."""
+    df = spark.table("documents")
+    # expr(): F.substring takes only literal start positions
+    grams = df.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, greatest(length(text) - 7, 1)), i -> substring(text, i, 8))")
+        ).alias("gram"),
+    )
+    return grams.groupBy("doc_id").agg(
+        F.min(fingerprint("gram")).alias("winnow_fp")
+    )
