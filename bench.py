@@ -56,6 +56,9 @@ HEADLINE = [
     "rollup_region_nation_revenue", # rollup subtotals
     "montecarlo_pi",                # generator + global agg
     "random_text_wordcount",        # generator + wordcount
+    "pipeline_clean_corpus",        # composite cleaning pipeline
+    "text_bpe_token_stats",         # BPE-regex token accounting
+    "above_nation_avg_balance",     # correlated subquery decorrelation
 ]
 
 

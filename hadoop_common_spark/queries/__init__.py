@@ -67,6 +67,7 @@ _QUERY_MODULES = [
     "hadoop_common_spark.queries.synthetic",
     "hadoop_common_spark.queries.olap",
     "hadoop_common_spark.queries.subqueries",
+    "hadoop_common_spark.queries.pipeline",
 ]
 
 

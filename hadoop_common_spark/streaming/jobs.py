@@ -89,6 +89,28 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def materialize_incremental(
+    stream_df: DataFrame, out_path: str, checkpoint: str
+) -> None:
+    """foreachBatch materialization — the MultipleOutputs/side-effect
+    sink of the streaming world: each micro-batch appends to a parquet
+    target; the checkpoint makes re-runs resume instead of reprocess
+    (exactly-once per batch id). The continuous-rollup pattern: point
+    this at a windowed aggregate and the target is an incrementally
+    maintained materialized view."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Drain a stream with an availableNow trigger into a memory sink and
     return the materialized result (test/demo harness)."""

@@ -85,3 +85,22 @@ def test_streaming_dedup(spark, sf_dir):
     n = spark.table("t_dedup").count()
     batch_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert n == batch_n  # event_id is unique → dedup is a no-op pass-through
+
+
+def test_foreachbatch_incremental_materialization(spark, sf_dir, tmp_path):
+    """Checkpointed foreachBatch: first run materializes, second run with
+    the same checkpoint is a no-op (no new files arrived) — the
+    incremental-view maintenance contract."""
+    from hadoop_common_spark.streaming.jobs import materialize_incremental
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, sf_dir)
+    materialize_incremental(stream.select("event_id", "user_id"), out, ckpt)
+    n_first = spark.read.parquet(out).count()
+    batch_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n_first == batch_n
+
+    materialize_incremental(
+        read_events_stream(spark, sf_dir).select("event_id", "user_id"), out, ckpt
+    )
+    assert spark.read.parquet(out).count() == n_first  # nothing reprocessed
