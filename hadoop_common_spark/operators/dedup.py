@@ -85,12 +85,23 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 
 def word_shingles(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (≥n tokens assumed;
-    shorter docs should be filtered or handled upstream)."""
+    """Distinct word n-gram shingles of a text column (docs with <n
+    tokens yield an empty array).
+
+    Built as ``zip_with`` over n shifted ``slice``s of the token array —
+    NOT ``transform(sequence(...), i -> element_at(toks, i+k))``: inside
+    one expression tree every ``toks`` reference re-runs the regex split,
+    so the indexed form splits the text ~n× per GRAM (~150× per doc;
+    measured 5× slower end-to-end). The slice form references ``toks``
+    O(n) times per ROW."""
     toks = F.split(F.col(text_col), r"\s+")
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)])  # noqa: E731
-    return F.array_distinct(F.transform(idx, gram))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.slice(toks, 1, m)
+    for k in range(1, n):
+        zipped = F.zip_with(
+            zipped, F.slice(toks, k + 1, m), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return F.array_distinct(zipped)
 
 
 def word_shingles_sql(text_expr: str, n: int = 3) -> str:
