@@ -93,6 +93,11 @@ def main() -> None:
     registry = load_all()
     spark = get_spark("bench")
 
+    # Untimed warmup: JVM/codegen/file-index costs land here, not on the
+    # first measured query (a cluster amortizes them over hours).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         qd = registry.get(name)
