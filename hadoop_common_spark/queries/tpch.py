@@ -286,3 +286,120 @@ def brand_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("p_size").alias("max_size"),
         F.min("p_size").alias("min_size"),
     )
+
+
+@query(
+    "returnflag_priority_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def returnflag_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation pivot (TPC-H Q12 shape): CASE-WHEN counts
+    per return flag (the synthetic schema has no l_shipmode) — the reference needs a tagged-key MapReduce; here one
+    join + one agg, filter pushed to the lineitem scan."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    return (
+        spark.table("orders")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(100.0 AS DOUBLE) * promo / total AS promo_pct
+    FROM (
+      SELECT {dsum_sql("CASE WHEN p_type LIKE 'PROMO%' THEN " + REVENUE_SQL + " ELSE 0 END")} AS promo,
+             {dsum_sql(REVENUE_SQL)} AS total
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+    )
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio metric over a conditional aggregate (TPC-H Q14 shape):
+    promo revenue percentage for one month; both sums in one pass."""
+    li = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    j = li.join(spark.table("part"), F.col("l_partkey") == F.col("p_partkey"))
+    promo = dsum(F.when(F.col("p_type").like("PROMO%"), REVENUE()).otherwise(F.lit(0)))
+    return j.agg(
+        (F.lit(100.0) * promo / dsum(REVENUE())).alias("promo_pct")
+    )
+
+
+@query(
+    "top_supplier_by_revenue",
+    oracle=f"""
+    WITH sup_rev AS (
+      SELECT l_suppkey AS suppkey, {dsum_sql(REVENUE_SQL)} AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN sup_rev ON s_suppkey = suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM sup_rev)
+    """,
+)
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-over-aggregate (TPC-H Q15 shape): revenue view + scalar-
+    subquery max — the view computes once, Catalyst reuses it."""
+    return spark.sql(
+        f"""
+        WITH sup_rev AS (
+          SELECT l_suppkey AS suppkey,
+                 CAST(SUM(CAST({REVENUE_SQL} AS DECIMAL(30,6))) AS DOUBLE) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_rev
+        FROM supplier JOIN sup_rev ON s_suppkey = suppkey
+        WHERE total_rev = (SELECT MAX(total_rev) FROM sup_rev)
+        """
+    )
+
+
+@query(
+    "quantity_band_revenue",
+    oracle=f"""
+    SELECT p_type,
+           {dsum_sql(REVENUE_SQL)} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity BETWEEN 5 AND 15
+      AND p_size BETWEEN 1 AND 10
+    GROUP BY p_type
+    """,
+)
+def quantity_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-predicate band filters (TPC-H Q19 shape): brand + quantity
+    band + size band, every predicate pushed/pruned before the join."""
+    li = spark.table("lineitem").filter(F.col("l_quantity").between(5, 15))
+    pt = spark.table("part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 10))
+    )
+    return (
+        li.join(pt, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(dsum(REVENUE()).alias("revenue"))
+    )
