@@ -13,8 +13,8 @@ Engine extension (north star): approximate-nearest-neighbor over the
   bucket (optionally neighboring buckets). Bucketing is a narrow map;
   the only shuffle is the bucket equi-join.
 
-At 100 TB-scale ANN you'd add IVF centroids (k-means) — out of scope for
-parity, the LSH variant demonstrates the blocked-join architecture.
+The third tier — IVF centroids (k-means Voronoi cells) — lives in
+:mod:`hadoop_common_spark.operators.ivf`.
 """
 
 from __future__ import annotations

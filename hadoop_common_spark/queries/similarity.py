@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hadoop_common_spark.operators.ivf import ivf_index, ivf_search, kmeans_fit
 from hadoop_common_spark.operators.similarity import (
     cosine,
     cosine_sql,
@@ -69,6 +70,22 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(sign_lsh_bucket(F.col("embedding"), DIM, PLANES).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+@query("similarity_ivf_topk", oracle=_TOPK_ORACLE)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (k-means cells + inverted-file join), run with
+    exhaustive probing (nprobe == nlist) so the result is provably the
+    brute-force top-k — the same oracle checks the whole
+    train/index/search pipeline. The pruned configuration (nprobe <
+    nlist, the actual scale path: candidate join touches ~nprobe/nlist
+    of the index) is recall-property-tested in tests/."""
+    emb = spark.table("embeddings")
+    cents = kmeans_fit(emb, "embedding", "vec_id", nlist=8, iters=2)
+    idx = ivf_index(emb, cents, "embedding")
+    return ivf_search(
+        emb.filter(F.col("vec_id") < 10), idx, cents, "vec_id", "embedding", k=5, nprobe=8
     )
 
 

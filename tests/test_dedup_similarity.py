@@ -98,3 +98,49 @@ def test_decode_image_real_is_stubbed(spark):
     media = as_media_table(_docs(spark), "doc_id", "text")
     with pytest.raises(NotImplementedError):
         decode_image(media, fake=False)
+
+
+def _clustered_vectors(spark, n_clusters=4, per_cluster=12, dim=8):
+    # deterministic clusters: center c = one-hot(c)*10; member j offsets
+    # two coordinates by small amounts so in-cluster cosine >> cross-cluster
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for j in range(per_cluster):
+            v = [0.0] * dim
+            v[c] = 10.0 + (j % 3) * 0.1
+            v[(c + 1 + j) % dim] += 0.5 + 0.01 * j
+            rows.append((vid, v))
+            vid += 1
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_ivf_exhaustive_equals_bruteforce(spark):
+    from hadoop_common_spark.operators.ivf import ivf_index, ivf_search, kmeans_fit
+
+    vecs = _clustered_vectors(spark)
+    cents = kmeans_fit(vecs, "embedding", "vec_id", nlist=4, iters=2)
+    assert cents.count() <= 4
+    idx = ivf_index(vecs, cents, "embedding")
+    assert idx.count() == vecs.count()  # every vector lands in exactly one cell
+    q = vecs.filter(F.col("vec_id") < 6)
+    ivf = ivf_search(q, idx, cents, "vec_id", "embedding", k=3, nprobe=4)
+    bf = cosine_topk_bruteforce(vecs, q, "vec_id", "embedding", k=3)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in ivf.collect()}
+    want = {(r.query_id, r.rank): r.neighbor_id for r in bf.collect()}
+    assert got == want
+
+
+def test_ivf_pruned_recall(spark):
+    from hadoop_common_spark.operators.ivf import ivf_index, ivf_search, kmeans_fit
+
+    vecs = _clustered_vectors(spark)
+    cents = kmeans_fit(vecs, "embedding", "vec_id", nlist=4, iters=3)
+    idx = ivf_index(vecs, cents, "embedding")
+    q = vecs.filter(F.col("vec_id") < 6)
+    ivf = ivf_search(q, idx, cents, "vec_id", "embedding", k=3, nprobe=1)
+    bf = cosine_topk_bruteforce(vecs, q, "vec_id", "embedding", k=3)
+    got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    want = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.6, f"recall@3 with nprobe=1 was {recall}"
