@@ -403,3 +403,140 @@ def quantity_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type")
         .agg(dsum(REVENUE()).alias("revenue"))
     )
+
+
+@query(
+    "small_quantity_revenue",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem l JOIN part p ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.2 * ({dsum_sql('l2.l_quantity')} / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-average subquery against the fact table (TPC-H Q17
+    shape): lineitems below 20% of their part's mean quantity. Catalyst
+    decorrelates to a per-part aggregate + join — one extra shuffle, not
+    one subquery per row (the reference would need a self-join MapReduce
+    pass, lib/join). Exact decimal mean so the threshold comparison is
+    engine-independent."""
+    return spark.sql(
+        f"""
+        SELECT {dsum_sql('l_extendedprice')} / 7.0 AS avg_yearly
+        FROM lineitem l JOIN part p ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (
+            SELECT 0.2 * ({dsum_sql('l2.l_quantity')} / COUNT(*))
+            FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+          )
+        """
+    )
+
+
+@query(
+    "large_volume_orders",
+    oracle=f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM (
+      SELECT l_orderkey AS big_okey, {dsum_sql('l_quantity')} AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(30,6))) > 300
+    ) big
+    JOIN orders   ON o_orderkey = big_okey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-join-back (TPC-H Q18 shape): orders whose total
+    quantity exceeds a threshold, decorated with customer data. The
+    HAVING prunes the fact to a sliver BEFORE the dimension joins, so
+    the joins are cheap at any scale; top-20 plans as
+    TakeOrderedAndProject (no global sort materialization)."""
+    big = (
+        spark.table("lineitem")
+        .groupBy(F.col("l_orderkey").alias("big_okey"))
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.sum(F.col("l_quantity").cast("decimal(30,6)")) > 300)
+    )
+    return (
+        big.join(spark.table("orders"), F.col("o_orderkey") == F.col("big_okey"))
+        .join(spark.table("customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "inactive_rich_customers",
+    oracle=f"""
+    SELECT c_mktsegment AS segment, COUNT(*) AS numcust,
+           {dsum_sql('c_acctbal')} AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT {dsum_sql('c_acctbal')} / COUNT(*)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-06-01'
+      )
+    GROUP BY c_mktsegment
+    """,
+)
+def inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join + scalar subquery (TPC-H Q22 shape): above-average-
+    balance customers with no recent orders, counted per market segment.
+    The NOT EXISTS plans as a left-anti join on the date-pruned orders
+    scan; the global average is one scalar subquery computed once."""
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment AS segment, COUNT(*) AS numcust,
+               {dsum_sql('c_acctbal')} AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT {dsum_sql('c_acctbal')} / COUNT(*)
+            FROM customer WHERE c_acctbal > 0.0
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-06-01'
+          )
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "disjunctive_bracket_revenue",
+    oracle=f"""
+    SELECT {dsum_sql(REVENUE_SQL)} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-conjunctions predicate spanning both join sides (TPC-H Q19
+    shape). Catalyst extracts the common single-side residuals (brand
+    set, quantity superset-range) as pushed scan filters and keeps the
+    full disjunction as the join filter — the reference has no planner
+    and would evaluate everything in the reducer."""
+    li = spark.table("lineitem")
+    pt = spark.table("part")
+    j = li.join(pt, F.col("l_partkey") == F.col("p_partkey"))
+    bracket = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(bracket).agg(dsum(REVENUE()).alias("revenue"))

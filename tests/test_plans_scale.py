@@ -125,3 +125,53 @@ def test_secondary_sort_window_has_single_shuffle(spark, sf_dir, registry):
     df = registry["secondary_sort_window"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_large_volume_orders_plans_take_ordered(spark, sf_dir, registry):
+    """Q18 shape: top-20 must plan as TakeOrderedAndProject (no global
+    sort materialization), and the HAVING must prune before the joins."""
+    df = registry["large_volume_orders"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("SortMergeJoin", "").replace("SortAggregate", "")
+
+
+def test_disjunctive_pushes_brand_filter(spark, sf_dir, registry):
+    """Q19 shape: the brand-set residual of the OR must be pushed to the
+    part scan (In(p_brand, ...)), not evaluated post-join only."""
+    df = registry["disjunctive_bracket_revenue"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    scan = next(
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln and "part.parquet" in ln
+    )
+    assert "EqualTo(p_brand" in scan  # brand disjunction pushed to the scan
+    li_scan = next(
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln and "lineitem.parquet" in ln
+    )
+    assert "GreaterThanOrEqual(l_quantity" in li_scan  # quantity ranges pushed too
+
+
+def test_inactive_rich_anti_join(spark, sf_dir, registry):
+    """Q22 shape: NOT EXISTS plans as a broadcast/SMJ anti join; the
+    orders side is pruned by the pushed date filter."""
+    df = registry["inactive_rich_customers"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_small_quantity_decorrelates(spark, sf_dir, registry):
+    """Q17 shape: the correlated average must decorrelate into one
+    per-part aggregate joined back — no per-row subquery artifacts."""
+    df = registry["small_quantity_revenue"].fn(spark, sf_dir)
+    opt = optimized_of(df)
+    assert "scalar-subquery" not in opt  # rewritten to Aggregate + Join
+
+
+def test_ivf_search_broadcasts_probes(spark, sf_dir, registry):
+    """IVF: the probe (query) side broadcasts; the index side never
+    shuffles for the candidate join — the contract that makes nprobe
+    search linear in index size at 100 TB."""
+    df = registry["similarity_ivf_topk"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
