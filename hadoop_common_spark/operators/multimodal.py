@@ -117,3 +117,65 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) 
         "frame_no",
         (F.col("frame_no") * every_n_bytes).cast("bigint").alias("byte_offset"),
     )
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+_SAMPLE_RATES = (8000, 16000, 44100)
+
+
+def audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """'Feature-extract' binary audio content → (sample_rate, duration_ms,
+    rms). STUB: with ``fake=True`` features are md5-derived pseudo-values
+    (sample rate picked from a fixed set, duration from byte length at
+    16-bit mono, rms in [0,1)); a real build would call librosa/soundfile
+    inside the same Arrow-batched mapInPandas loop — schema, batching, and
+    partitioning are the real thing."""
+    if not fake:
+        raise NotImplementedError(
+            "real audio decoding needs librosa/soundfile — not available in "
+            "this container; use fake=True (deterministic md5-derived features)"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            digests = pdf["content"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            byte_len = pdf["content"].map(len).astype("int64")
+            rate = digests.map(lambda h: _SAMPLE_RATES[int(h[:15], 16) % 3]).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": rate,
+                    # 16-bit mono PCM: bytes/2 samples → ms = samples*1000/rate
+                    "duration_ms": (byte_len * 500) // rate,
+                    "rms": digests.map(lambda h: (int(h[15:30], 16) % 10000) / 10000.0),
+                }
+            )
+
+    return df.select("doc_id", "content").mapInPandas(batches, AUDIO_SCHEMA)
+
+
+def resize_dims(
+    decoded: DataFrame, target_w: int = 256, target_h: int = 256
+) -> DataFrame:
+    """Aspect-preserving fit of decoded (width, height) into a target box:
+    the planning half of an image resize (the pixel transform itself would
+    run where decode runs). Pure built-in arithmetic — stays JVM-side; uses
+    floor (not round) so the result is tie-free and engine-independent."""
+    scale = F.least(
+        F.lit(float(target_w)) / F.col("width"), F.lit(float(target_h)) / F.col("height")
+    )
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.greatest(F.lit(1).cast("bigint"), F.floor(F.col("width") * scale)).alias("out_w"),
+        F.greatest(F.lit(1).cast("bigint"), F.floor(F.col("height") * scale)).alias("out_h"),
+    )

@@ -144,3 +144,37 @@ def test_ivf_pruned_recall(spark):
     want = {(r.query_id, r.neighbor_id) for r in bf.collect()}
     recall = len(got & want) / len(want)
     assert recall >= 0.6, f"recall@3 with nprobe=1 was {recall}"
+
+
+def test_audio_features_fake_matches_formula(spark):
+    import hashlib
+
+    from hadoop_common_spark.operators.multimodal import audio_features
+
+    media = as_media_table(_docs(spark), "doc_id", "text")
+    out = {r.doc_id: (r.sample_rate, r.duration_ms, r.rms) for r in audio_features(media).collect()}
+    h = hashlib.md5(BASE.encode()).hexdigest()
+    rate = (8000, 16000, 44100)[int(h[:15], 16) % 3]
+    assert out[0] == (rate, (len(BASE) * 500) // rate, (int(h[15:30], 16) % 10000) / 10000.0)
+
+
+def test_audio_features_real_is_stubbed(spark):
+    import pytest
+
+    from hadoop_common_spark.operators.multimodal import audio_features
+
+    media = as_media_table(_docs(spark), "doc_id", "text")
+    with pytest.raises(NotImplementedError):
+        audio_features(media, fake=False)
+
+
+def test_resize_fits_box_and_preserves_aspect(spark):
+    from hadoop_common_spark.operators.multimodal import decode_image, resize_dims
+
+    media = as_media_table(_docs(spark), "doc_id", "text")
+    rows = resize_dims(decode_image(media), 256, 256).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.out_w <= 256 and 1 <= r.out_h <= 256
+        # the binding dimension fills the box (floor can undershoot by <1px)
+        assert max(r.out_w, r.out_h) >= 255 or (r.width < 256 and r.height < 256)
