@@ -69,3 +69,83 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
     )
+
+
+_SPLIT_ORACLE = """
+SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT lang, n_chars,
+         CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT lang, n_chars,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+    FROM documents
+  )
+)
+GROUP BY split, lang
+"""
+
+
+@query("corpus_split_counts", oracle=_SPLIT_ORACLE)
+def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split (90/5/5): the split
+    is a pure function of doc_id (md5 bucket), so it is reproducible
+    across runs, engines, and repartitionings — no RNG state, no
+    sampling drift when the corpus grows. A narrow map; no shuffle
+    beyond the final count."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        spark.table("documents")
+        .select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_SHARD_ORACLE = """
+SELECT lang, shard_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS shard_tokens
+FROM (
+  SELECT lang, n_tok,
+         CAST((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok) // 2000 AS BIGINT) AS shard_id
+  FROM (
+    SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+  )
+)
+GROUP BY lang, shard_id
+"""
+
+
+@query("corpus_token_shards", oracle=_SHARD_ORACLE)
+def corpus_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: documents are packed in doc_id order
+    into ~2000-token training shards via a running-total window — shard
+    id = floor(preceding-token-count / budget). Packing is per-language
+    (window PARTITION BY lang), so the sort parallelizes across
+    partitions instead of funneling 100 TB through one global window;
+    within a language range-partitioned packing would be the next
+    refinement."""
+    n_tok = F.size(F.split(F.col("text"), " ", -1)).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = F.sum("n_tok").over(w) - F.col("n_tok")
+    return (
+        spark.table("documents")
+        .select("lang", "doc_id", n_tok.alias("n_tok"))
+        .withColumn("shard_id", F.floor(pre / 2000).cast("bigint"))
+        .groupBy("lang", "shard_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("shard_tokens"))
+    )
