@@ -59,6 +59,12 @@ HEADLINE = [
     "pipeline_clean_corpus",        # composite cleaning pipeline
     "text_bpe_token_stats",         # BPE-regex token accounting
     "above_nation_avg_balance",     # correlated subquery decorrelation
+    "small_quantity_revenue",       # correlated avg vs fact (Q17)
+    "large_volume_orders",          # HAVING + join-back + top-k (Q18)
+    "disjunctive_bracket_revenue",  # OR-of-conjunctions pushdown (Q19)
+    "inactive_rich_customers",      # anti join + scalar subquery (Q22)
+    "corpus_split_counts",          # deterministic train/val/test split
+    "corpus_token_shards",          # token-budget shard packing window
 ]
 
 
