@@ -149,3 +149,47 @@ def corpus_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "shard_id")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("shard_tokens"))
     )
+
+
+_DECONTAM_ORACLE = """
+WITH toks AS (
+  SELECT lang, doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+shs AS (
+  SELECT lang, doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(t)-2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+  FROM toks
+),
+bench AS (SELECT DISTINCT sh FROM shs WHERE doc_id % 101 = 0),
+cont AS (
+  SELECT DISTINCT s.lang, s.doc_id
+  FROM shs s JOIN bench b ON s.sh = b.sh
+  WHERE s.doc_id % 101 <> 0
+)
+SELECT lang, COUNT(*) AS n_contaminated FROM cont GROUP BY lang
+"""
+
+
+@query("corpus_decontamination", oracle=_DECONTAM_ORACLE)
+def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing any word
+    3-gram with the held-out benchmark slice (doc_id % 101 == 0 — stand-
+    in for a real eval suite) are flagged, counted per language. The
+    benchmark shingle set is tiny by construction, so it broadcasts and
+    the corpus side is one narrow explode + semi join — no shuffle of
+    the corpus at any scale."""
+    from hadoop_common_spark.operators.dedup import word_shingles
+
+    sh = spark.table("documents").select(
+        "lang", "doc_id", F.explode(word_shingles("text", 3)).alias("sh")
+    )
+    bench = sh.filter(F.col("doc_id") % 101 == 0).select("sh").distinct()
+    return (
+        sh.filter(F.col("doc_id") % 101 != 0)
+        .join(F.broadcast(bench), "sh", "left_semi")
+        .select("lang", "doc_id")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
