@@ -175,3 +175,19 @@ def test_ivf_search_broadcasts_probes(spark, sf_dir, registry):
     df = registry["similarity_ivf_topk"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontamination_broadcasts_benchmark_set(spark, sf_dir, registry):
+    """The benchmark shingle set must broadcast; the corpus side must not
+    shuffle for the semi join."""
+    df = registry["corpus_decontamination"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_token_shards_window_partitions_by_lang(spark, sf_dir, registry):
+    """Shard packing must window per language (parallel) — a global
+    ORDER BY window (single partition) would bottleneck at scale."""
+    df = registry["corpus_token_shards"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "hashpartitioning(lang" in plan
