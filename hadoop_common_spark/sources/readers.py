@@ -145,6 +145,8 @@ def read_auto(spark: SparkSession, path: str, **options: str) -> DataFrame:
     magic = bytes(first[0].magic)
     if magic == b"PAR1":
         return spark.read.options(**options).parquet(path)
+    if magic[:3] == b"ORC":
+        return spark.read.options(**options).orc(path)
     if magic[:1] in (b"{", b"["):
         return spark.read.options(**options).json(path)
     return spark.read.options(**options).csv(path)

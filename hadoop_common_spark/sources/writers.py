@@ -25,6 +25,13 @@ def write_parquet(df: DataFrame, path: str, compression: str = "snappy") -> None
     df.write.mode("overwrite").option("compression", compression).parquet(path)
 
 
+def write_orc(df: DataFrame, path: str, compression: str = "zstd") -> None:
+    """ORC container sink — the other columnar K/V-container analog of
+    SequenceFileOutputFormat (ref: lib/output/SequenceFileOutputFormat.java);
+    same committer/part-file layout as parquet, different format."""
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
+
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
     """MultipleOutputFormat.generateFileNameForKeyValue (:144): output
     path derived from the record → ``partitionBy`` directory layout (also

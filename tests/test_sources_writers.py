@@ -138,3 +138,15 @@ def test_distcp_copies_bytes(spark, tmp_path):
     assert n == 2
     assert (dst / "a.bin").read_bytes() == (src / "a.bin").read_bytes()
     assert (dst / "b.bin").read_bytes() == (src / "b.bin").read_bytes()
+
+
+def test_orc_roundtrip_and_sniff(spark, tmp_path):
+    from hadoop_common_spark.sources.readers import read_auto
+    from hadoop_common_spark.sources.writers import write_orc
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    path = str(tmp_path / "orc_out")
+    write_orc(df, path)
+    back = read_auto(spark, path)  # sniffed from the ORC magic bytes
+    assert back.count() == 100
+    assert {(r.id, r.v) for r in back.collect()} == {(i, 2 * i) for i in range(100)}
