@@ -82,3 +82,30 @@ def reduce_groups(
     else:
         apply_fn = fn
     return df.groupBy(*key_cols).applyInPandas(apply_fn, output_schema)
+
+
+def tokenize_udtf():
+    """Python UDTF (Spark ≥3.5 table function): the literal Mapper.map
+    1→0..N surface (MRC/mapreduce/Mapper.java:122 — one input row, any
+    number of context.write calls) as a first-class lateral table
+    function. Row-at-a-time Python — the API-parity demo; the hot path
+    for this exact computation is explode(split(...)) (see
+    textstats.tokenize), which stays JVM-side.
+
+    Returns the decorated class; register with
+    ``spark.udtf.register("tokenize_udtf", tokenize_udtf())``.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, token: string")
+    class Tokenize:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF protocol
+            if text is None:
+                return
+            pos = 0
+            for tok in text.split(" "):
+                if tok:
+                    yield (pos, tok)
+                    pos += 1
+
+    return Tokenize

@@ -85,3 +85,20 @@ def test_stateful_running_totals(spark, sf_dir):
     for uid in want:
         assert got[uid][0] == want[uid][0]
         assert abs(got[uid][1] - want[uid][1]) < 1e-6
+
+
+def test_tokenize_udtf_lateral_join(spark):
+    """UDTF = Mapper's 1→N contract as a lateral table function; result
+    must equal the JVM-side posexplode(split(...)) hot path."""
+    from hadoop_common_spark.operators.udaf import tokenize_udtf
+
+    spark.udtf.register("tok_udtf", tokenize_udtf())
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "x  y"), (2, None)], ["doc_id", "text"]
+    )
+    df.createOrReplaceTempView("_tok_docs")
+    got = spark.sql(
+        "SELECT doc_id, pos, token FROM _tok_docs, LATERAL tok_udtf(text)"
+    )
+    rows = {(r.doc_id, r.pos, r.token) for r in got.collect()}
+    assert rows == {(0, 0, "a"), (0, 1, "b"), (0, 2, "c"), (1, 0, "x"), (1, 1, "y")}
