@@ -55,3 +55,33 @@ def salted_agg(
             raise ValueError(f"non-algebraic merge {how!r} — cannot salt")
         finals.append(merge[how](f"_p_{name}").alias(name))
     return part.groupBy(*key_cols).agg(*finals)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    n_salts: int = 8,
+    salt_col: str = "_salt",
+) -> DataFrame:
+    """Skew-proof equi-join for a hot-keyed left side when the right side
+    is too big to broadcast: salt the left, replicate the right n_salts×
+    (explode over the salt domain), join on (keys + salt).
+
+    Trades right-side shuffle volume ×n_salts for evenly-spread left
+    partitions — the explicit fallback when AQE's runtime skew split
+    (the first resort, on by default) can't help, e.g. a single key
+    holding >1 task's worth of rows on BOTH sides. Only inner/left joins
+    are salt-safe (each left row carries exactly one salt; right rows
+    exist for every salt, so no match is lost or duplicated).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    lt = left.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    )
+    rt = right.withColumn(
+        salt_col, F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(n_salts)]))
+    )
+    return lt.join(rt, on + [salt_col], how).drop(salt_col)

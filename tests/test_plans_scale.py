@@ -191,3 +191,28 @@ def test_token_shards_window_partitions_by_lang(spark, sf_dir, registry):
     df = registry["corpus_token_shards"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "hashpartitioning(lang" in plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted join: identical rows to the direct join; the right side is
+    replicated via explode, the left shuffles on (key, salt)."""
+    from hadoop_common_spark.operators.skew import salted_join
+
+    hot = spark.range(20000).select(F.lit("HOT").alias("k"), F.col("id").alias("v"))
+    cold = spark.range(500).select(F.concat(F.lit("c"), F.col("id")).alias("k"), F.col("id").alias("v"))
+    left = hot.unionByName(cold)
+    right = spark.range(600).select(
+        F.when(F.col("id") == 0, "HOT").otherwise(F.concat(F.lit("c"), F.col("id"))).alias("k"),
+        (F.col("id") * 7).alias("w"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = salted_join(left, right, ["k"], n_salts=4)
+        want = left.join(right, "k")
+        assert sorted((r.k, r.v, r.w) for r in got.collect()) == sorted(
+            (r.k, r.v, r.w) for r in want.collect()
+        )
+        plan = plan_of(got)
+        assert "Explode" in plan or "Generate" in plan  # right side replicated
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
