@@ -146,3 +146,43 @@ def window_user_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double").alias("running_value"),
     )
+
+
+_ANALYTICS_ORACLE = """
+SELECT user_id, event_id,
+       lag(value)  OVER w_ts AS prev_value,
+       lead(value) OVER w_ts AS next_value,
+       dense_rank()   OVER w_val AS value_rank,
+       ntile(4)       OVER w_ts  AS quartile,
+       percent_rank() OVER w_val AS pct_rank
+FROM events
+WHERE user_id < 50
+WINDOW w_ts  AS (PARTITION BY user_id ORDER BY ts, event_id),
+       w_val AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+"""
+
+
+@query("window_user_analytics", oracle=_ANALYTICS_ORACLE)
+def window_user_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-function family (lag/lead/dense_rank/ntile/
+    percent_rank) over per-user event history — the reference's
+    secondary-sort idiom (composite key + grouping comparator,
+    EX/SecondarySort.java:103) generalized to ranked/offset access.
+    Both orderings share ONE exchange on user_id (two in-partition
+    sorts); every ordering is tie-broken by event_id so ranks are
+    deterministic."""
+    w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_val = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        spark.table("events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            "event_id",
+            F.lag("value").over(w_ts).alias("prev_value"),
+            F.lead("value").over(w_ts).alias("next_value"),
+            F.dense_rank().over(w_val).alias("value_rank"),
+            F.ntile(4).over(w_ts).alias("quartile"),
+            F.percent_rank().over(w_val).alias("pct_rank"),
+        )
+    )
