@@ -86,3 +86,30 @@ def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((user_id), (event_type))
         """
     )
+
+
+_PIVOT_ORACLE = """
+SELECT o_orderstatus,
+       SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS "1-URGENT",
+       SUM(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 ELSE 0 END) AS "2-HIGH",
+       SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS "3-MEDIUM",
+       SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS "4-NOT SPECIFIED",
+       SUM(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 ELSE 0 END) AS "5-LOW"
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("pivot_status_priority", oracle=_PIVOT_ORACLE)
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot (long→wide): order counts by status × priority. The
+    explicit value list keeps the plan a single pass (no extra distinct
+    job to discover columns) — at scale, always pass pivot values."""
+    pr = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (
+        spark.table("orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", pr)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )

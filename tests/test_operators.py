@@ -119,3 +119,23 @@ class TestAggregateJob:
         }
         a = out["a"]
         assert (a.s_sum, a.n_max, a.n_min, a.s_max, a.uniq, a.uniq_cap1) == (7, 3, 1, "y", 2, 1)
+
+
+def test_approx_sketches_bounded_error(spark, tables):
+    """The 100 TB scale path for UniqValueCount / ValueHistogram medians:
+    approx_count_distinct (HLL++) and percentile_approx must land within
+    their documented error bounds of the exact answers — at scale these
+    replace exact distinct counts and exact percentiles (the exact forms
+    stay the oracle-checked default at test scale)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.table("events")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.expr("percentile(value, 0.5)").alias("exact_med"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_med"),
+    ).first()
+    assert abs(row.approx_users - row.exact_users) <= 0.06 * row.exact_users
+    span = ev.agg((F.max("value") - F.min("value")).alias("s")).first().s
+    assert abs(row.approx_med - row.exact_med) <= 0.05 * span
