@@ -139,3 +139,19 @@ def test_approx_sketches_bounded_error(spark, tables):
     assert abs(row.approx_users - row.exact_users) <= 0.06 * row.exact_users
     span = ev.agg((F.max("value") - F.min("value")).alias("s")).first().s
     assert abs(row.approx_med - row.exact_med) <= 0.05 * span
+
+
+def test_cli_lists_all_registry_queries(capsys):
+    """ExampleDriver analog: `cli list` names every registered query."""
+    from hadoop_common_spark.cli import main
+    from hadoop_common_spark.queries import load_all
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out.split()
+    assert set(out) == set(load_all())
+
+
+def test_cli_rejects_unknown_query(capsys):
+    from hadoop_common_spark.cli import main
+
+    assert main(["run", "no_such_query"]) == 2
