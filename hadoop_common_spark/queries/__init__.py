@@ -45,6 +45,10 @@ def query(name: str, oracle: str | None = None):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        if name in REGISTRY and REGISTRY[name].fn.__name__ != fn.__name__:
+            # same-name re-registration from a module reload is fine;
+            # two DIFFERENT functions claiming one name is a bug
+            raise ValueError(f"duplicate query name {name!r}")
         REGISTRY[name] = QueryDef(name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "")
         return wrapped
 
