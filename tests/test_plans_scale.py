@@ -216,3 +216,12 @@ def test_salted_join_matches_plain_join(spark):
         assert "Explode" in plan or "Generate" in plan  # right side replicated
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_user_analytics_single_exchange(spark, sf_dir, registry):
+    """Two window orderings over the same partition key must share one
+    exchange — the second ordering is an in-partition sort only."""
+    df = registry["window_user_analytics"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") >= 2
