@@ -80,3 +80,37 @@ def write_noop(df: DataFrame) -> int:
     """NullOutputFormat: execute the plan, discard the rows (returns the
     row count as the observable side effect)."""
     return df.count()
+
+
+def compact(
+    spark,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into files of
+    ~target size. The modern replacement for Hadoop Archives (HAR,
+    TOOLS/hadoop-archives/.../HadoopArchives.java) — instead of wrapping
+    small files in an index layer, rewrite them into properly-sized ones
+    (readers already bin-pack small files per task; compaction fixes the
+    listing/open cost permanently).
+
+    Writes to ``out_path`` (never in place — the swap is the caller's
+    atomic rename/catalog update). Returns the number of output files.
+    File count = ceil(input_bytes / target); partition sizing uses the
+    actual on-disk bytes from the file index, not a row-count guess.
+    """
+    import math
+
+    df = spark.read.parquet(path)
+    jvm_files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(path)
+        .selectExpr("sum(length) AS total")
+        .first()
+    )
+    total = jvm_files.total or 0
+    n = max(1, math.ceil(total / target_file_bytes))
+    df.repartition(n).write.mode("overwrite").parquet(out_path)
+    return n

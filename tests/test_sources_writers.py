@@ -150,3 +150,19 @@ def test_orc_roundtrip_and_sniff(spark, tmp_path):
     back = read_auto(spark, path)  # sniffed from the ORC magic bytes
     assert back.count() == 100
     assert {(r.id, r.v) for r in back.collect()} == {(i, 2 * i) for i in range(100)}
+
+
+def test_compact_small_files(spark, tmp_path):
+    from hadoop_common_spark.sources.writers import compact
+
+    src = str(tmp_path / "small")
+    # 40 tiny part-files
+    spark.range(4000).repartition(40).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 40
+    out = str(tmp_path / "compacted")
+    n = compact(spark, src, out, target_file_bytes=10 * 1024 * 1024)
+    assert n == 1  # tiny data -> one right-sized file
+    assert len(glob.glob(out + "/*.parquet")) == 1
+    assert spark.read.parquet(out).count() == 4000
