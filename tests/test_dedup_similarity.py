@@ -178,3 +178,29 @@ def test_resize_fits_box_and_preserves_aspect(spark):
         assert 1 <= r.out_w <= 256 and 1 <= r.out_h <= 256
         # the binding dimension fills the box (floor can undershoot by <1px)
         assert max(r.out_w, r.out_h) >= 255 or (r.width < 256 and r.height < 256)
+
+
+def test_ivf_index_partitioned_persistence_prunes(spark, tmp_path):
+    """The inverted file persisted partitionBy(cell): probing one cell
+    reads one partition directory (scan-time pruning), and the reloaded
+    index answers searches identically to the in-memory one."""
+    from hadoop_common_spark.operators.ivf import ivf_index, ivf_search, kmeans_fit
+    from hadoop_common_spark.sources.writers import write_partitioned
+
+    vecs = _clustered_vectors(spark)
+    cents = kmeans_fit(vecs, "embedding", "vec_id", nlist=4, iters=2)
+    idx = ivf_index(vecs, cents, "embedding")
+    path = str(tmp_path / "ivf_index")
+    write_partitioned(idx, path, ["cell"])
+
+    reloaded = spark.read.parquet(path)
+    one_cell = reloaded.filter(F.col("cell") == 0)
+    plan = one_cell._jdf.queryExecution().executedPlan().toString()
+    scan = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    assert "PartitionFilters" in scan and "cell" in scan
+
+    q = vecs.filter(F.col("vec_id") < 4)
+    mem = ivf_search(q, idx, cents, "vec_id", "embedding", k=3, nprobe=4)
+    disk = ivf_search(q, reloaded, cents, "vec_id", "embedding", k=3, nprobe=4)
+    as_set = lambda df: {(r.query_id, r.rank, r.neighbor_id) for r in df.collect()}  # noqa: E731
+    assert as_set(mem) == as_set(disk)
