@@ -540,3 +540,33 @@ def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
     )
     return j.filter(bracket).agg(dsum(REVENUE()).alias("revenue"))
+
+
+@query(
+    "supplier_diversity_by_part",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 5, 9, 13)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def supplier_diversity_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count over an excluded-supplier NOT IN (TPC-H Q16 shape):
+    the NOT IN plans as a null-aware anti join against the (tiny,
+    broadcast) negative supplier list; COUNT(DISTINCT) expands to a
+    two-phase aggregate — both safe at any fact size."""
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 5, 9, 13)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        """
+    )
