@@ -570,3 +570,37 @@ def supplier_diversity_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p_brand, p_type, p_size
         """
     )
+
+
+@query(
+    "bulk_suppliers_of_brand",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#2'
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(30,6))) > 100
+    )
+    """,
+)
+def bulk_suppliers_of_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN over an aggregated-with-HAVING subquery (TPC-H Q20 shape):
+    the qualifying-supplier set reduces on the fact first (brand filter
+    pushed to the part scan, partial-agg before the HAVING), then the IN
+    plans as a semi join — supplier rows never multiply."""
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_brand = 'Brand#2'
+          GROUP BY l_suppkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(30,6))) > 100
+        )
+        """
+    )
