@@ -1,0 +1,95 @@
+"""Distributed connected components over an edge DataFrame.
+
+The missing last step of every near-duplicate pipeline: MinHash/SimHash/
+Jaccard emit *pairs*, but deduplicating a corpus needs *clusters* —
+duplicate groups are transitive (A~B, B~C => {A,B,C} even if A!~C), and
+the keep-one decision is per cluster, not per pair.
+
+The reference engine has no graph operator; its closest artifact is the
+chained-jobs idiom (JobControl, MRC/mapreduce/lib/jobcontrol/
+JobControl.java:57) that this loop generalizes: each iteration is one
+declarative Spark job, the driver only orchestrates.
+
+Algorithm: hash-min label propagation with pointer jumping.
+  - neighbor-min: label(u) <- min(label(u), min_{v in N(u)} label(v))
+  - pointer jump: label(u) <- label(label(u))  (path compression)
+The jump step gives the O(log n)-round convergence of the small-star/
+large-star family (Kiveris et al., "Connected Components in MapReduce
+and Beyond", SoCC'14) instead of O(diameter) for plain propagation —
+the difference between 5 and 500 shuffles on a chain-shaped cluster.
+
+Scale notes (100 TB): state per round is one (node, label) table —
+linear in nodes, never materializes components; every step is an
+equi-join Catalyst plans as a shuffle (or broadcast, if the frontier
+collapses) hash join; `localCheckpoint` truncates the growing lineage so
+round N doesn't replay rounds 1..N-1; convergence is one count() action
+per round on the already-computed diff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Return (node, component) where component = min node id reachable.
+
+    ``edges`` is undirected input (each pair listed once is enough).
+    Nodes appearing only as isolated endpoints still get a row; callers
+    wanting singleton nodes not present in any edge should left-join the
+    result onto their full node set (see queries/dedup.py).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    sym = sym.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # neighbor-min: smallest label in the closed neighborhood
+        nbr = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+        )
+        # pointer jump: compress label -> label(label)
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            stepped.join(parent, stepped["label"] == parent["p_node"], "left")
+            .select(
+                "node",
+                F.coalesce("p_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("a")
+            .join(labels.alias("b"), "node")
+            .filter(F.col("a.label") != F.col("b.label"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+
+    return labels.select(F.col("node"), F.col("label").alias("component"))

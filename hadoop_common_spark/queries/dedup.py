@@ -37,8 +37,7 @@ _BAND_CASES = "\n      ".join(
     for b in range(BANDS)
 )
 
-_MINHASH_ORACLE = f"""
-WITH base AS (
+_MINHASH_CTES = f"""base AS (
   SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
 ),
 sh AS (
@@ -63,14 +62,19 @@ cand AS (
 ),
 shs AS (
   SELECT doc_id, {_SHINGLES} AS sset FROM base
-)
-SELECT id_a, id_b, jaccard FROM (
+)"""
+
+_JACCARD_SELECT = """SELECT id_a, id_b, jaccard FROM (
   SELECT id_a, id_b,
          CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE) /
          (CAST(len(x.sset) + len(y.sset) AS DOUBLE)
           - CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE)) AS jaccard
   FROM cand JOIN shs x ON cand.id_a = x.doc_id JOIN shs y ON cand.id_b = y.doc_id
-) WHERE jaccard >= 0.5
+) WHERE jaccard >= 0.5"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_CTES}
+{_JACCARD_SELECT}
 """
 
 

@@ -127,3 +127,87 @@ def brands_with_many_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT p_brand, COUNT(*) AS n_parts FROM part GROUP BY p_brand HAVING COUNT(*) > 50"
     )
+
+
+_IMPORTANT_PARTS_SQL = """
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6)))
+         > 0.0002 * (SELECT SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) FROM lineitem)
+"""
+
+
+@query("important_parts_share", oracle=_IMPORTANT_PARTS_SQL)
+def important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING against a global scalar subquery (TPC-H Q11 shape): parts
+    whose total traded value exceeds a fraction of the whole market.
+    The global sum computes once (one extra pass over the already-grouped
+    partials, not over the fact); the HAVING compares decimal-exact sums
+    so the cut is engine-independent."""
+    return spark.sql(_IMPORTANT_PARTS_SQL)
+
+
+_WAITING_SUPPLIERS_SQL = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders     ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""
+
+
+@query("waiting_suppliers", oracle=_WAITING_SUPPLIERS_SQL)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-correlated EXISTS + NOT EXISTS on the same fact (TPC-H Q21
+    shape, 'returned' standing in for 'late' — the synthetic lineitem has
+    no receipt/commit dates): suppliers who were the sole returning
+    supplier on a finished multi-supplier order. Catalyst decorrelates
+    both predicates into a semi and an anti join on l_orderkey; all three
+    lineitem scans share the parquet read, and the top-20 plans as
+    TakeOrderedAndProject."""
+    return spark.sql(_WAITING_SUPPLIERS_SQL)
+
+
+_MIN_COST_SUPPLIER_SQL = """
+    SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, s_acctbal,
+           l_extendedprice / l_quantity AS unit_cost
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size BETWEEN 1 AND 3
+      AND l_extendedprice / l_quantity = (
+        SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+    LIMIT 100
+"""
+
+
+@query("min_cost_supplier", oracle=_MIN_COST_SUPPLIER_SQL)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated MIN + join-back (TPC-H Q2 shape, unit price from
+    lineitem standing in for ps_supplycost): the supplier(s) offering
+    each small part at its minimum unit cost. Decorrelates to a per-part
+    MIN aggregate joined back to the fact — the min computes over the
+    full fact while the outer side is pruned by the part-size filter.
+    Unit-cost equality compares identically in both engines (same IEEE
+    division on the same doubles)."""
+    return spark.sql(_MIN_COST_SUPPLIER_SQL)

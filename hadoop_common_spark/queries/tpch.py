@@ -346,6 +346,93 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "market_share_by_year",
+    oracle=f"""
+    SELECT o_year,
+           {dsum_sql("CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END")}
+             / {dsum_sql('volume')} AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             {REVENUE_SQL} AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'ASIA'
+    )
+    GROUP BY o_year
+    """,
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-share ratio per year (TPC-H Q8 shape): NATION_1 suppliers'
+    share of ASIA-customer revenue, one conditional + one total aggregate
+    in a single pass over a 6-way join. Both nation dims and region are
+    broadcast; the year extraction stays JVM-side (`F.year`)."""
+    cn = spark.table("nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    sn = spark.table("nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = spark.table("region").filter(F.col("r_name") == "ASIA")
+    j = (
+        spark.table("lineitem")
+        .join(spark.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(spark.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_rkey") == F.col("r_regionkey"))
+        .join(spark.table("supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            REVENUE().alias("volume"),
+            "supp_nation",
+        )
+    )
+    nat1 = dsum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(F.lit(0)))
+    return j.groupBy("o_year").agg((nat1 / dsum("volume")).alias("mkt_share"))
+
+
+@query(
+    "nation_profit_by_year",
+    oracle=f"""
+    SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+           {dsum_sql("l_extendedprice * (1 - l_discount) - l_quantity * p_retailprice * 0.1")} AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    """,
+)
+def nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit attribution by supplier nation and order year (TPC-H Q9
+    shape, supply cost adapted to 10% of retail price — the synthetic
+    schema has no partsupp). The part-name LIKE filter prunes the fact
+    via the broadcast part join before the wide orders join."""
+    part = spark.table("part").filter(F.col("p_name").like("%red%"))
+    profit = REVENUE() - F.col("l_quantity") * F.col("p_retailprice") * F.lit(0.1)
+    return (
+        spark.table("lineitem")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(spark.table("supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(spark.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(spark.table("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("profit"))
+    )
+
+
+@query(
     "top_supplier_by_revenue",
     oracle=f"""
     WITH sup_rev AS (
