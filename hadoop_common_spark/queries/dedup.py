@@ -153,3 +153,56 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         spark.table("documents"), "doc_id", "text", "lang", threshold=0.05
     )
+
+
+_CC_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+pairs AS (
+  {_JACCARD_SELECT}
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+lbl AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+       COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
+"""
+
+
+@query("dedup_cluster_resolution", oracle=_CC_ORACLE)
+def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER resolution: MinHash-LSH pairs → connected
+    components → per-cluster canonical doc (min doc_id). Duplicate groups
+    are transitive, so pair output alone can't drive a keep/drop decision;
+    this is the full corpus-dedup contract: every document labeled with
+    its cluster and whether it survives. Components via hash-min label
+    propagation + pointer jumping (O(log n) rounds — operators/graph.py);
+    the oracle computes the same fixpoint with a recursive CTE."""
+    from hadoop_common_spark.operators.graph import connected_components
+
+    docs = spark.table("documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    cluster = F.coalesce(F.col("component"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(cc, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster_id"),
+            (cluster == F.col("doc_id")).alias("is_canonical"),
+        )
+    )

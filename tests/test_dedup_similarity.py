@@ -204,3 +204,29 @@ def test_ivf_index_partitioned_persistence_prunes(spark, tmp_path):
     disk = ivf_search(q, reloaded, cents, "vec_id", "embedding", k=3, nprobe=4)
     as_set = lambda df: {(r.query_id, r.rank, r.neighbor_id) for r in df.collect()}  # noqa: E731
     assert as_set(mem) == as_set(disk)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 12-node chain (worst case for plain propagation — needs pointer
+    jumping), one triangle, one isolated pair; min node id labels each."""
+    from hadoop_common_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 112)]
+    triangle = [(7, 8), (8, 9), (7, 9)]
+    pair = [(1, 2)]
+    edges = spark.createDataFrame(chain + triangle + pair, ["src", "dst"])
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    for n in range(100, 113):
+        assert got[n] == 100
+    for n in (7, 8, 9):
+        assert got[n] == 7
+    assert got[1] == 1 and got[2] == 1
+
+
+def test_connected_components_unordered_edges(spark):
+    """Edge direction must not matter (dst < src)."""
+    from hadoop_common_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(5, 3), (3, 9), (20, 10)], ["src", "dst"])
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {3: 3, 5: 3, 9: 3, 10: 10, 20: 10}
