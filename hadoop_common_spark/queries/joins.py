@@ -94,7 +94,9 @@ def join_override(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_semi_anti",
     oracle="""
-    SELECT c_mktsegment, SUM(has_order) AS with_orders, SUM(1 - has_order) AS without_orders
+    SELECT c_mktsegment,
+           CAST(SUM(has_order) AS BIGINT) AS with_orders,
+           CAST(SUM(1 - has_order) AS BIGINT) AS without_orders
     FROM (
       SELECT c_mktsegment,
              CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
