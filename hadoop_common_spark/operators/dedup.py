@@ -227,6 +227,67 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
     )
 
 
+def simhash_pairs(
+    fp_df: DataFrame,
+    id_col: str,
+    sim_col: str = "simhash",
+    bits: int = 60,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Banded Hamming-distance join over SimHash fingerprints — the
+    pairing step that completes SimHash dedup end-to-end (cheap-sketch
+    counterpart of the MinHash band join; reference membership analog
+    HC/util/bloom/BloomFilter.java:83).
+
+    Pigeonhole banding: split the ``bits``-bit fingerprint into
+    ``max_distance + 1`` equal chunks. Two fingerprints within Hamming
+    distance ``max_distance`` differ in at most ``max_distance`` bits, so
+    at least one chunk is bit-identical — candidates are exactly the
+    pairs sharing a (chunk_idx, chunk_value), found by one equi-join (no
+    all-pairs anywhere). Verify = ``bit_count(a XOR b) <= d`` on the
+    joined candidates. Returns (id_a, id_b, hamming), id_a < id_b.
+
+    Scale shape: one explode (×chunks), one hash-partitioned self-join on
+    (chunk, value), one distinct, two broadcast-or-shuffle fingerprint
+    lookups. Chunk-value buckets are the skew knob: 60/4 = 15-bit chunks
+    give 32Ki buckets per band; raise ``bits``/lower ``max_distance`` if
+    a bucket explodes (same knob as MinHash band size)."""
+    chunks = max_distance + 1
+    if bits % chunks:
+        raise ValueError(f"bits={bits} must divide into {chunks} equal chunks")
+    width = bits // chunks
+    mask = (1 << width) - 1
+    fp = fp_df.select(F.col(id_col), F.col(sim_col).cast("bigint").alias("_fp"))
+    chunk_structs = [
+        F.struct(
+            F.lit(k).alias("chunk"),
+            F.shiftright(F.col("_fp"), k * width).bitwiseAND(F.lit(mask)).alias("chunk_val"),
+        )
+        for k in range(chunks)
+    ]
+    ck = fp.select(
+        F.col(id_col), F.explode(F.array(*chunk_structs)).alias("_c")
+    ).select(id_col, F.col("_c.chunk").alias("chunk"), F.col("_c.chunk_val").alias("chunk_val"))
+    a = ck.select(F.col(id_col).alias("id_a"), "chunk", "chunk_val")
+    b = ck.select(F.col(id_col).alias("id_b"), "chunk", "chunk_val")
+    cand = (
+        a.join(b, ["chunk", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = fp.select(F.col(id_col).alias("id_a"), F.col("_fp").alias("_fa"))
+    fb = fp.select(F.col(id_col).alias("id_b"), F.col("_fp").alias("_fb"))
+    hamming = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).cast("bigint")
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -131,6 +131,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(spark.table("documents"), "doc_id", "text", bits=60)
 
 
+_SIMHASH_FP_CTE = """
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)
+  WHERE tok != ''
+),
+votes AS (
+  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, (SELECT unnest(generate_series(0, 59)) AS j) bits
+  GROUP BY doc_id, j
+),
+fp AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)"""
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH {_SIMHASH_FP_CTE},
+chunks AS (
+  SELECT doc_id, k.k, (simhash >> (15 * k.k)) & 32767 AS cv
+  FROM fp, (SELECT unnest(generate_series(0, 3)) AS k) k
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM chunks a JOIN chunks b
+    ON a.k = b.k AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b,
+         CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+  FROM cand JOIN fp x ON cand.id_a = x.doc_id JOIN fp y ON cand.id_b = y.doc_id
+) WHERE hamming <= 3
+"""
+
+
+@query("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS: 60-bit fingerprints → 4×15-bit
+    pigeonhole chunks (distance ≤3 guarantees one identical chunk) →
+    chunk equi-join candidates → popcount(XOR) ≤ 3 verify. Completes the
+    SimHash tier into an end-to-end dedup (candidate recall is exact, not
+    probabilistic, for the given distance bound)."""
+    from hadoop_common_spark.operators.dedup import simhash_pairs
+
+    fp = simhash(spark.table("documents"), "doc_id", "text", bits=60)
+    return simhash_pairs(fp, "doc_id", "simhash", bits=60, max_distance=3)
+
+
 _NGRAM_ORACLE = f"""
 WITH shs AS (
   SELECT lang, doc_id, {_SHINGLES} AS sset

@@ -9,6 +9,7 @@ from hadoop_common_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_pairs,
 )
 from hadoop_common_spark.operators.multimodal import as_media_table, decode_image
 from hadoop_common_spark.operators.similarity import cosine, cosine_topk_bruteforce
@@ -51,6 +52,36 @@ def test_simhash_identical_docs_equal_fingerprints(spark):
     # near-dup has small hamming distance; unrelated doc has large
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
     assert ham(fps[0], fps[2]) < ham(fps[0], fps[3])
+
+
+def test_simhash_pairs_pigeonhole_guarantee(spark):
+    """Any pair within max_distance MUST be found (candidate recall is
+    exact by pigeonhole, not probabilistic) and hamming is the true
+    popcount; pairs beyond the bound never appear."""
+    # Fingerprints crafted directly: distances 0-60 from a base value.
+    base = 0x0ABC_DEF0_1234_567  # < 2^60
+    flip = lambda v, *bits: v ^ sum(1 << b for b in bits)  # noqa: E731
+    fp = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),  # distance 0
+            (2, flip(base, 3)),  # distance 1
+            (3, flip(base, 3, 17, 44)),  # distance 3 (spread over 3 chunks)
+            (4, flip(base, 0, 15, 30, 45)),  # distance 4: one flip per chunk -> excluded
+            (5, (1 << 60) - 1 - base),  # distance 60
+        ],
+        ["doc_id", "simhash"],
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(fp, "doc_id", max_distance=3).collect()
+    }
+    assert got[(0, 1)] == 0 and got[(1, 2)] == 1 and got[(0, 3)] == 3
+    assert (0, 4) not in got and not any(5 in p for p in got)
+    # end-to-end over text docs: exact dup pair surfaces at distance 0
+    fps = simhash(_docs(spark), "doc_id", "text")
+    e2e = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(fps, "doc_id", max_distance=3).collect()}
+    assert e2e[(0, 1)] == 0
 
 
 def test_ngram_jaccard_blocked(spark):
