@@ -69,20 +69,25 @@ def kmeans_fit(
         (F.row_number().over(Window.orderBy("_r")) - 1).alias("cell"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
     )
-    dim_row = vectors.select(F.size(vec_col).alias("d")).first()
-    dim = dim_row.d
     for _ in range(iters):
+        # Update step via posexplode → groupBy(cell, dim-index) mean →
+        # array re-assembly. The aggregate is 3 expressions wide at ANY
+        # dimensionality — the unrolled alternative (one sum column per
+        # dimension) is a thousands-of-column aggregate and a codegen
+        # blow-up at real embedding dims (768–4096). Rows fan out ×dim,
+        # but map-side partial aggregation collapses them to
+        # nlist×dim groups before the shuffle.
         assigned = _assign(vectors, centroids, vec_col)
-        sums = assigned.groupBy("cell").agg(
-            *[
-                F.sum(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"s{i}")
-                for i in range(dim)
-            ],
-            F.count(F.lit(1)).alias("n"),
-        )
-        centroids = sums.select(
+        per_dim = assigned.select(
             "cell",
-            F.array(*[(F.col(f"s{i}") / F.col("n")) for i in range(dim)]).alias("centroid"),
+            F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+                "_i", "_x"
+            ),
+        ).groupBy("cell", "_i").agg(F.avg("_x").alias("_m"))
+        centroids = (
+            per_dim.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("_i", "_m"))).alias("_s"))
+            .select("cell", F.transform(F.col("_s"), lambda s: s["_m"]).alias("centroid"))
         )
     # nlist tiny rows, consumed by both the index assign and the search-side
     # cell ranking — materialize once instead of re-running Lloyd's per use
@@ -103,6 +108,7 @@ def ivf_search(
     vec_col: str,
     k: int = 5,
     nprobe: int = 4,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Top-k cosine neighbors per query, probing nprobe cells.
 
@@ -111,6 +117,13 @@ def ivf_search(
     computed once per side BEFORE the candidate join (the per-pair work
     is one dot product), and with nprobe == nlist the result is exactly
     brute-force top-k — the oracle check for the plumbing.
+
+    ``broadcast_probes=True`` (default) broadcasts the probe side —
+    right for bounded query sets. For query sets beyond the broadcast
+    threshold set it False: the candidate join becomes a shuffle
+    equi-join on the cell id, same output. Cell cardinality is only
+    ``nlist``, so size ``nlist`` ≫ executor count (or salt the cell key)
+    to keep shuffle parallelism at 100-TB index sizes.
     """
     cents = centroids.agg(
         F.array_sort(F.collect_list(F.struct(F.col("cell"), F.col("centroid")))).alias("_cents")
@@ -145,7 +158,8 @@ def ivf_search(
         dd.alias("d_vec"),
         F.sqrt(dot_exact(dd, dd)).alias("d_norm"),
     )
-    cand = inv.join(F.broadcast(probes), "cell").filter(
+    probe_side = F.broadcast(probes) if broadcast_probes else probes
+    cand = inv.join(probe_side, "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = cand.withColumn(

@@ -162,6 +162,25 @@ def test_ivf_exhaustive_equals_bruteforce(spark):
     assert got == want
 
 
+def test_ivf_shuffle_join_variant_equals_broadcast(spark):
+    """broadcast_probes=False (query sets beyond the broadcast
+    threshold) must produce the identical result via a shuffle equi-join
+    on cell, and its plan must contain no broadcast of the probe side."""
+    from hadoop_common_spark.operators.ivf import ivf_index, ivf_search, kmeans_fit
+
+    vecs = _clustered_vectors(spark)
+    cents = kmeans_fit(vecs, "embedding", "vec_id", nlist=4, iters=2)
+    idx = ivf_index(vecs, cents, "embedding")
+    q = vecs.filter(F.col("vec_id") < 6)
+    bcast = ivf_search(q, idx, cents, "vec_id", "embedding", k=3, nprobe=2)
+    shuf = ivf_search(
+        q, idx, cents, "vec_id", "embedding", k=3, nprobe=2, broadcast_probes=False
+    )
+    got_b = {(r.query_id, r.rank): r.neighbor_id for r in bcast.collect()}
+    got_s = {(r.query_id, r.rank): r.neighbor_id for r in shuf.collect()}
+    assert got_b == got_s
+
+
 def test_ivf_pruned_recall(spark):
     from hadoop_common_spark.operators.ivf import ivf_index, ivf_search, kmeans_fit
 
@@ -175,6 +194,46 @@ def test_ivf_pruned_recall(spark):
     want = {(r.query_id, r.neighbor_id) for r in bf.collect()}
     recall = len(got & want) / len(want)
     assert recall >= 0.6, f"recall@3 with nprobe=1 was {recall}"
+
+
+def test_kmeans_highdim_update_is_dim_independent(spark):
+    """At dim=512 the Lloyd's update must (a) produce the numpy-exact
+    one-step result and (b) keep the aggregate O(1) expressions wide —
+    the unrolled form would put 512 sum() columns in the plan and blow
+    codegen at real embedding dims."""
+    import hashlib
+
+    import numpy as np
+
+    from hadoop_common_spark.operators.ivf import kmeans_fit
+
+    dim, n, nlist = 512, 40, 3
+    rows = [
+        (i, [float((i * 31 + j * 7) % 11) - 5.0 for j in range(dim)])
+        for i in range(n)
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_fit(vecs, "embedding", "vec_id", nlist=nlist, iters=1)
+    plan = cents._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("sum(") + plan.count("avg(") < 10, "dim-unrolled aggregate leaked back"
+    # numpy replay: same deterministic init (nlist smallest md5(id)), one
+    # assign + mean step
+    data = {i: np.array(v) for i, v in rows}
+    init_ids = sorted(data, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:nlist]
+    init_ids.sort(key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    init = [data[i] for i in init_ids]
+    assign = {
+        i: min(range(nlist), key=lambda c: float(((v - init[c]) ** 2).sum()))
+        for i, v in data.items()
+    }
+    want = {
+        c: np.mean([data[i] for i in data if assign[i] == c], axis=0)
+        for c in set(assign.values())
+    }
+    got = {r.cell: np.array(r.centroid) for r in cents.collect()}
+    assert set(got) == set(want)
+    for c in want:
+        assert np.allclose(got[c], want[c]), f"cell {c} centroid mismatch"
 
 
 def test_audio_features_fake_matches_formula(spark):
