@@ -83,17 +83,23 @@ def value_histogram(df: DataFrame, key_cols: list[str], value_col: str) -> DataF
 
     Two chained aggregations — both stay in HashAggregate; the second
     input (one row per distinct (key,value)) is already small.
-    Median is exact (reference scans the sorted count list); stddev is
-    population stddev over integer counts via exact sums.
+    Median reproduces the reference exactly: ValueHistogram.getReport
+    scans the SORTED count list and reports element [length/2]
+    (0-based → upper-middle for even lengths, NO interpolation), so the
+    median is one of the actual counts, not percentile()'s midpoint.
+    Stddev is population stddev over integer counts via exact sums.
     """
     counts = df.groupBy(*key_cols, value_col).agg(F.count(F.lit(1)).alias("_cnt"))
     n = F.count("_cnt")
     s = F.sum("_cnt")
     sq = F.sum(F.col("_cnt") * F.col("_cnt"))
+    median = F.element_at(
+        F.array_sort(F.collect_list("_cnt")), (F.floor(n / 2) + 1).cast("int")
+    )
     return counts.groupBy(*key_cols).agg(
         n.alias("n_distinct_values"),
         F.min("_cnt").alias("min_count"),
-        F.expr("percentile(_cnt, 0.5)").alias("median_count"),
+        median.alias("median_count"),
         F.max("_cnt").alias("max_count"),
         (s.cast("double") / n.cast("double")).alias("mean_count"),
         F.sqrt(

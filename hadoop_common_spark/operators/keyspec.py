@@ -53,7 +53,9 @@ class KeySpec:
         if self.end_field is None:
             key = F.concat_ws(sep, F.slice(fields, self.start_field, F.size(fields) - self.start_field + 1))
         elif self.end_field == self.start_field:
-            key = F.element_at(fields, self.start_field)
+            # try_element_at: a line with fewer fields than the spec sorts
+            # as null (unix-sort tolerance) instead of throwing under ANSI
+            key = F.try_element_at(fields, F.lit(self.start_field))
         else:
             key = F.concat_ws(
                 sep, F.slice(fields, self.start_field, self.end_field - self.start_field + 1)
@@ -61,7 +63,9 @@ class KeySpec:
         if self.start_char > 1:
             key = F.substring(key, self.start_char, 1 << 30)
         if self.numeric:
-            key = key.cast("double")
+            # try_cast: non-numeric fields sort as null, like unix sort -n
+            # treats garbage as 0-ish, rather than failing the job (ANSI)
+            key = key.try_cast("double")
         return key
 
 
@@ -90,5 +94,5 @@ def keyfield_partition(df: DataFrame, line_col: str, num_partitions: int, fields
     """KeyFieldBasedPartitioner (getPartition :85-119): shuffle on a subset
     of key fields so equal subkeys co-locate (secondary-sort setup)."""
     arr = F.split(F.col(line_col), re.escape(sep))
-    part_cols = [F.element_at(arr, i) for i in fields_]
+    part_cols = [F.try_element_at(arr, F.lit(i)) for i in fields_]
     return df.repartition(num_partitions, *part_cols)

@@ -80,7 +80,7 @@ def uniq_value_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            COUNT(*) AS n_distinct_values,
            MIN(_cnt) AS min_count,
-           CAST(quantile_cont(_cnt, 0.5) AS DOUBLE) AS median_count,
+           list_sort(list(_cnt))[COUNT(*) // 2 + 1] AS median_count,
            MAX(_cnt) AS max_count,
            (CAST(SUM(_cnt) AS DOUBLE) / CAST(COUNT(_cnt) AS DOUBLE)) AS mean_count,
            SQRT((CAST(SUM(_cnt * _cnt) AS DOUBLE)
@@ -97,7 +97,8 @@ def uniq_value_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ValueHistogram report (ValueHistogram.java:83-120): per user, the
     distribution of event_type frequencies — #distinct,
-    min/median/max/mean/stddev of the counts. Exact median."""
+    min/median/max/mean/stddev of the counts. Median is the reference's
+    sorted-counts[length/2] element (no interpolation)."""
     return value_histogram(spark.table("events"), ["user_id"], "event_type")
 
 

@@ -46,8 +46,12 @@ def read_kv_text(
 ) -> DataFrame:
     """KeyValueTextInputFormat (:63): split each line at the FIRST
     separator; missing separator → empty value (reference behavior)."""
+    import re as _re
+
     df = spark.read.text(path)
-    parts = F.split(F.col("value"), sep, 2)
+    # literal-byte separator like the reference (F.split takes a regex,
+    # so '|' or '.' unescaped would split every character)
+    parts = F.split(F.col("value"), _re.escape(sep), 2)
     return df.select(
         F.element_at(parts, 1).alias(key_col),
         # try_element_at: lines without a separator yield a 1-element array
@@ -122,17 +126,35 @@ def read_xml_records(
     import re as _re
 
     df = spark.read.text(path, wholetext=True)
-    pat = _re.escape(begin) + r"(.*?)" + _re.escape(end)
+    # (?s): records normally span lines; without DOTALL '(.*?)' silently
+    # drops every multi-line record
+    pat = "(?s)" + _re.escape(begin) + r"(.*?)" + _re.escape(end)
     return df.select(
         F.explode(F.regexp_extract_all(F.col("value"), F.lit(pat), F.lit(1))).alias(record_col)
     )
 
 
+def read_sequence_file(
+    spark: SparkSession, path: str, key_col: str = "key", value_col: str = "value"
+) -> DataFrame:
+    """SequenceFile read bridge (HC/io/SequenceFile.java:219-225 'SEQ'
+    magic container; MRC/mapreduce/lib/input/SequenceFileInputFormat.java:73).
+
+    Spark has no DataFrame SequenceFile source, so a user migrating real
+    Hadoop data lands here: the RDD API's ``sequenceFile`` (Writable →
+    Python converters, split-aware via the sync markers) does the read,
+    lifted to a DataFrame immediately — everything downstream stays
+    relational. Schema is inferred from the converted key/value types."""
+    rdd = spark.sparkContext.sequenceFile(path)
+    return spark.createDataFrame(rdd, schema=[key_col, value_col])
+
+
 def read_auto(spark: SparkSession, path: str, **options: str) -> DataFrame:
     """AutoInputFormat (ST/AutoInputFormat.java): sniff the format and
     dispatch. The reference distinguishes SequenceFile vs text by magic
-    bytes; we sniff Parquet ('PAR1'), JSON ('{'/'['), else delimited/text
-    — from the first file's header only (one tiny driver-side read)."""
+    bytes; we sniff SequenceFile ('SEQ'), Parquet ('PAR1'), ORC, JSON
+    ('{'/'['), else delimited/text — from the first file's header only
+    (one tiny driver-side read)."""
     first = (
         spark.read.format("binaryFile")
         .load(path)
@@ -143,6 +165,8 @@ def read_auto(spark: SparkSession, path: str, **options: str) -> DataFrame:
     if not first:
         raise FileNotFoundError(f"no files under {path}")
     magic = bytes(first[0].magic)
+    if magic[:3] == b"SEQ":
+        return read_sequence_file(spark, path)
     if magic == b"PAR1":
         return spark.read.options(**options).parquet(path)
     if magic[:3] == b"ORC":
@@ -153,36 +177,67 @@ def read_auto(spark: SparkSession, path: str, **options: str) -> DataFrame:
 
 
 def distcp(
-    spark: SparkSession, src: str, dst: str, glob: str | None = None, partitions: int = 32
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    glob: str | None = None,
+    partitions: int = 32,
+    chunk_bytes: int = 128 << 20,
 ) -> int:
     """DistCp (TOOLS/hadoop-distcp DistCp.java:52): parallel file copy as
-    a Spark job — listing via the binaryFile source (the reference's
-    SimpleCopyListing), fan-out via repartition (its UniformSizeInputFormat
-    chunking; AQE handles stragglers where DynamicInputFormat would),
-    byte-identical writes per task. Returns the number of files copied.
+    a Spark job. Listing reads file METADATA only (path + length — the
+    reference's SimpleCopyListing, also driver-side); each file is split
+    into ``chunk_bytes`` byte ranges exactly as UniformSizeInputFormat
+    chunks by size, so a single multi-TB file fans out across tasks and
+    no task ever holds more than one chunk in memory. Each task preads
+    its range from the source and pwrites it at the same offset in the
+    destination; relative paths under ``src`` are preserved (files
+    sharing a basename in different subtrees don't collide).
 
-    Utility tier: content flows through executor memory per file, fine
-    for the many-small/medium-file case DistCp exists for; multi-TB
-    single files would need a ranged-read variant."""
-    reader = spark.read.format("binaryFile")
+    Requires a shared filesystem (local mode or a cluster-wide mount):
+    tasks write to the destination path directly. Returns the number of
+    files copied."""
+    import os
+    from urllib.parse import urlparse
+
+    reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    files = reader.load(src).select("path", "content").repartition(partitions)
+    listing = reader.load(src).select("path", "length").collect()
+    src_root = urlparse(src).path if "://" in src else os.path.abspath(src)
+    chunks = []
+    for row in listing:
+        p = urlparse(row.path).path
+        rel = os.path.relpath(p, src_root) if p != src_root else os.path.basename(p)
+        off = 0
+        while True:
+            chunks.append((p, rel, off, min(chunk_bytes, row.length - off)))
+            off += chunk_bytes
+            if off >= row.length:
+                break
+    cdf = spark.createDataFrame(
+        chunks, "path string, rel string, off long, len long"
+    ).repartition(min(partitions, max(1, len(chunks))))
 
     def copy_partition(rows):
-        import os
-        from urllib.parse import urlparse
-
         n = 0
-        for row in rows:
-            rel = os.path.basename(urlparse(row.path).path)
-            os.makedirs(dst, exist_ok=True)
-            with open(os.path.join(dst, rel), "wb") as f:
-                f.write(bytes(row.content))
+        for r in rows:
+            out = os.path.join(dst, r.rel)
+            os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+            with open(r.path, "rb") as fi:
+                fi.seek(r.off)
+                data = fi.read(r.len)
+            fd = os.open(out, os.O_WRONLY | os.O_CREAT)
+            try:
+                os.pwrite(fd, data, r.off)
+            finally:
+                os.close(fd)
             n += 1
         yield n
 
-    return files.rdd.mapPartitions(copy_partition).sum()
+    done = cdf.rdd.mapPartitions(copy_partition).sum()
+    assert done == len(chunks), f"copied {done} of {len(chunks)} chunks"
+    return len(listing)
 
 
 def read_csv_skip_bad(

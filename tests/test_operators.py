@@ -46,6 +46,14 @@ class TestKeySpec:
         assert lines(["-k2,2n"]) == ["a\t9", "b\t10"]
         assert lines(["-k2,2"]) == ["b\t10", "a\t9"]
 
+    def test_malformed_lines_sort_as_null_not_crash(self, spark):
+        # unix-sort tolerance (KeyFieldBasedComparator never throws): a
+        # line missing the field, and a non-numeric field, sort as null
+        # (first in asc order) instead of failing the job under ANSI
+        df = spark.createDataFrame([("a\t9",), ("short",), ("b\tNaNope",)], ["l"])
+        out = [r.l for r in keyspec_sort(df, "l", ["-k2,2n"]).collect()]
+        assert out[-1] == "a\t9" and set(out[:2]) == {"short", "b\tNaNope"}
+
 
 class TestJoins:
     def test_override_rightmost_wins(self, spark):

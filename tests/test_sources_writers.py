@@ -60,6 +60,23 @@ def test_read_xml_records(spark, tmp_path):
     assert recs == ["alpha", "beta"]
 
 
+def test_read_xml_records_multiline(spark, tmp_path):
+    """Records spanning lines (the normal XML case) must not be dropped."""
+    (tmp_path / "m.xml").write_text(
+        "<rec>\n  <name>a</name>\n</rec>\nnoise\n<rec>\n  <name>b</name>\n</rec>\n"
+    )
+    recs = read_xml_records(spark, str(tmp_path), "<rec>", "</rec>").collect()
+    assert len(recs) == 2
+    assert sorted("a" in r.record or "b" in r.record for r in recs) == [True, True]
+
+
+def test_read_kv_text_literal_separator(spark, tmp_path):
+    """'|' must split as a literal byte, not as the regex alternation."""
+    (tmp_path / "p.txt").write_text("k1|v1\nk2|v2|rest\n")
+    back = {r.key: r.value for r in read_kv_text(spark, str(tmp_path), sep="|").collect()}
+    assert back == {"k1": "v1", "k2": "v2|rest"}
+
+
 def test_sampled_scans(spark):
     df = spark.range(1000).select(F.col("id"))
     frac = sampled_scan_percent(df, "id", 10).count()
@@ -138,6 +155,79 @@ def test_distcp_copies_bytes(spark, tmp_path):
     assert n == 2
     assert (dst / "a.bin").read_bytes() == (src / "a.bin").read_bytes()
     assert (dst / "b.bin").read_bytes() == (src / "b.bin").read_bytes()
+
+
+def test_distcp_preserves_tree_and_chunks_large_files(spark, tmp_path):
+    """Ranged-read form: same-basename files in different subtrees must
+    not collide, and a file much larger than chunk_bytes is copied
+    byte-identically through multiple ranged tasks."""
+    src = tmp_path / "src"
+    (src / "x").mkdir(parents=True)
+    (src / "y").mkdir()
+    (src / "x" / "same.bin").write_bytes(b"from-x")
+    (src / "y" / "same.bin").write_bytes(b"from-y")
+    big = bytes(range(256)) * 300  # 76800 bytes >> chunk_bytes below
+    (src / "big.bin").write_bytes(big)
+    dst = tmp_path / "dst"
+
+    from hadoop_common_spark.sources.readers import distcp
+
+    n = distcp(spark, str(src), str(dst), partitions=4, chunk_bytes=10_000)
+    assert n == 3
+    assert (dst / "x" / "same.bin").read_bytes() == b"from-x"
+    assert (dst / "y" / "same.bin").read_bytes() == b"from-y"
+    assert (dst / "big.bin").read_bytes() == big
+
+
+def test_sequence_file_roundtrip_and_sniff(spark, tmp_path):
+    """SequenceFile read bridge (HC/io/SequenceFile.java 'SEQ' magic):
+    write a real SequenceFile via the RDD API, read it back as a
+    DataFrame, and confirm read_auto dispatches on the magic bytes."""
+    from hadoop_common_spark.sources.readers import read_auto, read_sequence_file
+
+    path = str(tmp_path / "seq")
+    data = [(f"k{i}", f"v{i}") for i in range(100)]
+    spark.sparkContext.parallelize(data, 3).saveAsSequenceFile(path)
+    raw = (tmp_path / "seq").glob("part-*")
+    assert any(p.read_bytes()[:3] == b"SEQ" for p in raw)  # real container
+
+    df = read_sequence_file(spark, path)
+    assert df.columns == ["key", "value"]
+    assert sorted((r.key, r.value) for r in df.collect()) == sorted(data)
+    auto = read_auto(spark, path)
+    assert auto.count() == 100 and set(auto.columns) == {"key", "value"}
+
+
+def test_jdbc_roundtrip_partitioned(spark, tmp_path):
+    """End-to-end JDBC (DBInputFormat/DBOutputFormat,
+    MRC/mapreduce/lib/db/DBInputFormat.java:317): write through Spark's
+    JDBC sink into embedded Derby (ships with Spark), read back with the
+    min/max partitioned-split strategy, and confirm the scan actually
+    fans out into numPartitions range splits."""
+    from hadoop_common_spark.sources.readers import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    src = spark.range(0, 100).select(
+        F.col("id").alias("ID"), (F.col("id") % 7).alias("V")
+    )
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "PAGEVIEW")
+        .option("driver", driver)
+        .save()
+    )
+    out = read_jdbc(
+        spark, url, "PAGEVIEW",
+        partition_column="ID", lower=0, upper=100, num_partitions=4,
+        driver=driver,
+    )
+    assert out.rdd.getNumPartitions() == 4  # DataDrivenDBInputFormat splits
+    assert sorted(r.ID for r in out.collect()) == list(range(100))
+    # aggregate over the JDBC scan (the DBCountPageView shape)
+    agg = {r.V: r.c for r in out.groupBy("V").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert sum(agg.values()) == 100
 
 
 def test_orc_roundtrip_and_sniff(spark, tmp_path):
