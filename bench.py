@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_exact",                  # content-hash dedup
     "dedup_minhash_lsh",            # MinHash+LSH near-dup
     "dedup_simhash",                # SimHash near-dup
+    "dedup_simhash_pairs",          # banded Hamming pairing
     "dedup_ngram_jaccard",          # blocked all-pairs Jaccard
     "dedup_embedding_cosine",       # embedding near-dup (blocked)
     "similarity_cosine_topk",       # brute-force ANN baseline
@@ -134,10 +135,42 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "vs_prev": _vs_prev(timings, sf),
             }
         )
     )
     spark.stop()
+
+
+def _vs_prev(timings: dict[str, float], sf: float) -> dict:
+    """Round-over-round regression signal: diff per-query timings against
+    the newest BENCH_r{N}.json in the repo (same sf only) and flag
+    queries slower than 1.3× the previous round."""
+    import glob
+    import re
+
+    runs = sorted(
+        glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not runs:
+        return {"prev_round": None, "regressions": {}}
+    prev_path = runs[-1]
+    try:
+        with open(prev_path) as f:
+            d = json.load(f)
+        # the driver wraps our JSON line in run metadata under "parsed"
+        prev = d.get("parsed", d) if isinstance(d, dict) else {}
+        if not prev.get("queries") or prev.get("sf") not in (None, sf):
+            return {"prev_round": os.path.basename(prev_path), "regressions": {}}
+    except (OSError, json.JSONDecodeError, ValueError, AttributeError):
+        return {"prev_round": os.path.basename(prev_path), "regressions": {}}
+    regressions = {}
+    for name, cur in timings.items():
+        old = prev["queries"].get(name)
+        if old is not None and old > 0 and cur > 0 and cur > 1.3 * old:
+            regressions[name] = {"prev": old, "now": cur, "ratio": round(cur / old, 2)}
+    return {"prev_round": os.path.basename(prev_path), "regressions": regressions}
 
 
 if __name__ == "__main__":

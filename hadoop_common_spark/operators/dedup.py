@@ -247,11 +247,14 @@ def simhash_pairs(
     all-pairs anywhere). Verify = ``bit_count(a XOR b) <= d`` on the
     joined candidates. Returns (id_a, id_b, hamming), id_a < id_b.
 
-    Scale shape: one explode (×chunks), one hash-partitioned self-join on
-    (chunk, value), one distinct, two broadcast-or-shuffle fingerprint
-    lookups. Chunk-value buckets are the skew knob: 60/4 = 15-bit chunks
-    give 32Ki buckets per band; raise ``bits``/lower ``max_distance`` if
-    a bucket explodes (same knob as MinHash band size)."""
+    Scale shape: one explode (×chunks) and ONE hash-partitioned
+    self-join on (chunk, value). Fingerprints ride along through the
+    explode (8 bytes/row), so the verify popcount runs inside the join
+    output — no fingerprint-lookup joins, and the (usually expensive)
+    fingerprint computation runs once per join side instead of 3×.
+    Chunk-value buckets are the skew knob: 60/4 = 15-bit chunks give
+    32Ki buckets per band; raise ``bits``/lower ``max_distance`` if a
+    bucket explodes (same knob as MinHash band size)."""
     chunks = max_distance + 1
     if bits % chunks:
         raise ValueError(f"bits={bits} must divide into {chunks} equal chunks")
@@ -266,25 +269,22 @@ def simhash_pairs(
         for k in range(chunks)
     ]
     ck = fp.select(
-        F.col(id_col), F.explode(F.array(*chunk_structs)).alias("_c")
-    ).select(id_col, F.col("_c.chunk").alias("chunk"), F.col("_c.chunk_val").alias("chunk_val"))
-    a = ck.select(F.col(id_col).alias("id_a"), "chunk", "chunk_val")
-    b = ck.select(F.col(id_col).alias("id_b"), "chunk", "chunk_val")
-    cand = (
-        a.join(b, ["chunk", "chunk_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        F.col(id_col), F.col("_fp"), F.explode(F.array(*chunk_structs)).alias("_c")
+    ).select(
+        id_col, "_fp", F.col("_c.chunk").alias("chunk"), F.col("_c.chunk_val").alias("chunk_val")
     )
-    fa = fp.select(F.col(id_col).alias("id_a"), F.col("_fp").alias("_fa"))
-    fb = fp.select(F.col(id_col).alias("id_b"), F.col("_fp").alias("_fb"))
+    a = ck.select(F.col(id_col).alias("id_a"), F.col("_fp").alias("_fa"), "chunk", "chunk_val")
+    b = ck.select(F.col(id_col).alias("id_b"), F.col("_fp").alias("_fb"), "chunk", "chunk_val")
     hamming = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).cast("bigint")
     return (
-        cand.join(fa, "id_a")
-        .join(fb, "id_b")
+        a.join(b, ["chunk", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # verify BEFORE the dedup shuffle: popcount is a few instructions,
+        # and pruning failed candidates early shrinks the distinct input
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
