@@ -76,6 +76,62 @@ def write_sorted_bucketed(
     )
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 1000,
+    **options: str,
+) -> None:
+    """DBOutputFormat (MRC/mapreduce/lib/db/DBOutputFormat.java:237):
+    INSERT each record into a JDBC table. Spark's JDBC sink is the same
+    per-partition batched-INSERT protocol; ``batch_size`` maps to the
+    reference's statement batching (executeBatch per chunk). One task per
+    partition writes concurrently — same commit semantics (no global
+    transaction) as the reference."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def mapfile_lookup(spark, table_name: str, key_col: str, key) -> DataFrame:
+    """MapFile.get (HC/io/MapFile.java:674) /
+    MapFileOutputFormat.getEntry (lib/output/MapFileOutputFormat.java:106):
+    point lookup against a ``write_sorted_bucketed`` table. The equality
+    predicate prunes to ONE bucket (the reference hashes the key to pick
+    one part-file's reader) and pushes into the sorted scan — the plan's
+    ``SelectedBucketsCount: 1 out of N`` is the exact analog of reading a
+    single MapFile partition.
+
+    Knob: Spark's planner only counts shuffle-elimination as a bucketing
+    benefit, so set ``spark.sql.sources.bucketing.autoBucketedScan.enabled
+    =false`` for lookup workloads to keep the bucket-pruned scan; with it
+    on, the lookup still pushes the filter (row-group pruning) but reads
+    every bucket's footer."""
+    return spark.table(table_name).filter(F.col(key_col) == F.lit(key))
+
+
+def mapfile_get_closest(
+    spark, table_name: str, key_col: str, key, before: bool = False
+) -> DataFrame:
+    """MapFile.getClosest (HC/io/MapFile.java:692): the smallest key >=
+    the requested one (or, with ``before``, the largest <= it). A pushed
+    range filter + 1-row sorted head; row-group statistics prune the scan
+    the way the MapFile index seeks the block."""
+    t = spark.table(table_name)
+    if before:
+        return t.filter(F.col(key_col) <= F.lit(key)).orderBy(F.col(key_col).desc()).limit(1)
+    return t.filter(F.col(key_col) >= F.lit(key)).orderBy(F.col(key_col).asc()).limit(1)
+
+
 def write_noop(df: DataFrame) -> int:
     """NullOutputFormat: execute the plan, discard the rows (returns the
     row count as the observable side effect)."""

@@ -256,3 +256,72 @@ def test_compact_small_files(spark, tmp_path):
     assert n == 1  # tiny data -> one right-sized file
     assert len(glob.glob(out + "/*.parquet")) == 1
     assert spark.read.parquet(out).count() == 4000
+
+
+def test_db_count_page_view_e2e(spark, tmp_path):
+    """DBCountPageView (EX/DBCountPageView.java:412-420) end-to-end:
+    pageview rows land in a JDBC table via write_jdbc (DBOutputFormat),
+    the job reads them back with partitioned splits (DBInputFormat),
+    aggregates views per URL, and writes the counts BACK to the database
+    — the reference's verify() then checks totals, as we do here."""
+    from hadoop_common_spark.sources.readers import read_jdbc
+    from hadoop_common_spark.sources.writers import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/pvdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    views = spark.range(0, 300).select(
+        F.col("id").alias("ID"),
+        F.concat(F.lit("/page/"), (F.col("id") % 5).cast("string")).alias("URL"),
+    )
+    write_jdbc(views, url, "ACCESS", driver=driver)
+
+    access = read_jdbc(
+        spark, url, "ACCESS",
+        partition_column="ID", lower=0, upper=300, num_partitions=4,
+        driver=driver,
+    )
+    counts = access.groupBy("URL").agg(F.count(F.lit(1)).alias("PAGEVIEW"))
+    write_jdbc(counts, url, "PAGEVIEW_COUNTS", driver=driver)
+
+    back = read_jdbc(spark, url, "PAGEVIEW_COUNTS", driver=driver)
+    got = {r.URL: r.PAGEVIEW for r in back.collect()}
+    assert got == {f"/page/{i}": 60 for i in range(5)}
+
+
+def test_mapfile_lookup_and_closest(spark):
+    """MapFile.get/getClosest (HC/io/MapFile.java:674,692): the point
+    lookup prunes to a single bucket (the plan's SelectedBucketsCount is
+    the one-part-file read of MapFileOutputFormat.getEntry), and
+    getClosest seeks the neighbouring key in either direction."""
+    from hadoop_common_spark.sources.writers import (
+        mapfile_get_closest,
+        mapfile_lookup,
+        write_sorted_bucketed,
+    )
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    # the planner only counts shuffle-elimination as a bucketing benefit;
+    # for point lookups the bucket-pruned scan must be kept explicitly
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        # even keys only, so getClosest on an odd key must seek
+        src = spark.range(0, 1000).select(
+            (F.col("id") * 2).alias("k"), (F.col("id") * 20).alias("v")
+        )
+        write_sorted_bucketed(src, "mapfile_t", "k", "k", num_buckets=8)
+
+        hit = mapfile_lookup(spark, "mapfile_t", "k", 440)
+        plan = hit._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan
+        assert [(r.k, r.v) for r in hit.collect()] == [(440, 4400)]
+
+        after = mapfile_get_closest(spark, "mapfile_t", "k", 441)
+        assert [(r.k, r.v) for r in after.collect()] == [(442, 4420)]
+        before = mapfile_get_closest(spark, "mapfile_t", "k", 441, before=True)
+        assert [(r.k, r.v) for r in before.collect()] == [(440, 4400)]
+        # exact hit returns itself in both directions
+        assert mapfile_get_closest(spark, "mapfile_t", "k", 440).first().k == 440
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        spark.sql("DROP TABLE IF EXISTS mapfile_t")
