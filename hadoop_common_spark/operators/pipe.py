@@ -6,8 +6,9 @@ stdin/stdout, tab-separated text framing; options ST/StreamJob.java:
 so the idiomatic replacement for a script UDF is a Python UDF — but for
 *exact* any-language parity we expose ``rdd.pipe`` with the text framing.
 
-Typed-bytes/raw-bytes framings are deliberately not reproduced
-(SURVEY.md §7.3): text framing covers the capability.
+The typed-bytes binary framing (``-io typedbytes``) lives in
+``operators/typedbytes.py`` — use it when records carry tabs, newlines,
+raw bytes, or typed numbers that the text framing would mangle.
 
 Scale: the child process runs once per partition (PipeMapRed forks once
 per task — same granularity); throughput is bounded by the pipe, exactly

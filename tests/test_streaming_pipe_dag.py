@@ -104,3 +104,115 @@ def test_foreachbatch_incremental_materialization(spark, sf_dir, tmp_path):
         read_events_stream(spark, sf_dir).select("event_id", "user_id"), out, ckpt
     )
     assert spark.read.parquet(out).count() == n_first  # nothing reprocessed
+
+
+def test_typed_bytes_roundtrip_unit():
+    """Wire-format unit check: every type code encodes/decodes losslessly,
+    including values that would break the text framing (tabs, newlines,
+    raw bytes, unicode, int/long boundary)."""
+    import io
+
+    from hadoop_common_spark.operators.typedbytes import tb_decode, tb_encode
+
+    values = [
+        b"\x00\xff raw",
+        True,
+        False,
+        0,
+        -1,
+        2**31 - 1,
+        -(2**31),
+        2**31,          # -> long
+        -(2**63),
+        3.25,
+        "tab\there\nnewline",
+        "unicodé ☃",
+        ["nested", 1, [2.5, b"b"]],
+        {"k": 1, "j": "v"},
+    ]
+    buf = io.BytesIO()
+    for v in values:
+        tb_encode(v, buf)
+    stream = io.BufferedReader(io.BytesIO(buf.getvalue()))
+    got = []
+    while True:
+        try:
+            got.append(tb_decode(stream))
+        except EOFError:
+            break
+    assert got == values
+
+
+def test_pipe_typed_bytes_identity_binary_safe(spark):
+    """`cat` is a valid typed-bytes child (the framing is self-
+    delimiting): rows with embedded tabs/newlines and typed numbers
+    survive the pipe intact — exactly what the text framing cannot do."""
+    from pyspark.sql import types as T
+
+    from hadoop_common_spark.operators.typedbytes import pipe_typed_bytes
+
+    rows = [("a\tb\nc", 7, 1.5), ("plain", -(2**40), 0.25)]
+    df = spark.createDataFrame(rows, ["s", "n", "x"])
+    schema = T.StructType(
+        [
+            T.StructField("s", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+    out = pipe_typed_bytes(df, ["cat"], schema)
+    assert sorted((r.s, r.n, r.x) for r in out.collect()) == sorted(rows)
+
+
+def test_pipe_typed_bytes_external_transform(spark, tmp_path):
+    """A real child speaking typed-bytes: upper-cases the string field and
+    doubles the int field (ST -io typedbytes contract, child side)."""
+    import sys
+
+    from pyspark.sql import types as T
+
+    from hadoop_common_spark.operators.typedbytes import pipe_typed_bytes
+
+    child = tmp_path / "tb_child.py"
+    child.write_text(
+        """
+import io, struct, sys
+inp = sys.stdin.buffer
+out = sys.stdout.buffer
+
+def dec(s):
+    c = s.read(1)
+    if not c:
+        raise EOFError
+    c = c[0]
+    if c == 3:
+        return struct.unpack(">i", s.read(4))[0]
+    if c == 4:
+        return struct.unpack(">q", s.read(8))[0]
+    if c == 7:
+        n = struct.unpack(">i", s.read(4))[0]
+        return s.read(n).decode()
+    if c == 8:
+        n = struct.unpack(">i", s.read(4))[0]
+        return [dec(s) for _ in range(n)]
+    raise ValueError(c)
+
+def enc_str(v):
+    b = v.encode()
+    return struct.pack(">Bi", 7, len(b)) + b
+
+while True:
+    try:
+        s, n = dec(inp)
+    except EOFError:
+        break
+    out.write(struct.pack(">Bi", 8, 2) + enc_str(s.upper()) + struct.pack(">Bi", 3, n * 2))
+out.flush()
+"""
+    )
+    df = spark.createDataFrame([("abc", 1), ("xyz", 21)], ["s", "n"])
+    schema = T.StructType(
+        [T.StructField("s", T.StringType()), T.StructField("n", T.IntegerType())]
+    )
+    out = pipe_typed_bytes(df, [sys.executable, str(child)], schema)
+    assert sorted((r.s, r.n) for r in out.collect()) == [("ABC", 2), ("XYZ", 42)]
