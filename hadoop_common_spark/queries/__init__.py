@@ -136,11 +136,13 @@ PRIORITY: list[str] = [
     "important_parts_share",
     "waiting_suppliers",
     "min_cost_supplier",
-    # -- synthetic generators --
+    # -- synthetic generators / compute demos --
     "teragen_checksum",
     "terasort_head",
     "montecarlo_pi",
     "random_text_wordcount",
+    "bbp_pi_digits",
+    "sudoku_distributed",
     # -- one representative per previously-green family --
     "flagship_revenue_by_nation",
     "wordcount",

@@ -77,3 +77,48 @@ def random_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# First 128 hex digits of pi — the public constant (also the Blowfish
+# P-array initialization vector). The BBP kernel must reproduce it
+# digit-for-digit; DuckDB just unrolls the constant.
+_PI_HEX_128 = (
+    "243F6A8885A308D313198A2E03707344A4093822299F31D0082EFA98EC4E6C89"
+    "452821E638D01377BE5466CF34E90C6CC0AC29B7C97C50DD3F84D5B5B5470917"
+)
+
+_BBP_ORACLE = f"""
+SELECT i AS pos, substr('{_PI_HEX_128}', CAST(i AS INT), 1) AS digit
+FROM generate_series(1, 128) t(i)
+"""
+
+
+@query("bbp_pi_digits", oracle=_BBP_ORACLE)
+def bbp_pi_digits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BaileyBorweinPlouffe (EX/BaileyBorweinPlouffe.java:92,315): hex
+    digits of pi by independent digit-extraction, one contiguous digit
+    range per task. Checked against the published constant."""
+    from hadoop_common_spark.operators.compute import bbp_pi_digits
+
+    return bbp_pi_digits(spark, 128)
+
+
+_SUDOKU_PUZZLE = (
+    "530070000600195000098000060800060003400803001"
+    "700020006060000280000419005000080079"
+)
+_SUDOKU_SOLUTION = (
+    "534678912672195348198342567859761423426853791"
+    "713924856961537284287419635345286179"
+)
+
+
+@query("sudoku_distributed", oracle=f"SELECT '{_SUDOKU_SOLUTION}' AS solution")
+def sudoku_distributed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact-cover search (EX/dancing/Sudoku.java via
+    DistributedPentomino.java:91's prefix fan-out): depth-4 prefix
+    enumeration -> 30 independent subtrees -> union of subtree solutions.
+    The canonical Wikipedia puzzle has exactly one."""
+    from hadoop_common_spark.operators.compute import sudoku_solve_distributed
+
+    return sudoku_solve_distributed(spark, _SUDOKU_PUZZLE, depth=4)

@@ -163,3 +163,46 @@ def test_cli_rejects_unknown_query(capsys):
     from hadoop_common_spark.cli import main
 
     assert main(["run", "no_such_query"]) == 2
+
+
+class TestComputeDemos:
+    """BBP + distributed Sudoku kernels (EX/BaileyBorweinPlouffe.java,
+    EX/dancing/Sudoku.java) — pure-kernel checks; the Spark fan-out path
+    is covered by the registry queries' DuckDB oracles."""
+
+    PUZZLE = (
+        "530070000600195000098000060800060003400803001"
+        "700020006060000280000419005000080079"
+    )
+    SOLUTION = (
+        "534678912672195348198342567859761423426853791"
+        "713924856961537284287419635345286179"
+    )
+
+    def test_bbp_first_digits(self):
+        from hadoop_common_spark.operators.compute import pi_hex_digit
+
+        assert "".join(pi_hex_digit(d) for d in range(1, 17)) == "243F6A8885A308D3"
+        # deep position still exact (float-error check)
+        assert pi_hex_digit(1000) is not None
+
+    def test_sudoku_branches_partition_search_space(self):
+        from hadoop_common_spark.operators.compute import (
+            _sudoku_solve,
+            sudoku_branches,
+        )
+
+        branches = sudoku_branches(self.PUZZLE, 4)
+        assert len(branches) == 30
+        assert len(set(branches)) == 30  # disjoint prefixes
+        # exactly one subtree contains the unique solution
+        sols = []
+        for b in branches:
+            sols.extend(_sudoku_solve([int(c) for c in b]))
+        assert ["".join(map(str, s)) for s in sols] == [self.SOLUTION]
+
+    def test_sudoku_distributed_spark(self, spark):
+        from hadoop_common_spark.operators.compute import sudoku_solve_distributed
+
+        out = sudoku_solve_distributed(spark, self.PUZZLE, depth=3)
+        assert [r.solution for r in out.collect()] == [self.SOLUTION]
