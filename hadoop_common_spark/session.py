@@ -39,10 +39,52 @@ def configure_for_scale(spark: SparkSession) -> SparkSession:
         try:
             spark.conf.set(k, v)
         except Exception:
-            # Some confs may be static in exotic deployments; never fail a
+            # Some confs may be static in exotic deployments: never fail a
             # query over a tuning knob.
             pass
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``hadoop_common_spark`` importable on executor Python workers.
+
+    Query closures (mapInPandas kernels, UDAFs) reference module-level
+    helpers; cloudpickle serializes those as *references* to this package,
+    so workers must import it. When the driving process runs from the repo
+    the workers inherit the path — but a host session with any other cwd
+    (the external verify driver) gets ModuleNotFoundError on every
+    Python-kernel query. Shipping a package zip via ``addPyFile`` covers
+    both, and is exactly what ``spark-submit --py-files`` would do on a
+    real cluster."""
+    sc = spark.sparkContext
+    if getattr(sc, "_hcs_pkg_shipped", False):
+        return
+    import hadoop_common_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(hadoop_common_spark.__file__))
+    import tempfile
+    import zipfile
+
+    zpath = os.path.join(tempfile.gettempdir(), "hadoop_common_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_STORED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "hadoop_common_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        # already added under this name in a previous session sharing the
+        # context — the file is in place either way
+        pass
+    sc._hcs_pkg_shipped = True
 
 
 def get_spark(app_name: str = "hadoop_common_spark", shuffle_partitions: int | None = None) -> SparkSession:
