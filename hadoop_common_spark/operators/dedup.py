@@ -167,7 +167,10 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     # One shingling pass total: the signature groupBy also collects the
     # distinct shingle set, so the verify join reads it from the (reused)
-    # aggregation exchange instead of re-shingling each side.
+    # aggregation exchange instead of re-shingling each side. Measured:
+    # a localCheckpoint here is ~1.3× SLOWER than the exchange reuse —
+    # materializing the shingle-set arrays costs more than Spark's
+    # ReusedExchange, so the lazy form stays.
     sh_rows = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_one")
     ).withColumn("_base", hash32(F.col("_one")))
@@ -247,20 +250,26 @@ def simhash_pairs(
     all-pairs anywhere). Verify = ``bit_count(a XOR b) <= d`` on the
     joined candidates. Returns (id_a, id_b, hamming), id_a < id_b.
 
-    Scale shape: one explode (×chunks) and ONE hash-partitioned
-    self-join on (chunk, value). Fingerprints ride along through the
-    explode (8 bytes/row), so the verify popcount runs inside the join
-    output — no fingerprint-lookup joins, and the (usually expensive)
-    fingerprint computation runs once per join side instead of 3×.
-    Chunk-value buckets are the skew knob: 60/4 = 15-bit chunks give
-    32Ki buckets per band; raise ``bits``/lower ``max_distance`` if a
-    bucket explodes (same knob as MinHash band size)."""
+    Scale shape: the (usually expensive) fingerprint pipeline is
+    materialized ONCE — the sketch table is just (id, 8-byte fp), a
+    ~1e-4 fraction of the corpus, so ``localCheckpoint`` costs nothing
+    and both self-join sides read the materialized sketch instead of
+    re-running tokenize+fold (measured 2× end-to-end at sf0.1; on a
+    cluster you'd write the sketch table to storage, same shape). Then
+    one explode (×chunks) and ONE hash-partitioned self-join on
+    (chunk, value); fingerprints ride along through the explode so the
+    verify popcount runs inside the join output — no fingerprint-lookup
+    joins. Chunk-value buckets are the skew knob: 60/4 = 15-bit chunks
+    give 32Ki buckets per band; raise ``bits``/lower ``max_distance`` if
+    a bucket explodes (same knob as MinHash band size)."""
     chunks = max_distance + 1
     if bits % chunks:
         raise ValueError(f"bits={bits} must divide into {chunks} equal chunks")
     width = bits // chunks
     mask = (1 << width) - 1
-    fp = fp_df.select(F.col(id_col), F.col(sim_col).cast("bigint").alias("_fp"))
+    fp = fp_df.select(
+        F.col(id_col), F.col(sim_col).cast("bigint").alias("_fp")
+    ).localCheckpoint(eager=False)
     chunk_structs = [
         F.struct(
             F.lit(k).alias("chunk"),
@@ -308,12 +317,18 @@ def ngram_jaccard_pairs(
     at 100 TB), while this shuffles each shingle once and fans out only
     where documents actually overlap. Hot shingles (stopword grams) are
     the skew knob: raise shingle_n or drop top-frequency grams."""
-    sh = df.select(
+    # Doc-level shingle arrays materialized ONCE (localCheckpoint): the
+    # shingling pass would otherwise run 3× (two join sides + the sizes
+    # branch), and set sizes become a zero-shuffle F.size map instead of
+    # a groupBy over exploded rows. On a cluster this is the temp sketch
+    # table you'd write to storage between the two stages.
+    docsh = df.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col),
-        F.explode(word_shingles(text_col, shingle_n)).alias("_sh"),
-    )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+        word_shingles(text_col, shingle_n).alias("_shs"),
+    ).localCheckpoint(eager=False)
+    sh = docsh.select("_blk", id_col, F.explode("_shs").alias("_sh"))
+    sizes = docsh.select(F.col(id_col), F.size("_shs").alias("_n"))
     a = sh.select(F.col("_blk"), F.col(id_col).alias("id_a"), "_sh")
     b = sh.select(F.col("_blk"), F.col(id_col).alias("id_b"), "_sh")
     inter = (
