@@ -141,3 +141,104 @@ def fingerprint(text_col: str, bits: int = 60) -> Column:
     cross-engine reproducible, unlike murmur; used for exact dedup keys)."""
     hexdigits = bits // 4
     return F.conv(F.substring(F.md5(F.col(text_col)), 1, hexdigits), 16, 10).cast("bigint")
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token ratio
+    and the fraction of 2-grams covered by the single most frequent
+    2-gram (high -> boilerplate/spam; the published data-quality rules
+    threshold exactly these).
+
+    Shape: 2-grams WITH multiplicity (zip_with of two shifted slices —
+    one split per row), explode -> count per (doc, gram) -> max/sum per
+    doc. Token stats ride through the explode as two ints and come back
+    via ``any_value`` — no second pass over the text and no doc-level
+    join. Docs with <2 tokens have no 2-grams and are excluded (both
+    engines agree). Two hash-partitioned shuffles keyed by (doc, gram)
+    then doc — no skew (gram keys are per-doc unique-ish), linear at any
+    corpus size."""
+    toks = F.split(F.col(text_col), TOKEN_RE)
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m), lambda x, y: F.concat_ws(" ", x, y)
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_n_tok"),
+        F.size(F.array_distinct(toks)).alias("_n_dist"),
+        F.explode(grams).alias("_g"),
+    )
+    per_gram = exploded.groupBy(id_col, "_g").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.any_value(F.col("_n_tok")).alias("_n_tok"),
+        F.any_value(F.col("_n_dist")).alias("_n_dist"),
+    )
+    return per_gram.groupBy(id_col).agg(
+        # bigint: match the DuckDB oracle's len() type exactly
+        F.any_value(F.col("_n_tok")).cast("bigint").alias("n_tok"),
+        (
+            F.any_value(F.col("_n_dist")).cast("double")
+            / F.any_value(F.col("_n_tok")).cast("double")
+        ).alias("distinct_ratio"),
+        (F.max("_c").cast("double") / F.sum("_c").cast("double")).alias(
+            "top_2gram_frac"
+        ),
+    )
+
+
+def tf_df_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF/DF rarity weighting
+    — the TF-IDF retrieval shape with ``tf / doc_freq`` instead of
+    ``tf * ln(N/df)`` (integer division in doubles is exactly rounded,
+    so ranks are bit-identical across engines; ln is not guaranteed to
+    be).
+
+    Shape: one explode -> (doc, term) counts -> term doc-frequency from
+    the SAME aggregate (no re-tokenize) -> equi-join on term -> per-doc
+    row_number window. The df table is terms-only (tiny vs corpus);
+    stopword terms are hot join keys but carry one int each. Ties broken
+    by term order — fully deterministic output."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), TOKEN_RE)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    scored = tf.join(doc_freq, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("doc_freq").cast("double")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "doc_freq", "score", "rank")
+    )
+
+
+# PII patterns — RE2/Java-compatible (no lookarounds/backrefs), so the
+# same pattern strings run in Spark and in the DuckDB oracle.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[- ]\d{3}[- ]\d{4}\b",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str, out_col: str = "scrubbed") -> DataFrame:
+    """PII redaction for training corpora: mask emails / IPv4s / phone
+    numbers with typed placeholders and count the matches per document.
+    Entirely ``regexp_replace``/``regexp_extract_all`` built-ins — scan
+    speed, no Python, trivially parallel at any scale."""
+    out = df
+    scrubbed = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return out.withColumn(out_col, scrubbed)

@@ -106,17 +106,19 @@ PRIORITY: list[str] = [
     "text_fingerprints",
     "text_bpe_token_stats",
     "text_winnow_fingerprint",
+    "text_repetition_stats",
+    "text_pii_scan",
+    "corpus_tfidf_topterms",
     # -- corpus pipeline --
     "pipeline_clean_corpus",
     "corpus_split_counts",
     "corpus_token_shards",
     "corpus_decontamination",
-    # -- multimodal plumbing --
+    # -- multimodal plumbing (3 of 5 in the checked window carry the
+    #    stub-kernel family's evidence; audio/resize share their shape) --
     "multimodal_metadata",
     "multimodal_fake_decode",
     "multimodal_frame_sample",
-    "multimodal_audio_features",
-    "multimodal_resize_plan",
     # -- streaming-equivalent windows (only tumbling was checked in r01) --
     "window_sliding_10m_5m",
     "window_sessionize",
@@ -143,6 +145,9 @@ PRIORITY: list[str] = [
     "random_text_wordcount",
     "bbp_pi_digits",
     "sudoku_distributed",
+    # -- below the ~50-entry checked window from here down --
+    "multimodal_audio_features",
+    "multimodal_resize_plan",
     # -- one representative per previously-green family --
     "flagship_revenue_by_nation",
     "wordcount",

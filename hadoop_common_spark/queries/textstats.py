@@ -188,3 +188,103 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grams.groupBy("doc_id").agg(
         F.min(fingerprint("gram")).alias("winnow_fp")
     )
+
+
+_REPETITION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_dist,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks WHERE len(t) >= 2
+),
+gc AS (
+  SELECT doc_id, g, COUNT(*) AS c,
+         any_value(n_tok) AS n_tok, any_value(n_dist) AS n_dist
+  FROM grams GROUP BY doc_id, g
+)
+SELECT doc_id,
+       any_value(n_tok) AS n_tok,
+       CAST(any_value(n_dist) AS DOUBLE) / CAST(any_value(n_tok) AS DOUBLE) AS distinct_ratio,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_2gram_frac
+FROM gc GROUP BY doc_id
+"""
+
+
+@query("text_repetition_stats", oracle=_REPETITION_ORACLE)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition signals per document (distinct-token ratio,
+    top-2-gram coverage fraction) — the quality filters large corpus
+    cleans threshold on. One tokenize pass, two keyed shuffles."""
+    from hadoop_common_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(spark.table("documents"), "doc_id", "text")
+
+
+_TFIDF_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term
+),
+df_ AS (
+  SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df_.doc_freq,
+         CAST(tf.tf AS DOUBLE) / CAST(df_.doc_freq AS DOUBLE) AS score
+  FROM tf JOIN df_ USING (term)
+)
+SELECT doc_id, term, tf, doc_freq, score, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+@query("corpus_tfidf_topterms", oracle=_TFIDF_ORACLE)
+def corpus_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF/DF rarity weight
+    (log-free TF-IDF — cross-engine bit-identical ranking; ties broken
+    by term). Explode -> two aggregates -> term join -> per-doc window."""
+    from hadoop_common_spark.operators.textstats import tf_df_topk
+
+    return tf_df_topk(spark.table("documents"), "doc_id", "text", k=3)
+
+
+_PII_PATTERNS_SQL = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[- ]\d{3}[- ]\d{4}\b",
+}
+
+_PII_ORACLE = f"""
+SELECT
+  CAST(SUM(len(regexp_extract_all(text, '{_PII_PATTERNS_SQL["email"]}'))) AS BIGINT) AS n_email,
+  CAST(SUM(len(regexp_extract_all(text, '{_PII_PATTERNS_SQL["ipv4"]}'))) AS BIGINT) AS n_ipv4,
+  CAST(SUM(len(regexp_extract_all(text, '{_PII_PATTERNS_SQL["phone"]}'))) AS BIGINT) AS n_phone,
+  COUNT(*) AS n_docs
+FROM documents
+"""
+
+
+@query("text_pii_scan", oracle=_PII_ORACLE)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide PII match counts (emails / IPv4 / phone shapes) with
+    the same RE2-compatible patterns on both engines. The synthetic
+    corpus is word-soup (expect zeros) — the masking semantics are
+    pinned by the crafted-row pytest; this query pins the pattern
+    dialect compatibility and the scan shape."""
+    from hadoop_common_spark.operators.textstats import pii_scrub
+
+    scrubbed = pii_scrub(spark.table("documents"), "text")
+    return scrubbed.agg(
+        F.sum("n_email").alias("n_email"),
+        F.sum("n_ipv4").alias("n_ipv4"),
+        F.sum("n_phone").alias("n_phone"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

@@ -206,3 +206,24 @@ class TestComputeDemos:
 
         out = sudoku_solve_distributed(spark, self.PUZZLE, depth=3)
         assert [r.solution for r in out.collect()] == [self.SOLUTION]
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    """pii_scrub on crafted rows: emails/IPs/phones are masked with typed
+    placeholders and counted; clean text passes through untouched."""
+    from hadoop_common_spark.operators.textstats import pii_scrub
+
+    rows = [
+        (1, "mail bob.smith+x@example.co.uk and 10.0.0.1 then call 555-867-5309"),
+        (2, "no pii here at all"),
+        (3, "two mails: a@b.io c@d.org ip 192.168.1.100"),
+    ]
+    out = {r.doc_id: r for r in pii_scrub(
+        spark.createDataFrame(rows, ["doc_id", "text"]), "text"
+    ).collect()}
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (1, 1, 1)
+    assert out[1].scrubbed == "mail <EMAIL> and <IPV4> then call <PHONE>"
+    assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 0, 0)
+    assert out[2].scrubbed == "no pii here at all"
+    assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (2, 1, 0)
+    assert out[3].scrubbed == "two mails: <EMAIL> <EMAIL> ip <IPV4>"
