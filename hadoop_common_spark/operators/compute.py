@@ -146,3 +146,170 @@ def sudoku_solve_distributed(
         [(b,) for b in branches], ["branch"]
     ).repartition(min(len(branches), 32))
     return branch_df.mapInPandas(kernel, schema).distinct()
+
+
+# ------------------------------------------------------------- pentomino
+
+# The 12 free pentominoes (Conway naming), one canonical orientation
+# each; _orientations() closes over rotation/reflection.
+PENTOMINOES: dict[str, list[tuple[int, int]]] = {
+    "F": [(0, 1), (0, 2), (1, 0), (1, 1), (2, 1)],
+    "I": [(0, 0), (1, 0), (2, 0), (3, 0), (4, 0)],
+    "L": [(0, 0), (1, 0), (2, 0), (3, 0), (3, 1)],
+    "N": [(0, 1), (1, 1), (2, 0), (2, 1), (3, 0)],
+    "P": [(0, 0), (0, 1), (1, 0), (1, 1), (2, 0)],
+    "T": [(0, 0), (0, 1), (0, 2), (1, 1), (2, 1)],
+    "U": [(0, 0), (0, 2), (1, 0), (1, 1), (1, 2)],
+    "V": [(0, 0), (1, 0), (2, 0), (2, 1), (2, 2)],
+    "W": [(0, 0), (1, 0), (1, 1), (2, 1), (2, 2)],
+    "X": [(0, 1), (1, 0), (1, 1), (1, 2), (2, 1)],
+    "Y": [(0, 1), (1, 0), (1, 1), (2, 1), (3, 1)],
+    "Z": [(0, 0), (0, 1), (1, 1), (2, 1), (2, 2)],
+}
+
+
+def _orientations(cells: list[tuple[int, int]]) -> list[tuple[tuple[int, int], ...]]:
+    """All distinct rotations+reflections, each normalized to touch
+    (0,0) and sorted — the placement generator's stamp set."""
+    out = set()
+    shape = cells
+    for _ in range(2):  # identity, reflection
+        for _ in range(4):  # four rotations
+            shape = [(c, -r) for r, c in shape]  # rotate 90°
+            mr = min(r for r, _ in shape)
+            mc = min(c for _, c in shape)
+            out.add(tuple(sorted((r - mr, c - mc) for r, c in shape)))
+        shape = [(r, -c) for r, c in shape]  # reflect
+    return sorted(out)
+
+
+def pentomino_matrix(width: int, height: int):
+    """Exact-cover matrix for tiling a height×width board with the 12
+    pentominoes (EX/dancing/Pentomino.java:238 `initialize` builds the
+    same matrix for its DancingLinks solver): columns = 12 piece names +
+    width*height cells; one row per legal placement, deterministic id
+    order. Returns (X: col->set(row_id), Y: row_id->list(col))."""
+    Y: dict[int, list] = {}
+    rid = 0
+    for name in sorted(PENTOMINOES):
+        for shape in _orientations(PENTOMINOES[name]):
+            for r0 in range(height):
+                for c0 in range(width):
+                    cells = [(r0 + r, c0 + c) for r, c in shape]
+                    if all(0 <= r < height and 0 <= c < width for r, c in cells):
+                        Y[rid] = [name] + [r * width + c for r, c in cells]
+                        rid += 1
+    X: dict = {}
+    for row_id, cols in Y.items():
+        for col in cols:
+            X.setdefault(col, set()).add(row_id)
+    return X, Y
+
+
+def _select(X, Y, row):
+    """Knuth Algorithm X cover step (choose ``row``) on the dict-of-sets
+    representation — removes every column the row satisfies and every
+    row that conflicts with it; returns the removals for _deselect."""
+    cols = []
+    for j in Y[row]:
+        for i in X[j]:
+            for k in Y[i]:
+                if k != j:
+                    X[k].remove(i)
+        cols.append(X.pop(j))
+    return cols
+
+
+def _deselect(X, Y, row, cols):
+    for j in reversed(Y[row]):
+        X[j] = cols.pop()
+        for i in X[j]:
+            for k in Y[i]:
+                if k != j:
+                    X[k].add(i)
+
+
+def _algox_count(X, Y) -> int:
+    """Count exact covers (the subtree a single task owns; the analog of
+    the reference's DancingLinks.solve counting via its SolutionAcceptor,
+    EX/dancing/DancingLinks.java:368)."""
+    if not X:
+        return 1
+    col = min(X, key=lambda c: (len(X[c]), str(c)))
+    total = 0
+    for row in sorted(X[col]):
+        cols = _select(X, Y, row)
+        total += _algox_count(X, Y)
+        _deselect(X, Y, row, cols)
+    return total
+
+
+def pentomino_branches(width: int, height: int, depth: int) -> list[list[int]]:
+    """Deterministic prefix fan-out: walk Algorithm X to ``depth``
+    choices and emit each consistent prefix (list of row ids) — exactly
+    DistributedPentomino.java:91 `getSplits` / Pentomino.getSplits,
+    which enumerates width-`depth` prefixes of the search tree so each
+    map task exhausts one disjoint subtree."""
+    X, Y = pentomino_matrix(width, height)
+    out: list[list[int]] = []
+
+    def walk(d: int, prefix: list[int]) -> None:
+        if not X:
+            # solved above the fan-out depth: a leaf prefix whose
+            # subtree is exactly one solution
+            out.append(prefix[:])
+            return
+        if d == depth:
+            out.append(prefix[:])
+            return
+        col = min(X, key=lambda c: (len(X[c]), str(c)))
+        for row in sorted(X[col]):
+            cols = _select(X, Y, row)
+            prefix.append(row)
+            walk(d + 1, prefix)
+            prefix.pop()
+            _deselect(X, Y, row, cols)
+
+    walk(0, [])
+    return out
+
+
+def pentomino_count_distributed(
+    spark: SparkSession, width: int = 20, height: int = 3, depth: int = 2
+) -> DataFrame:
+    """Distributed pentomino tiling count
+    (EX/dancing/DistributedPentomino.java:91-120): the driver enumerates
+    consistent depth-``depth`` search prefixes (tiny — the matrix build
+    is O(placements)), each task replays its prefix and exhausts the
+    subtree with Algorithm X, and the per-subtree solution counts sum.
+    Disjoint prefixes guarantee no double count. One narrow map + one
+    scalar agg — zero shuffles beyond the final 1-row reduce, and the
+    fan-out scales to any executor count by raising ``depth``."""
+    branches = pentomino_branches(width, height, depth)
+    schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        X, Y = pentomino_matrix(width, height)
+        for pdf in batches:
+            counts = []
+            for prefix_csv in pdf["prefix"]:
+                prefix = [int(p) for p in prefix_csv.split(",")] if prefix_csv else []
+                sel = [_select(X, Y, r) for r in prefix]
+                counts.append(_algox_count(X, Y))
+                for r, cols in zip(reversed(prefix), reversed(sel)):
+                    _deselect(X, Y, r, cols)
+            yield pd.DataFrame({"n": counts})
+
+    # parallelize with explicit slices instead of repartition(): no shuffle
+    # stage; contiguous slices are safe because depth levels the subtree
+    # sizes (measured max 83ms at depth 4 vs 443ms at depth 2)
+    rows = [(",".join(map(str, b)),) for b in branches]
+    rdd = spark.sparkContext.parallelize(rows, min(len(rows), 32))
+    branch_df = spark.createDataFrame(rdd, T.StructType([T.StructField("prefix", T.StringType())]))
+    from pyspark.sql import functions as F
+
+    return branch_df.mapInPandas(kernel, schema).agg(
+        F.sum("n").cast("bigint").alias("n_solutions")
+    )

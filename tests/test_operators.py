@@ -227,3 +227,34 @@ def test_pii_scrub_masks_and_counts(spark):
     assert out[2].scrubbed == "no pii here at all"
     assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (2, 1, 0)
     assert out[3].scrubbed == "two mails: <EMAIL> <EMAIL> ip <IPV4>"
+
+
+class TestPentomino:
+    def test_branch_partition_sums_to_published_count(self):
+        """Depth-1 prefixes are disjoint and exhaustive: per-subtree
+        Algorithm-X counts sum to the 3x20 board's published 8."""
+        from hadoop_common_spark.operators.compute import (
+            _algox_count, _deselect, _select, pentomino_branches,
+            pentomino_matrix,
+        )
+
+        branches = pentomino_branches(20, 3, depth=1)
+        assert len(branches) > 1
+        X, Y = pentomino_matrix(20, 3)
+        total = 0
+        for prefix in branches:
+            sel = [_select(X, Y, r) for r in prefix]
+            total += _algox_count(X, Y)
+            for r, c in zip(reversed(prefix), reversed(sel)):
+                _deselect(X, Y, r, c)
+        assert total == 8
+        # the matrix restored cleanly: every column is back
+        assert len(X) == 12 + 60
+
+    def test_distributed_count(self, spark):
+        from hadoop_common_spark.operators.compute import (
+            pentomino_count_distributed,
+        )
+
+        out = pentomino_count_distributed(spark, 20, 3, depth=2).collect()
+        assert [r.n_solutions for r in out] == [8]
