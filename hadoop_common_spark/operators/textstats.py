@@ -242,3 +242,17 @@ def pii_scrub(df: DataFrame, text_col: str, out_col: str = "scrubbed") -> DataFr
         )
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
     return out.withColumn(out_col, scrubbed)
+
+
+def mixture_keep(rate_col: Column, id_col: Column, salt: str = "mix:") -> Column:
+    """Deterministic Bernoulli keep decision for corpus mixing: true iff
+    the md5-derived uniform of (salt || id) is below ``rate_col``. A pure
+    row function — the sample is identical under any partitioning,
+    engine, or re-run (rand()-based sampling guarantees none of those).
+    15 hex chars keeps the intermediate in int64 (cross-engine safe)."""
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 15), 16, 10)
+        .cast("bigint")
+        / F.lit(float(1 << 60))
+    )
+    return u < rate_col

@@ -114,6 +114,8 @@ PRIORITY: list[str] = [
     "corpus_split_counts",
     "corpus_token_shards",
     "corpus_decontamination",
+    "corpus_mixture_sample",
+    "corpus_semantic_dedup",
     # -- multimodal plumbing (3 of 5 in the checked window carry the
     #    stub-kernel family's evidence; audio/resize share their shape) --
     "multimodal_metadata",

@@ -8,7 +8,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hadoop_common_spark.operators.textstats import quality_score, token_count
+from hadoop_common_spark.operators.textstats import (
+    mixture_keep,
+    quality_score,
+    token_count,
+)
 from hadoop_common_spark.queries import query
 
 _ORACLE = """
@@ -192,4 +196,47 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+
+
+_MIXTURE_ORACLE = """
+SELECT source,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN u < rate THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM (
+  SELECT source, n_chars,
+         (CAST(substr(source, 4) AS INT) + 1) / 12.0 AS rate,
+         ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS u
+  FROM documents
+)
+GROUP BY source
+"""
+
+
+@query("corpus_mixture_sample", oracle=_MIXTURE_ORACLE)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture sampling: each source gets a target rate (here a
+    function of the source id; in production the DoReMi-style mixture
+    weights) and each document is kept iff its md5-derived uniform
+    < rate — deterministic, reproducible across engines, runs, and
+    repartitionings, unlike rand()-based sampling which drifts with the
+    partitioning. Narrow map + one aggregate: no shuffle of the corpus,
+    works identically at 100 TB."""
+    keep = mixture_keep(
+        (F.substring(F.col("source"), 4, 10).cast("int") + 1) / F.lit(12.0),
+        F.col("doc_id"),
+    )
+    return (
+        spark.table("documents")
+        .select("source", "n_chars", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
     )

@@ -123,3 +123,84 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= 0.35)
         .select("id_a", "id_b", "cos")
     )
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH RECURSIVE nb AS (
+  SELECT label, vec_id, embedding,
+         {sign_lsh_bucket_sql('embedding', DIM, PLANES)} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.2
+),
+sym AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+lbl AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u)
+SELECT e.label,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CASE WHEN l.comp IS NULL OR l.comp = e.vec_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM embeddings e LEFT JOIN lbl l ON e.vec_id = l.vec_id
+GROUP BY e.label
+"""
+
+
+@query("corpus_semantic_dedup", oracle=_SEMDEDUP_ORACLE)
+def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup END-TO-END in one lazy plan:
+    sign-LSH bucket (candidate blocking — no all-pairs at any scale) →
+    within-bucket exact cosine ≥ 0.2 → connected components (hash-min +
+    pointer jumping) → keep the min-id representative per component →
+    per-label survivor counts. The published pipeline this models
+    clusters embeddings then prunes within-cluster near-duplicates;
+    buckets are the deterministic, oracle-checkable clustering tier
+    (k-means is the recall-tuned alternative — see similarity_ivf_topk).
+    Scale: pair generation is bounded by bucket occupancy (tune PLANES),
+    components are O(log n) rounds, everything else is one shuffle."""
+    from hadoop_common_spark.operators.graph import connected_components
+    from hadoop_common_spark.operators.similarity import dot_exact
+
+    emb = spark.table("embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    normed = emb.select(
+        "label",
+        "vec_id",
+        vd.alias("e"),
+        F.sqrt(dot_exact(vd, vd)).alias("nrm"),
+        sign_lsh_bucket(F.col("embedding"), DIM, PLANES).alias("bucket"),
+    )
+    a = normed.select(
+        "bucket", F.col("vec_id").alias("id_a"),
+        F.col("e").alias("e_a"), F.col("nrm").alias("n_a"),
+    )
+    b = normed.select(
+        "bucket", F.col("vec_id").alias("id_b"),
+        F.col("e").alias("e_b"), F.col("nrm").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            dot_exact(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+            >= 0.2
+        )
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    kept = F.coalesce(F.col("component"), F.col("vec_id")) == F.col("vec_id")
+    return (
+        emb.select("label", "vec_id")
+        .join(cc, F.col("vec_id") == F.col("node"), "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        )
+    )

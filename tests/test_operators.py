@@ -258,3 +258,20 @@ class TestPentomino:
 
         out = pentomino_count_distributed(spark, 20, 3, depth=2).collect()
         assert [r.n_solutions for r in out] == [8]
+
+
+def test_mixture_keep_partition_invariant(spark):
+    """The md5-keep decision is a pure row function: kept id sets must
+    not change under any repartitioning (the failure mode of rand()-
+    based sampling this operator exists to avoid), and the rate is
+    actually honored to within sampling noise."""
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.operators.textstats import mixture_keep
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    keep = mixture_keep(F.lit(0.3), F.col("doc_id"))
+    a = {r.doc_id for r in df.filter(keep).collect()}
+    b = {r.doc_id for r in df.repartition(13).filter(keep).collect()}
+    assert a == b
+    assert abs(len(a) / 5000 - 0.3) < 0.03
