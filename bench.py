@@ -66,6 +66,12 @@ HEADLINE = [
     "inactive_rich_customers",      # anti join + scalar subquery (Q22)
     "corpus_split_counts",          # deterministic train/val/test split
     "corpus_token_shards",          # token-budget shard packing window
+    "corpus_mixture_sample",        # md5-deterministic mixture sampling
+    "corpus_semantic_dedup",        # LSH block → cosine → components
+    "corpus_tfidf_topterms",        # TF/DF top-k per doc
+    "text_repetition_stats",        # Gopher repetition signals
+    "text_pii_scan",                # PII pattern scan
+    "pentomino_count",              # exact-cover compute fan-out
 ]
 
 

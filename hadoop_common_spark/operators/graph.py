@@ -93,3 +93,58 @@ def connected_components(
             break
 
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    unit: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank over a directed edge list in FIXED-POINT integer
+    arithmetic: ranks are bigint micro-units (``unit`` = 1.0), every
+    step is integer multiply/floor-divide, and per-node contribution
+    sums are bigint sums — so the result is bit-identical under any
+    partitioning, summation order, or engine (IEEE-double PageRank is
+    not: float addition doesn't commute). Dangling mass is dropped (the
+    standard simplification) and damping is ``damping_pct/100`` applied
+    as integer ops: r' = (1-d)*unit + d*Σ(r_in div out_deg).
+
+    Scale: each iteration is one join on src + one agg on dst — the same
+    two hash shuffles any distributed PageRank does; the plan is built
+    lazily across iterations (no driver-side state), with a
+    ``localCheckpoint`` every other round to stop lineage growth."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    e = e.localCheckpoint(eager=True)
+    out_deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    e_deg = e.join(out_deg, "u").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    base = (unit * (100 - damping_pct)) // 100
+    ranks = nodes.withColumn("rank", F.lit(unit).cast("bigint"))
+    for i in range(iters):
+        contrib = (
+            e_deg.join(ranks, e_deg["u"] == ranks["node"])
+            .select(F.col("v"), F.expr("rank div deg").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["v"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("bigint")
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).alias("rank"),
+            )
+        )
+        if i % 2 == 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

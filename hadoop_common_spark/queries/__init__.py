@@ -72,6 +72,7 @@ _QUERY_MODULES = [
     "hadoop_common_spark.queries.olap",
     "hadoop_common_spark.queries.subqueries",
     "hadoop_common_spark.queries.pipeline",
+    "hadoop_common_spark.queries.graph",
 ]
 
 
@@ -116,6 +117,7 @@ PRIORITY: list[str] = [
     "corpus_decontamination",
     "corpus_mixture_sample",
     "corpus_semantic_dedup",
+    "graph_pagerank",
     # -- multimodal plumbing (3 of 5 in the checked window carry the
     #    stub-kernel family's evidence; audio/resize share their shape) --
     "multimodal_metadata",
@@ -124,6 +126,7 @@ PRIORITY: list[str] = [
     # -- streaming-equivalent windows (only tumbling was checked in r01) --
     "window_sliding_10m_5m",
     "window_sessionize",
+    "view_click_attribution",
     "window_user_running_total",
     "window_user_analytics",
     # -- OLAP superset --
@@ -131,15 +134,6 @@ PRIORITY: list[str] = [
     "cube_status_priority",
     "grouping_sets_events",
     "pivot_status_priority",
-    # -- subquery shapes --
-    "above_avg_balance",
-    "above_nation_avg_balance",
-    "customers_without_urgent_orders",
-    "parts_in_urgent_orders",
-    "brands_with_many_parts",
-    "important_parts_share",
-    "waiting_suppliers",
-    "min_cost_supplier",
     # -- synthetic generators / compute demos --
     "teragen_checksum",
     "terasort_head",
@@ -148,6 +142,17 @@ PRIORITY: list[str] = [
     "bbp_pi_digits",
     "sudoku_distributed",
     "pentomino_count",
+    # -- subquery shapes (standard Catalyst decorrelation; lower
+    #    evidence value than the blocks above, so they take the tail
+    #    of the checked window) --
+    "above_avg_balance",
+    "above_nation_avg_balance",
+    "customers_without_urgent_orders",
+    "parts_in_urgent_orders",
+    "brands_with_many_parts",
+    "important_parts_share",
+    "waiting_suppliers",
+    "min_cost_supplier",
     # -- below the ~50-entry checked window from here down --
     "multimodal_audio_features",
     "multimodal_resize_plan",

@@ -1,0 +1,66 @@
+"""Graph queries: iterative algorithms as first-class relational plans.
+
+PageRank here is the training-pipeline shape (link-graph quality
+signals for corpus filtering — the published web-corpus pipelines weight
+documents by centrality); connected components (the other iterative
+graph op) lives in operators/graph.py and is oracle-checked via
+dedup_cluster_resolution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_common_spark.queries import query
+
+_UNIT = 10**12
+_DAMP = 85
+_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-point PageRank (5 iterations) over the
+    customer→supplier purchase graph. Every step is integer arithmetic
+    (see operators/graph.pagerank_fixed_point), so the CTE chain is
+    bit-identical to the Spark loop. DuckDB SUM(BIGINT) yields HUGEINT —
+    cast back at every step."""
+    base = (_UNIT * (100 - _DAMP)) // 100
+    ctes = [
+        "e AS (SELECT DISTINCT o_custkey AS u, l_suppkey AS v "
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        "deg AS (SELECT u, COUNT(*) AS deg FROM e GROUP BY u)",
+        "ed AS (SELECT e.u, e.v, deg.deg FROM e JOIN deg USING (u))",
+        "nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e)",
+        f"r0 AS (SELECT node, CAST({_UNIT} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(_ITERS):
+        ctes.append(
+            f"r{i + 1} AS (SELECT n.node, CAST({base} + ({_DAMP} * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank "
+            f"FROM nodes n LEFT JOIN (SELECT ed.v, CAST(SUM(rank // deg) AS BIGINT) AS s "
+            f"FROM ed JOIN r{i} ON ed.u = r{i}.node GROUP BY ed.v) c ON n.node = c.v)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM r{_ITERS}"
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (5 iterations, d=0.85) over the
+    customer→supplier purchase graph. Integer micro-unit ranks make the
+    iteration order- and engine-independent (float PageRank is not
+    reproducible under re-partitioning); each iteration is the canonical
+    two-shuffle join+agg, lineage truncated every other round — the plan
+    shape that runs PageRank on billion-edge graphs."""
+    from hadoop_common_spark.operators.graph import pagerank_fixed_point
+
+    edges = (
+        spark.table("orders")
+        .join(
+            spark.table("lineitem"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+    )
+    return pagerank_fixed_point(
+        edges, "src", "dst", iters=_ITERS, unit=_UNIT, damping_pct=_DAMP
+    )

@@ -186,3 +186,49 @@ def window_user_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percent_rank().over(w_val).alias("pct_rank"),
         )
     )
+
+
+_ATTRIBUTION_ORACLE = """
+SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS view_epoch
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id
+ AND v.ts >= c.ts - INTERVAL 10 MINUTE
+ AND v.ts <= c.ts
+"""
+
+
+@query("view_click_attribution", oracle=_ATTRIBUTION_ORACLE)
+def view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join (click→view attribution over a 10-minute
+    lookback): the batch twin of the stream-stream watermarked join in
+    streaming/jobs.py::view_click_attribution_stream. Equi key (user_id)
+    + range predicate: Spark shuffles both sides on user_id once and the
+    range filter runs post-join inside the same stage — no cross join,
+    no quadratic blow-up beyond per-user fan-out, at any scale."""
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    return (
+        clicks.join(
+            views,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("v_ts") <= F.col("c_ts")),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "view_id",
+            F.col("c_ts").cast("long").alias("click_epoch"),
+            F.col("v_ts").cast("long").alias("view_epoch"),
+        )
+    )

@@ -124,3 +124,39 @@ def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.table(name)
+
+
+def view_click_attribution_stream(
+    events: DataFrame, watermark: str = "1 hour", horizon_minutes: int = 10
+) -> DataFrame:
+    """Stream-stream interval join (attribution): each click joins the
+    same user's views from the preceding ``horizon_minutes``. Both sides
+    are watermarked and the join condition time-bounds the match, so
+    Spark can expire buffered state — the unbounded-state trap of naive
+    stream joins. Batch twin: queries/windows.py::view_click_attribution
+    (the oracle-checked formulation)."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    return clicks.join(
+        views,
+        F.expr(
+            f"c_user = v_user AND view_ts >= click_ts - INTERVAL {horizon_minutes} "
+            "MINUTES AND view_ts <= click_ts"
+        ),
+    ).select("c_user", "click_id", "view_id", "click_ts", "view_ts")

@@ -275,3 +275,21 @@ def test_mixture_keep_partition_invariant(spark):
     b = {r.doc_id for r in df.repartition(13).filter(keep).collect()}
     assert a == b
     assert abs(len(a) / 5000 - 0.3) < 0.03
+
+
+def test_pagerank_partition_invariant(spark):
+    """Fixed-point integer PageRank is bit-identical under repartitioning
+    (the reason for integer micro-units; float PageRank is not)."""
+    from hadoop_common_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (1, 3)], ["src", "dst"]
+    )
+    a = {r.node: r.rank for r in pagerank_fixed_point(edges, iters=4).collect()}
+    b = {
+        r.node: r.rank
+        for r in pagerank_fixed_point(edges.repartition(7), iters=4).collect()
+    }
+    assert a == b
+    # rank mass orders sensibly: node 1 has two in-edges incl. the hub
+    assert a[1] == max(a.values())

@@ -216,3 +216,27 @@ out.flush()
     )
     out = pipe_typed_bytes(df, [sys.executable, str(child)], schema)
     assert sorted((r.s, r.n) for r in out.collect()) == [("ABC", 2), ("XYZ", 42)]
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream watermarked interval join == its batch twin
+    (view_click_attribution, the oracle-checked formulation). Inner join
+    + availableNow: every in-horizon match is emitted once the watermark
+    passes; with a bounded input the full drain must equal batch."""
+    from hadoop_common_spark.queries import load_all
+    from hadoop_common_spark.streaming.jobs import view_click_attribution_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        view_click_attribution_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.click_id, r.view_id) for r in spark.table("t_attr").collect()}
+    batch = load_all()["view_click_attribution"].fn(spark, sf_dir)
+    want = {(r.click_id, r.view_id) for r in batch.collect()}
+    assert got == want and len(want) > 0
