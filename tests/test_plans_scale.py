@@ -225,3 +225,44 @@ def test_user_analytics_single_exchange(spark, sf_dir, registry):
     plan = plan_of(df)
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") >= 2
+
+
+def test_attribution_join_pushes_type_filters(spark, sf_dir, registry):
+    """The interval self-join must split into two filtered scans (pushed
+    event_type predicate, 4-column read) joined on the user_id equi key —
+    never a nested-loop/cartesian over raw events."""
+    df = registry["view_click_attribution"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,view)" in plan
+    scan = next(
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "events.parquet" in ln
+    )
+    assert "props" not in scan and "value" not in scan
+
+
+def test_mixture_sample_is_single_exchange(spark, sf_dir, registry):
+    """Deterministic sampling is a narrow map: one partial-agg exchange,
+    3-column pruned scan, no join, no window."""
+    df = registry["corpus_mixture_sample"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan
+    scan = next(
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "documents.parquet" in ln
+    )
+    assert "text" not in scan and "lang" not in scan
+
+
+def test_semantic_dedup_pairs_join_on_bucket(spark, sf_dir, registry):
+    """Candidate pairs come from an equi join on the LSH bucket — the
+    whole point of blocking; a cartesian/all-pairs plan is the 100 TB
+    failure mode."""
+    df = registry["corpus_semantic_dedup"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
