@@ -1,0 +1,46 @@
+"""Column profiling — the ANALYZE TABLE / data-quality audit shape.
+
+A corpus pipeline profiles every ingest batch before spending cluster
+time on it (null-rate spikes and cardinality collapse are the two
+classic upstream-breakage signals). One pass over the table computes
+per-column null counts, exact distinct counts, and min/max, emitted in
+long format (one row per column) so the result is schema-stable no
+matter which table is profiled.
+
+Scale: a single full scan with one partial-aggregated reduce per
+column batch — no per-column jobs (the naive DESCRIBE loop), no
+collect. Distinct counts are the expensive part; ``approx`` swaps them
+to HyperLogLog (approx_count_distinct) for the 100 TB tier where exact
+per-column cardinality is a luxury.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None, approx: bool = False) -> DataFrame:
+    """One row per column: (col_name, n_rows, n_nulls, n_distinct,
+    min_str, max_str). min/max are stringified so heterogeneous column
+    types stack in one long-format result; byte-wise string comparison
+    matches every engine for ASCII data."""
+    cols = columns or df.columns
+    ndv = F.approx_count_distinct if approx else F.countDistinct
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            ndv(F.col(c)).alias(f"{c}__ndv"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    # one wide row -> long format via stack (no second scan)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct, min_str, max_str)",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")

@@ -240,3 +240,30 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_chars"),
         )
     )
+
+
+def _profile_oracle() -> str:
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    parts = [
+        f"""
+SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_str,
+       MAX(CAST({c} AS VARCHAR)) AS max_str
+FROM documents"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("corpus_profile", oracle=_profile_oracle())
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch profiling (the ANALYZE TABLE shape): per-column
+    null counts, exact distinct counts, stringified min/max, ONE scan
+    for all columns (the naive per-column DESCRIBE loop is N scans).
+    Null-rate spikes and cardinality collapse are the standard
+    upstream-breakage tripwires a pipeline checks before training."""
+    from hadoop_common_spark.operators.profile import profile_table
+
+    return profile_table(spark.table("documents"))

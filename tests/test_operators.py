@@ -293,3 +293,44 @@ def test_pagerank_partition_invariant(spark):
     assert a == b
     # rank mass orders sensibly: node 1 has two in-edges incl. the hub
     assert a[1] == max(a.values())
+
+
+class TestApproxSketches:
+    """The approximate tier for 100 TB profiling: HLL distinct counts and
+    quantile sketches. No cross-engine oracle (estimates differ by
+    implementation) — the contract here is the published error bound."""
+
+    def test_hll_distinct_within_rsd(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.range(0, 50_000).select((F.col("id") % 9973).alias("k"))
+        est = df.agg(F.approx_count_distinct("k", rsd=0.02).alias("e")).collect()[0].e
+        assert abs(est - 9973) / 9973 < 0.06  # 3x the configured rsd
+
+    def test_profile_approx_mode_matches_exact_shape(self, spark):
+        """approx=True swaps countDistinct for HLL: same schema, same
+        null/min/max values, distinct within the default ~5% rsd."""
+        from hadoop_common_spark.operators.profile import profile_table
+
+        df = spark.range(0, 20_000).selectExpr(
+            "id", "CAST(id % 257 AS STRING) AS s",
+            "CASE WHEN id % 10 = 0 THEN NULL ELSE id % 1000 END AS v",
+        )
+        exact = {r.col_name: r for r in profile_table(df).collect()}
+        appr = {r.col_name: r for r in profile_table(df, approx=True).collect()}
+        assert set(exact) == set(appr) == {"id", "s", "v"}
+        for c in exact:
+            assert exact[c].n_nulls == appr[c].n_nulls
+            assert exact[c].min_str == appr[c].min_str
+            assert exact[c].max_str == appr[c].max_str
+            assert abs(appr[c].n_distinct - exact[c].n_distinct) <= 0.15 * exact[c].n_distinct
+
+    def test_percentile_approx_within_accuracy(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.range(1, 100_001)
+        got = df.agg(
+            F.percentile_approx("id", [0.5, 0.9, 0.99], 10_000).alias("p")
+        ).collect()[0].p
+        for q, v in zip([0.5, 0.9, 0.99], got):
+            assert abs(v - q * 100_000) <= 100_000 / 10_000 * 10  # accuracy bound
