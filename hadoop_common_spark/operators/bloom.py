@@ -60,10 +60,18 @@ def bloom_build(df: DataFrame, key_col: str, m_bits: int = 1 << 20, k: int = 5) 
 
 
 def bloom_probe(
-    df: DataFrame, key_col: str, bloom: DataFrame, m_bits: int = 1 << 20, k: int = 5
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    negate: bool = False,
 ) -> DataFrame:
     """Keep rows whose key MAY be in the filter (no false negatives;
     false-positive rate ~ (1 - e^(-kn/m))^k) — membershipTest parity.
+    ``negate=True`` inverts: keep rows that are DEFINITELY absent (some
+    bit unset) — the scan-speed "certainly new" split of an incremental
+    anti join (only the may-match remainder needs the exact join).
 
     The word table collapses to a single map literal (≤ m/64 entries,
     128 KiB at m=2^20), broadcast to every task; each row checks its k
@@ -76,9 +84,11 @@ def bloom_probe(
         f" & shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))) != 0"
         for p in _position_sqls(key_col, m_bits, k)
     ]
+    may_match = " AND ".join(checks)
+    cond = f"NOT ({may_match})" if negate else may_match
     return (
         df.crossJoin(F.broadcast(compact))
-        .filter(F.expr(" AND ".join(checks)))
+        .filter(F.expr(cond))
         .drop("_bloom")
     )
 

@@ -119,6 +119,7 @@ PRIORITY: list[str] = [
     "corpus_semantic_dedup",
     "graph_pagerank",
     "corpus_profile",
+    "corpus_incremental_ingest",
     # -- multimodal plumbing (3 of 5 in the checked window carry the
     #    stub-kernel family's evidence; audio/resize share their shape) --
     "multimodal_metadata",

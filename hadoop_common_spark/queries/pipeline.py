@@ -267,3 +267,61 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_common_spark.operators.profile import profile_table
 
     return profile_table(spark.table("documents"))
+
+
+_INGEST_ORACLE = """
+WITH d AS (SELECT doc_id, lang, md5(text) AS fp FROM documents),
+ex AS (SELECT DISTINCT fp FROM d WHERE doc_id % 7 <> 0),
+inc AS (SELECT * FROM d WHERE doc_id % 7 = 0)
+SELECT lang,
+       COUNT(*) AS n_incoming,
+       CAST(SUM(CASE WHEN fp IN (SELECT fp FROM ex) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_vs_corpus,
+       CAST(COUNT(DISTINCT CASE WHEN fp NOT IN (SELECT fp FROM ex) THEN fp END) AS BIGINT)
+         AS n_new_unique
+FROM inc GROUP BY lang
+"""
+
+
+@query("corpus_incremental_ingest", oracle=_INGEST_ORACLE)
+def corpus_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion: an incoming batch (doc_id % 7 == 0,
+    the stand-in for today's crawl) is split against the standing corpus
+    by content fingerprint using the Bloom-partitioned anti join — rows
+    failing the corpus sketch are DEFINITELY new and skip the join
+    entirely (scan-speed, the overwhelming majority at 100 TB); only the
+    may-match remainder pays the exact semi/anti join that removes Bloom
+    false positives. Per-language: incoming count, dup-vs-corpus count,
+    surviving unique-new count (in-batch dedup by fingerprint)."""
+    from hadoop_common_spark.operators.bloom import bloom_build, bloom_probe
+
+    docs = spark.table("documents").select(
+        "doc_id", "lang", F.md5(F.col("text")).alias("fp")
+    )
+    existing = docs.filter(F.col("doc_id") % 7 != 0)
+    incoming = docs.filter(F.col("doc_id") % 7 == 0)
+    ex_fps = existing.select("fp").distinct()
+
+    sketch = bloom_build(ex_fps, "fp")
+    definite_new = bloom_probe(incoming, "fp", sketch, negate=True)
+    candidates = bloom_probe(incoming, "fp", sketch)
+    dup = candidates.join(ex_fps, "fp", "left_semi")
+    new = definite_new.unionByName(candidates.join(ex_fps, "fp", "left_anti"))
+
+    per_lang = incoming.groupBy("lang").agg(F.count(F.lit(1)).alias("n_incoming"))
+    dup_lang = dup.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_vs_corpus")
+    )
+    new_lang = new.groupBy("lang").agg(
+        F.countDistinct("fp").cast("bigint").alias("n_new_unique")
+    )
+    return (
+        per_lang.join(dup_lang, "lang", "left")
+        .join(new_lang, "lang", "left")
+        .select(
+            "lang",
+            "n_incoming",
+            F.coalesce("n_dup_vs_corpus", F.lit(0)).alias("n_dup_vs_corpus"),
+            F.coalesce("n_new_unique", F.lit(0)).alias("n_new_unique"),
+        )
+    )

@@ -42,3 +42,25 @@ def test_bloom_semi_join_exact(spark):
     got = bloom_semi_join(large, keys, "k", "kk", M, K)
     want = large.join(keys.select(F.col("kk").alias("k")), "k", "left_semi")
     assert sorted(r.k for r in got.collect()) == sorted(r.k for r in want.collect())
+
+
+def test_bloom_negate_partitions_exactly(spark):
+    """negate=True ∪ negate=False is a partition of the probed rows, and
+    the Bloom-partitioned anti join (definitely-new ∪ exact-anti of the
+    may-match) equals a plain exact anti join."""
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.operators.bloom import bloom_build, bloom_probe
+
+    keys = spark.range(0, 500).select(F.col("id").cast("string").alias("k"))
+    probe = spark.range(250, 1000).select(F.col("id").cast("string").alias("k"))
+    sketch = bloom_build(keys, "k")
+    may = bloom_probe(probe, "k", sketch)
+    new = bloom_probe(probe, "k", sketch, negate=True)
+    assert may.count() + new.count() == probe.count()
+    # no false negatives: every true member is in the may-match side
+    assert may.join(keys, "k", "left_semi").count() == 250
+    composed = new.unionByName(may.join(keys, "k", "left_anti"))
+    want = {r.k for r in probe.join(keys, "k", "left_anti").collect()}
+    got = {r.k for r in composed.collect()}
+    assert got == want
