@@ -155,11 +155,13 @@ def repetition_stats(
     one split per row), explode -> count per (doc, gram) -> max/sum per
     doc. Token stats ride through the explode as two ints and come back
     via ``any_value`` — no second pass over the text and no doc-level
-    join. Docs with <2 tokens have no 2-grams and are excluded (both
-    engines agree). Two hash-partitioned shuffles keyed by (doc, gram)
-    then doc — no skew (gram keys are per-doc unique-ish), linear at any
-    corpus size."""
-    toks = F.split(F.col(text_col), TOKEN_RE)
+    join. Empty tokens (leading/trailing whitespace artifacts of the
+    regex split) are filtered, so whitespace-only docs — like docs with
+    <2 real tokens — have no 2-grams and are excluded (both engines
+    agree). Two hash-partitioned shuffles keyed by (doc, gram) then doc
+    — no skew (gram keys are per-doc unique-ish), linear at any corpus
+    size."""
+    toks = F.array_remove(F.split(F.col(text_col), TOKEN_RE), "")
     m = F.greatest(F.size(toks) - 1, F.lit(0))
     grams = F.zip_with(
         F.slice(toks, 1, m), F.slice(toks, 2, m), lambda x, y: F.concat_ws(" ", x, y)

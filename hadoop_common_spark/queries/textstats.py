@@ -192,7 +192,8 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REPETITION_ORACLE = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
 ),
 grams AS (
   SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_dist,

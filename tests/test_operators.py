@@ -334,3 +334,85 @@ class TestApproxSketches:
         ).collect()[0].p
         for q, v in zip([0.5, 0.9, 0.99], got):
             assert abs(v - q * 100_000) <= 100_000 / 10_000 * 10  # accuracy bound
+
+
+class TestTextRobustness:
+    """Adversarial inputs through the text tier under Spark 4 ANSI mode:
+    empty / whitespace-only / single-token / unicode / null text must
+    produce rows (or a principled drop), never a runtime error."""
+
+    ROWS = [
+        (1, ""),
+        (2, "   "),
+        (3, "one"),
+        (4, "a b"),
+        (5, "héllo wörld héllo wörld héllo wörld"),
+        (6, "日本語 テスト 日本語"),
+        (7, None),
+        (8, "x " * 500),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS, ["doc_id", "text"])
+
+    def test_token_and_quality_total(self, spark):
+        from pyspark.sql import functions as F
+
+        from hadoop_common_spark.operators.textstats import (
+            quality_score, token_count,
+        )
+
+        df = self._df(spark).filter(F.col("text").isNotNull())
+        out = df.select("doc_id", token_count("text").alias("n"),
+                        quality_score("text").alias("q")).collect()
+        got = {r.doc_id: r.n for r in out}
+        assert got[1] == 0 and got[2] == 0 and got[3] == 1 and got[8] == 500
+        assert all(r.q is not None and 0.0 <= r.q <= 1.0 for r in out)
+
+    def test_repetition_stats_drops_short_docs_only(self, spark):
+        from pyspark.sql import functions as F
+
+        from hadoop_common_spark.operators.textstats import repetition_stats
+
+        df = self._df(spark).filter(F.col("text").isNotNull())
+        out = {r.doc_id: r for r in repetition_stats(df, "doc_id", "text").collect()}
+        # <2 real tokens (incl. whitespace-only) -> no 2-grams -> excluded
+        assert set(out) == {4, 5, 6, 8}
+        assert out[8].top_2gram_frac == 1.0  # "x x" repeated
+        assert abs(out[8].distinct_ratio - 1 / 500) < 1e-12
+
+    def test_pii_scrub_and_fingerprint_handle_edges(self, spark):
+        from pyspark.sql import functions as F
+
+        from hadoop_common_spark.operators.textstats import (
+            fingerprint, pii_scrub,
+        )
+
+        df = self._df(spark).filter(F.col("text").isNotNull())
+        out = pii_scrub(df, "text").select(
+            "doc_id", "scrubbed", fingerprint("text").alias("fp")
+        ).collect()
+        assert len(out) == 7
+        assert all(r.fp is not None for r in out)
+
+    def test_lang_id_emits_every_row(self, spark):
+        from pyspark.sql import functions as F
+
+        from hadoop_common_spark.operators.textstats import lang_id
+
+        df = self._df(spark).filter(F.col("text").isNotNull())
+        out = lang_id(df, "text")
+        assert out.count() == 7
+
+    def test_shingles_short_docs_empty_not_error(self, spark):
+        from pyspark.sql import functions as F
+
+        from hadoop_common_spark.operators.dedup import word_shingles
+
+        df = self._df(spark).filter(F.col("text").isNotNull())
+        out = df.select("doc_id", F.size(word_shingles("text", 3)).alias("n")).collect()
+        got = {r.doc_id: r.n for r in out}
+        assert got[3] == 0 and got[4] == 0  # fewer tokens than the shingle width
+        # shingles are a DISTINCT set (Jaccard semantics): "x x ... x "
+        # collapses to the repeated shingle plus one trailing-empty artifact
+        assert got[8] == 2
