@@ -120,6 +120,7 @@ PRIORITY: list[str] = [
     "graph_pagerank",
     "corpus_profile",
     "corpus_incremental_ingest",
+    "zorder_layout_keys",
     # -- multimodal plumbing (3 of 5 in the checked window carry the
     #    stub-kernel family's evidence; audio/resize share their shape) --
     "multimodal_metadata",

@@ -152,3 +152,58 @@ def top_k_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         3,
         [F.desc("value"), F.asc("event_id")],
     )
+
+
+_Z_BITS = 16
+
+
+def _zorder_oracle(bits: int = _Z_BITS, k: int = 2) -> str:
+    """Mirror of operators/zorder.zorder_key for (user_id, ts-epoch):
+    min/max scale each dim to ``bits`` bits (FLOOR — DuckDB CAST rounds),
+    interleave with literal power-of-two multipliers."""
+    maxv = (1 << bits) - 1
+
+    def scaled(c: str, lo: str, hi: str) -> str:
+        span = f"CAST({hi} - {lo} AS DOUBLE)"
+        return (
+            f"LEAST(GREATEST(CAST(FLOOR(CAST({c} - {lo} AS DOUBLE) / "
+            f"(CASE WHEN {span} > 0 THEN {span} ELSE 1.0 END) * {maxv}.0) AS BIGINT), 0), {maxv})"
+        )
+
+    s0 = scaled("user_id", "lo0", "hi0")
+    s1 = scaled("e_ts", "lo1", "hi1")
+    terms = []
+    for i in range(bits):
+        for j, s in enumerate((s0, s1)):
+            terms.append(
+                f"CAST(FLOOR({s} / {float(1 << i)}) AS BIGINT) % 2 * {1 << (i * k + j)}"
+            )
+    zkey = " + ".join(terms)
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e_ts FROM events
+),
+r AS (
+  SELECT CAST(MIN(user_id) AS BIGINT) AS lo0, CAST(MAX(user_id) AS BIGINT) AS hi0,
+         CAST(MIN(e_ts) AS BIGINT) AS lo1, CAST(MAX(e_ts) AS BIGINT) AS hi1
+  FROM e
+)
+SELECT event_id, CAST({zkey} AS BIGINT) AS zkey FROM e, r
+"""
+
+
+@query("zorder_layout_keys", oracle=_zorder_oracle())
+def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over (user_id, event time) — the
+    data-layout op behind multi-dimensional file skipping: write files in
+    zkey order and every file carries tight min/max on BOTH columns, so
+    parquet row-group pruning serves time filters AND user filters from
+    the same layout (single-key range partitioning serves only one). The
+    key is min/max scaling + bit interleave — pure integer expressions at
+    scan speed; ranges come from one broadcast 1-row aggregate."""
+    from hadoop_common_spark.operators.zorder import zorder_key
+
+    e = spark.table("events").select(
+        "event_id", "user_id", F.expr("CAST(ts AS LONG)").alias("e_ts")
+    )
+    return zorder_key(e, ["user_id", "e_ts"], bits=_Z_BITS).select("event_id", "zkey")

@@ -416,3 +416,38 @@ class TestTextRobustness:
         # shingles are a DISTINCT set (Jaccard semantics): "x x ... x "
         # collapses to the repeated shingle plus one trailing-empty artifact
         assert got[8] == 2
+
+
+def test_zorder_bounds_both_dimensions(spark):
+    """Chunking a z-ordered layout bounds the min/max span of BOTH
+    interleaved columns per chunk (the file-skipping property); a
+    single-key sort bounds only its own key. Compare median per-chunk
+    user-span: z-order must beat time-sort by a wide margin."""
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.operators.zorder import zorder_key
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("user_id"),
+        (F.col("id") * 37 % 4096).alias("e_ts"),
+        F.col("id").alias("event_id"),
+    )
+    z = zorder_key(df, ["user_id", "e_ts"], bits=12)
+    n_chunks = 16
+
+    def median_user_span(ordered_col):
+        chunked = z.withColumn(
+            "chunk", F.ntile(n_chunks).over(__import__("pyspark.sql", fromlist=["Window"]).Window.orderBy(ordered_col))
+        )
+        spans = (
+            chunked.groupBy("chunk")
+            .agg((F.max("user_id") - F.min("user_id")).alias("span"))
+            .collect()
+        )
+        vals = sorted(r.span for r in spans)
+        return vals[len(vals) // 2]
+
+    z_span = median_user_span(F.col("zkey"))
+    t_span = median_user_span(F.col("e_ts"))
+    assert z_span * 2 <= t_span, (z_span, t_span)
