@@ -106,6 +106,7 @@ PRIORITY: list[str] = [
     "text_token_stats",
     "text_fingerprints",
     "text_bpe_token_stats",
+    "text_bpe_merge_pairs",
     "text_winnow_fingerprint",
     "text_repetition_stats",
     "text_pii_scan",

@@ -289,3 +289,57 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_phone").alias("n_phone"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+_BPE_MERGE_ORACLE = r"""
+WITH words AS (
+  SELECT w, COUNT(*) AS wc
+  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                               i -> substr(w, CAST(i AS INT), 2))) AS pair,
+         wc
+  FROM words WHERE length(w) >= 2
+)
+SELECT pair, pair_count, rank FROM (
+  SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count,
+         CAST(ROW_NUMBER() OVER (ORDER BY SUM(wc) DESC, pair ASC) AS INT) AS rank
+  FROM pairs GROUP BY pair
+) WHERE rank <= 20
+"""
+
+
+@query("text_bpe_merge_pairs", oracle=_BPE_MERGE_ORACLE)
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE training iteration: corpus-weighted adjacent
+    character-pair frequencies, top 20 (the pair a tokenizer trainer
+    would merge first, then re-iterate). Two-stage frequency fold: word
+    counts FIRST (the vocabulary is tiny vs the corpus — the same
+    map-side-combine trick WordCount uses), then char pairs weighted by
+    word count — the explode runs over distinct words, not raw text.
+    Deterministic tie-break by pair string."""
+    from pyspark.sql import Window
+
+    words = (
+        spark.table("documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "wc",
+    )
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("bigint").alias("pair_count"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+    )
