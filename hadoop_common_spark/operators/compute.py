@@ -130,6 +130,10 @@ def sudoku_solve_distributed(
     (cannot happen for disjoint prefixes, but keeps the contract honest)."""
     branches = sudoku_branches(puzzle, depth)
     schema = T.StructType([T.StructField("solution", T.StringType())])
+    if not branches:
+        # contradictory givens prune every depth-d prefix: the correct
+        # answer is an empty solution set, not a createDataFrame error
+        return spark.createDataFrame([], schema)
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -287,6 +291,9 @@ def pentomino_count_distributed(
     fan-out scales to any executor count by raising ``depth``."""
     branches = pentomino_branches(width, height, depth)
     schema = T.StructType([T.StructField("n", T.LongType())])
+    if not branches:
+        # a board no prefix survives (e.g. area != 60) tiles zero ways
+        return spark.createDataFrame([(0,)], "n_solutions bigint")
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -115,7 +115,14 @@ def pagerank_fixed_point(
     Scale: each iteration is one join on src + one agg on dst — the same
     two hash shuffles any distributed PageRank does; the plan is built
     lazily across iterations (no driver-side state), with a
-    ``localCheckpoint`` every other round to stop lineage growth."""
+    ``localCheckpoint`` every other round to stop lineage growth.
+
+    Overflow contract: total mass never grows (dangling mass is dropped,
+    damping shrinks), so any node's contribution sum is < n_nodes *
+    ``unit``; the damping multiply is decomposed as d*(s div 100) +
+    (d*(s mod 100)) div 100 so intermediates stay below that bound —
+    pick ``unit`` such that n_nodes * unit < 2^63 (e.g. 10**9 for a
+    billion-node graph; the default 10**12 is safe to ~9M nodes)."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     e = e.localCheckpoint(eager=True)
     out_deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
@@ -141,7 +148,12 @@ def pagerank_fixed_point(
                 "node",
                 (
                     F.lit(base).cast("bigint")
-                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                    # == (d*s) div 100, but the intermediate stays < s
+                    # (85*s would overflow int64 on hub-heavy graphs)
+                    + F.expr(
+                        f"{damping_pct} * (coalesce(s, 0L) div 100)"
+                        f" + ({damping_pct} * (coalesce(s, 0L) % 100)) div 100"
+                    )
                 ).alias("rank"),
             )
         )

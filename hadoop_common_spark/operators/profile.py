@@ -28,17 +28,27 @@ def profile_table(df: DataFrame, columns: list[str] | None = None, approx: bool 
     cols = columns or df.columns
     ndv = F.approx_count_distinct if approx else F.countDistinct
     aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in cols:
+    # backtick-quoted lookups + positional _p{i} aliases: column names
+    # with dots/spaces/quotes must not leak into parsed expressions
+    # (dots are interpreted as struct access even by df[name])
+    def ref(c: str):
+        return F.col("`" + c.replace("`", "``") + "`")
+
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
-            ndv(F.col(c)).alias(f"{c}__ndv"),
-            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
-            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            F.count(F.when(ref(c).isNull(), 1)).alias(f"_p{i}_nulls"),
+            ndv(ref(c)).alias(f"_p{i}_ndv"),
+            F.min(ref(c).cast("string")).alias(f"_p{i}_min"),
+            F.max(ref(c).cast("string")).alias(f"_p{i}_max"),
         ]
     wide = df.agg(*aggs)
-    # one wide row -> long format via stack (no second scan)
+    # one wide row -> long format via stack (no second scan); the real
+    # column name enters only as an escaped string literal
     stack_args = ", ".join(
-        f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max" for c in cols
+        "'{}', _p{i}_nulls, _p{i}_ndv, _p{i}_min, _p{i}_max".format(
+            c.replace("\\", "\\\\").replace("'", "\\'"), i=i
+        )
+        for i, c in enumerate(cols)
     )
     return wide.selectExpr(
         "n_rows",

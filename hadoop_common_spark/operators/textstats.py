@@ -235,15 +235,20 @@ def pii_scrub(df: DataFrame, text_col: str, out_col: str = "scrubbed") -> DataFr
     """PII redaction for training corpora: mask emails / IPv4s / phone
     numbers with typed placeholders and count the matches per document.
     Entirely ``regexp_replace``/``regexp_extract_all`` built-ins — scan
-    speed, no Python, trivially parallel at any scale."""
+    speed, no Python, trivially parallel at any scale.
+
+    Each pattern is counted on the text AFTER the previous masks applied
+    (not the original), so ``n_*`` always equals the number of
+    placeholders emitted — overlapping matches ('555-867-5309@x.com' is
+    one email, zero phones) can't make counts disagree with the output."""
     out = df
-    scrubbed = F.col(text_col)
+    cur = F.col(text_col)
     for name, pat in PII_PATTERNS.items():
         out = out.withColumn(
-            f"n_{name}", F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            f"n_{name}", F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
         )
-        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
-    return out.withColumn(out_col, scrubbed)
+        cur = F.regexp_replace(cur, pat, f"<{name.upper()}>")
+    return out.withColumn(out_col, cur)
 
 
 def mixture_keep(rate_col: Column, id_col: Column, salt: str = "mix:") -> Column:

@@ -151,15 +151,27 @@ def pipe_typed_bytes(
             command, stdin=subprocess.PIPE, stdout=subprocess.PIPE, bufsize=1 << 16
         )
 
+        feed_error: list[BaseException] = []
+
         def feed():
+            # stdin MUST close on every path: a row tb_encode can't frame
+            # (unsupported type) would otherwise leave the child waiting
+            # for EOF and hang the task forever with the real error
+            # swallowed in this thread.
             try:
                 for row in rows:
                     buf = io.BytesIO()
                     tb_encode(list(row), buf)
                     proc.stdin.write(buf.getvalue())
-                proc.stdin.close()
             except BrokenPipeError:
                 pass
+            except BaseException as e:  # surfaced after the drain loop
+                feed_error.append(e)
+            finally:
+                try:
+                    proc.stdin.close()
+                except BrokenPipeError:
+                    pass
 
         writer = threading.Thread(target=feed, daemon=True)
         writer.start()
@@ -172,6 +184,10 @@ def pipe_typed_bytes(
             yield tuple(vec)
         writer.join()
         rc = proc.wait()
+        if feed_error:
+            raise RuntimeError(
+                f"typed-bytes encode failed feeding {command!r}"
+            ) from feed_error[0]
         if rc != 0:
             raise RuntimeError(f"piped command {command!r} exited {rc}")
 

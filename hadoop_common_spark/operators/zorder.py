@@ -42,6 +42,14 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
     Bit i of column j lands at position i * k + j: shift-and-mask with
     literal constants only (Spark 4 has no Column << operator)."""
     k = len(cols)
+    if k * bits > 62:
+        # bit position k*bits-1 must stay below the sign bit of the
+        # bigint key: 2 cols at 16 bits uses positions 0..31; 4 cols at
+        # the default 16 would need 1 << 63 and overflow
+        raise ValueError(
+            f"{k} columns x {bits} bits = {k * bits} key bits > 62; "
+            f"lower bits to <= {62 // k}"
+        )
     ranges = df.agg(
         *[f for c in cols for f in (
             F.min(c).cast("bigint").alias(f"_lo_{c}"),

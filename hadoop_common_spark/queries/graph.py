@@ -36,7 +36,7 @@ def _pagerank_oracle() -> str:
     ]
     for i in range(_ITERS):
         ctes.append(
-            f"r{i + 1} AS (SELECT n.node, CAST({base} + ({_DAMP} * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank "
+            f"r{i + 1} AS (SELECT n.node, CAST({base} + {_DAMP} * (COALESCE(c.s, 0) // 100) + ({_DAMP} * (COALESCE(c.s, 0) % 100)) // 100 AS BIGINT) AS rank "
             f"FROM nodes n LEFT JOIN (SELECT ed.v, CAST(SUM(rank // deg) AS BIGINT) AS s "
             f"FROM ed JOIN r{i} ON ed.u = r{i}.node GROUP BY ed.v) c ON n.node = c.v)"
         )

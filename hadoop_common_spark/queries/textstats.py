@@ -263,11 +263,15 @@ _PII_PATTERNS_SQL = {
     "phone": r"\b\d{3}[- ]\d{3}[- ]\d{4}\b",
 }
 
+# counts mirror pii_scrub's sequential semantics: each pattern counted on
+# the text AFTER the previous masks ('g' = global replace, like Spark's)
+_T1 = f"regexp_replace(text, '{_PII_PATTERNS_SQL['email']}', '<EMAIL>', 'g')"
+_T2 = f"regexp_replace({_T1}, '{_PII_PATTERNS_SQL['ipv4']}', '<IPV4>', 'g')"
 _PII_ORACLE = f"""
 SELECT
   CAST(SUM(len(regexp_extract_all(text, '{_PII_PATTERNS_SQL["email"]}'))) AS BIGINT) AS n_email,
-  CAST(SUM(len(regexp_extract_all(text, '{_PII_PATTERNS_SQL["ipv4"]}'))) AS BIGINT) AS n_ipv4,
-  CAST(SUM(len(regexp_extract_all(text, '{_PII_PATTERNS_SQL["phone"]}'))) AS BIGINT) AS n_phone,
+  CAST(SUM(len(regexp_extract_all({_T1}, '{_PII_PATTERNS_SQL["ipv4"]}'))) AS BIGINT) AS n_ipv4,
+  CAST(SUM(len(regexp_extract_all({_T2}, '{_PII_PATTERNS_SQL["phone"]}'))) AS BIGINT) AS n_phone,
   COUNT(*) AS n_docs
 FROM documents
 """

@@ -66,7 +66,13 @@ def _ship_package(spark: SparkSession) -> None:
     import tempfile
     import zipfile
 
-    zpath = os.path.join(tempfile.gettempdir(), "hadoop_common_spark_pkg.zip")
+    # mkstemp, not a fixed name: a fixed /tmp path breaks for the second
+    # user on a shared host (PermissionError on a file another user owns)
+    # and races concurrent sessions rewriting it mid-addPyFile
+    fd, zpath = tempfile.mkstemp(
+        prefix="hadoop_common_spark_pkg_", suffix=".zip"
+    )
+    os.close(fd)
     with zipfile.ZipFile(zpath, "w", zipfile.ZIP_STORED) as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             if "__pycache__" in root:

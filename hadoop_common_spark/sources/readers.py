@@ -205,16 +205,33 @@ def distcp(
         reader = reader.option("pathGlobFilter", glob)
     listing = reader.load(src).select("path", "length").collect()
     src_root = urlparse(src).path if "://" in src else os.path.abspath(src)
+
+    def _local_path(binaryfile_path: str) -> str:
+        # binaryFile's path column is NOT URI-encoded — urlparse would
+        # truncate names containing '#' (fragment) or '?' (query); strip
+        # the scheme prefix textually instead.
+        return binaryfile_path[5:] if binaryfile_path.startswith("file:") else binaryfile_path
+
     chunks = []
+    dest_sizes = []
     for row in listing:
-        p = urlparse(row.path).path
+        p = _local_path(row.path)
         rel = os.path.relpath(p, src_root) if p != src_root else os.path.basename(p)
+        dest_sizes.append((rel, row.length))
         off = 0
         while True:
             chunks.append((p, rel, off, min(chunk_bytes, row.length - off)))
             off += chunk_bytes
             if off >= row.length:
                 break
+    # Pre-create every destination at its final size (truncating): chunk
+    # writers use O_CREAT without truncation, so re-copying a file that
+    # SHRANK would otherwise leave stale tail bytes from the old copy.
+    for rel, length in dest_sizes:
+        out = os.path.join(dst, rel)
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        with open(out, "wb") as fo:
+            fo.truncate(length)
     cdf = spark.createDataFrame(
         chunks, "path string, rel string, off long, len long"
     ).repartition(min(partitions, max(1, len(chunks))))

@@ -451,3 +451,71 @@ def test_zorder_bounds_both_dimensions(spark):
     z_span = median_user_span(F.col("zkey"))
     t_span = median_user_span(F.col("e_ts"))
     assert z_span * 2 <= t_span, (z_span, t_span)
+
+
+class TestReviewFixes:
+    """Regression pins for the round-2 self-review findings."""
+
+    def test_zorder_rejects_unrepresentable_width(self, spark):
+        import pytest as _pytest
+
+        from hadoop_common_spark.operators.zorder import zorder_key
+
+        df = spark.range(4).selectExpr("id a", "id b", "id c", "id d")
+        with _pytest.raises(ValueError, match="> 62"):
+            zorder_key(df, ["a", "b", "c", "d"], bits=16)
+
+    def test_sudoku_contradictory_puzzle_empty(self, spark):
+        from hadoop_common_spark.operators.compute import sudoku_solve_distributed
+
+        # first empty cell (index 9) sees {4..9} in its row, 1 in its
+        # column, {1,2,3} in its box -> zero candidates -> empty fan-out
+        bad = "123456789" + "045678900" + "0" * 63
+        assert sudoku_solve_distributed(spark, bad, depth=2).count() == 0
+
+    def test_pii_counts_match_placeholders_on_overlap(self, spark):
+        from pyspark.sql import functions as F
+
+        from hadoop_common_spark.operators.textstats import pii_scrub
+
+        rows = [(1, "call 555-867-5309@mail.com now")]
+        r = pii_scrub(spark.createDataFrame(rows, ["doc_id", "text"]), "text").collect()[0]
+        # the whole token is ONE email; the phone shape inside it is
+        # already masked when phones are counted
+        assert (r.n_email, r.n_phone) == (1, 0)
+        assert r.scrubbed.count("<EMAIL>") == r.n_email
+        assert r.scrubbed.count("<PHONE>") == r.n_phone
+
+    def test_profile_table_odd_column_names(self, spark):
+        from hadoop_common_spark.operators.profile import profile_table
+
+        df = spark.range(3).selectExpr(
+            "id AS `user id`", "id AS `a.b`", "id AS `it's`"
+        )
+        out = {r.col_name for r in profile_table(df).collect()}
+        assert out == {"user id", "a.b", "it's"}
+
+    def test_typed_bytes_encode_error_surfaces(self, spark):
+        import pytest as _pytest
+
+        from pyspark.sql import types as T
+
+        from hadoop_common_spark.operators.typedbytes import pipe_typed_bytes
+
+        # DecimalType is not tb-encodable: must raise, not hang
+        df = spark.range(2).selectExpr("CAST(id AS DECIMAL(10,2)) d")
+        schema = T.StructType([T.StructField("d", T.StringType())])
+        with _pytest.raises(Exception, match="encode|exited|Py4J"):
+            pipe_typed_bytes(df, ["cat"], schema).collect()
+
+    def test_distcp_recopy_truncates_shrunk_file(self, spark, tmp_path):
+        from hadoop_common_spark.sources.readers import distcp
+
+        src = tmp_path / "src"; dst = tmp_path / "dst"
+        src.mkdir()
+        f = src / "data#1.bin"   # '#' also pins the urlparse fix
+        f.write_bytes(b"A" * 1000)
+        distcp(spark, str(src), str(dst))
+        f.write_bytes(b"B" * 300)
+        distcp(spark, str(src), str(dst))
+        assert (dst / "data#1.bin").read_bytes() == b"B" * 300
