@@ -66,3 +66,46 @@ def top_k_per_group(df: DataFrame, group_cols: list[str], k: int, order_cols: li
     """Grouped top-k via window rank filter — one shuffle on the group key."""
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    block_col: Column,
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Global 1-based position under a total order WITHOUT a single-
+    partition window (the naive ``row_number() OVER (ORDER BY ...)``
+    funnels the whole table through one task — the reference's
+    1-reducer idiom, EX/Grep.java:87, and exactly what dies at 100 TB).
+
+    ``block_col`` must be a coarse, monotone-non-decreasing function of
+    the leading order column (e.g. the first hex byte of an md5 order
+    key, or ``floor(score * 16)``), so that ordering by
+    (block, order_cols) equals ordering by order_cols. Then:
+
+      1. row_number within each block — shuffle on block only;
+      2. per-block counts (tiny: one row per block) → running offset via
+         a window over that tiny aggregate (driver-scale, not data-scale);
+      3. broadcast-join offsets back: pos = block_offset + in-block rank.
+
+    Two data shuffles total (block partition + broadcast join is
+    shuffle-free), each bounded by the block fan-out, never a global
+    funnel. The TotalOrderPartitioner analog for *enumeration* rather
+    than sort (lib/partition/TotalOrderPartitioner.java:102)."""
+    ocs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    blocked = df.withColumn("_blk", block_col)
+    rn = F.row_number().over(Window.partitionBy("_blk").orderBy(*ocs))
+    counts = blocked.groupBy("_blk").agg(F.count(F.lit(1)).alias("_cnt"))
+    # Window over the per-block aggregate: #blocks rows (hundreds), not
+    # data-scale — the one place a global orderBy window is safe.
+    off_w = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_blk", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off")
+    )
+    return (
+        blocked.withColumn("_rn", rn)
+        .join(F.broadcast(offsets), "_blk")
+        .withColumn(pos_col, (F.col("_off") + F.col("_rn")).cast("bigint"))
+        .drop("_blk", "_rn", "_off")
+    )

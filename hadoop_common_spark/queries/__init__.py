@@ -110,6 +110,7 @@ PRIORITY: list[str] = [
     "text_winnow_fingerprint",
     "text_repetition_stats",
     "text_pii_scan",
+    "text_boilerplate_ngrams",
     "corpus_tfidf_topterms",
     # -- corpus pipeline --
     "pipeline_clean_corpus",
@@ -121,6 +122,9 @@ PRIORITY: list[str] = [
     "graph_pagerank",
     "corpus_profile",
     "corpus_incremental_ingest",
+    "corpus_domain_caps",
+    "corpus_global_shuffle",
+    "corpus_quality_bins",
     "zorder_layout_keys",
     # -- multimodal plumbing (3 of 5 in the checked window carry the
     #    stub-kernel family's evidence; audio/resize share their shape) --
@@ -133,6 +137,7 @@ PRIORITY: list[str] = [
     "view_click_attribution",
     "window_user_running_total",
     "window_user_analytics",
+    "events_multires_rollup",
     # -- OLAP superset --
     "rollup_region_nation_revenue",
     "cube_status_priority",

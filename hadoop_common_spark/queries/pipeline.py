@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hadoop_common_spark.operators.sort import global_row_number
 from hadoop_common_spark.operators.textstats import (
     mixture_keep,
     quality_score,
@@ -267,6 +268,139 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_common_spark.operators.profile import profile_table
 
     return profile_table(spark.table("documents"))
+
+
+_DOMAIN_CAP_ORACLE = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn <= 20 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM ranked GROUP BY source
+"""
+
+
+@query("corpus_domain_caps", oracle=_DOMAIN_CAP_ORACLE)
+def corpus_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps (the standard anti-overrepresentation
+    pass: no single domain may contribute more than N docs). Selection
+    within a domain is by md5-hash priority, so the kept subset is an
+    unbiased deterministic sample — stable across runs, engines, and
+    corpus growth — rather than 'first N by crawl order'. One shuffle on
+    source; a hot domain concentrates in one partition, which the cap
+    itself bounds: only the top-N ranks matter, so at 100 TB the window
+    would be preceded by a cheap per-partition top-N prefilter (same
+    two-phase shape as top_k_per_group)."""
+    pri = F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(pri, "doc_id")
+    kept = F.col("_rn") <= 20
+    return (
+        spark.table("documents")
+        .select("source", "n_chars", "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+    )
+
+
+_SHUFFLE_ORACLE = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)), doc_id)
+            AS BIGINT) AS pos
+FROM documents
+"""
+
+
+@query("corpus_global_shuffle", oracle=_SHUFFLE_ORACLE)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets a
+    reproducible position in a pseudorandom total order (order key =
+    md5 of a seeded doc_id). rand()-based shuffles drift with partition
+    layout; this one is a pure function of the data. The enumeration is
+    the scale-safe two-phase form (global_row_number: block = first hex
+    byte of the order key → 256-way parallel windows + broadcast
+    offsets), not a single-partition ROW_NUMBER."""
+    key = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    block = F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
+    df = spark.table("documents").select("doc_id", key.alias("_key"))
+    return global_row_number(
+        df, [F.col("_key"), F.col("doc_id")], block, pos_col="pos"
+    ).select("doc_id", "pos")
+
+
+_QUALITY_BIN_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         (0.4 * (CASE WHEN n_tok2 >= 5 AND n_tok2 <= 100000 THEN 1.0 ELSE 0.0 END)
+          + 0.3 * (CASE WHEN n_tok2 > 0 AND (n_chars / n_tok2) >= 2.0 AND (n_chars / n_tok2) <= 12.0
+                        THEN 1.0 ELSE 0.0 END)
+          + 0.3 * (CASE WHEN n_chars > 0
+                        THEN CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / n_chars
+                        ELSE 0.0 END)) AS q
+  FROM (
+    SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE) AS n_tok2
+    FROM documents
+  )
+),
+pos AS (
+  SELECT q, n_chars,
+         ROW_NUMBER() OVER (ORDER BY q, doc_id) - 1 AS p,
+         COUNT(*) OVER () AS n
+  FROM scored
+)
+SELECT CAST((p * 10) // n AS INT) AS bin,
+       COUNT(*) AS n_docs,
+       MIN(q) AS min_quality,
+       MAX(q) AS max_quality,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM pos GROUP BY bin
+"""
+
+
+@query("corpus_quality_bins", oracle=_QUALITY_BIN_ORACLE)
+def corpus_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count quality deciles (curriculum/quality-mixing prep: bin 0
+    = worst 10%, bin 9 = best 10%). NTILE over the whole corpus is a
+    single-partition funnel, so the decile index is computed from the
+    scale-safe global enumeration instead (block = floor(quality*16),
+    monotone in the order key) — bin = floor(rank * 10 / n). Exact
+    equal-count semantics, no global window, deterministic tie-break by
+    doc_id."""
+    q = quality_score("text")
+    df = (
+        spark.table("documents")
+        .select("doc_id", F.col("n_chars").cast("double").alias("n_chars"), q.alias("q"))
+    )
+    block = F.least(F.lit(15), F.floor(F.col("q") * 16)).cast("int")
+    pos = global_row_number(df, [F.col("q"), F.col("doc_id")], block, pos_col="_pos")
+    # Count from the raw table, not from `pos`: an aggregate over `pos`
+    # would re-execute the whole enumeration subtree (window + join) just
+    # to count rows — this branch is a bare 1-column scan instead.
+    total = spark.table("documents").groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        pos.join(F.broadcast(total))
+        .withColumn("bin", F.floor((F.col("_pos") - 1) * 10 / F.col("_n")).cast("int"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("q").alias("min_quality"),
+            F.max("q").alias("max_quality"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
 
 
 _INGEST_ORACLE = """

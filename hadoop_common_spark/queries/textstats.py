@@ -347,3 +347,45 @@ def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 20)
     )
+
+
+_BOILERPLATE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(t)-4),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS gram
+  FROM toks
+)
+SELECT gram, doc_freq FROM (
+  SELECT gram, COUNT(*) AS doc_freq,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, gram ASC) AS rk
+  FROM grams GROUP BY gram HAVING COUNT(*) >= 3
+) WHERE rk <= 100
+"""
+
+
+@query("text_boilerplate_ngrams", oracle=_BOILERPLATE_ORACLE)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: word 5-grams appearing in >= 3 distinct
+    documents, top 100 by document frequency (headers, footers, license
+    blurbs — the candidate removal list every web-corpus pipeline
+    maintains; CCNet/C4 dedup at exactly this granularity). Shingles are
+    per-document distinct (word_shingles dedups), so COUNT(*) after the
+    explode IS document frequency — no countDistinct(doc_id) shuffle of
+    (gram, doc_id) pairs. orderBy+limit plans as TakeOrderedAndProject:
+    per-partition heaps, no global sort."""
+    from hadoop_common_spark.operators.dedup import word_shingles
+
+    grams = spark.table("documents").select(
+        F.explode(word_shingles("text", 5)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 3)
+        .orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
+        .limit(100)
+    )

@@ -22,8 +22,10 @@ from hadoop_common_spark.functions.exact import dsum
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one-file-per-trigger
-    emulation of an arriving stream). events.ts is nanos → normalized to
-    a micros timestamp exactly like the batch loader."""
+    emulation of an arriving stream). events.ts is normalized to an
+    instant timestamp exactly like the batch loader (tables.py): a
+    nanos-long physical form floor-divs to micros; a TIMESTAMP_NTZ
+    physical form casts to instant (session tz is UTC)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # Scope the stream to events.parquet only — streaming the bare directory
@@ -33,7 +35,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    kind = batch_schema["ts"].dataType.simpleString()
+    if kind == "bigint":
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if kind == "timestamp_ntz":
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def tumbling_hourly_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -25,13 +25,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # Parquet TIMESTAMP(NANOS) (events.ts) is read as a nanos long under
-    # spark.sql.legacy.parquet.nanosAsLong; normalize to a micros timestamp
-    # (floor-div, matching DuckDB's ns→us coercion) so the SQL surface sees
-    # TimestampType everywhere.
+    # Normalize events.ts to TimestampType (instant, session tz = UTC)
+    # whatever the parquet physical form is across driver testdata
+    # generations:
+    #  - TIMESTAMP(NANOS) reads as a nanos long under
+    #    spark.sql.legacy.parquet.nanosAsLong -> floor-div to micros
+    #    (matching DuckDB's ns->us coercion);
+    #  - TIMESTAMP(MICROS, isAdjustedToUTC=false) infers as
+    #    TIMESTAMP_NTZ -> cast to instant (UTC session tz makes this the
+    #    same wall-clock DuckDB sees). Downstream epoch math
+    #    (CAST(ts AS LONG)) is ANSI-legal on TimestampType but NOT on
+    #    NTZ, so the SQL surface must see one type everywhere.
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if field.name == "ts":
+            kind = field.dataType.simpleString()
+            if kind == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif kind == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

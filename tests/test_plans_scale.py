@@ -266,3 +266,54 @@ def test_semantic_dedup_pairs_join_on_bucket(spark, sf_dir, registry):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_global_shuffle_enumerates_without_global_funnel(spark, sf_dir, registry):
+    """Global training-order positions must come from block-parallel
+    windows + broadcast offsets — the only single-partition exchange
+    allowed is the per-block-counts aggregate (hundreds of rows), never
+    the data path."""
+    df = registry["corpus_global_shuffle"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    # data-side window partitioned by block, offsets joined by broadcast
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange SinglePartition") == 1  # tiny counts agg only
+    assert "hashpartitioning(_blk" in plan
+
+
+def test_quality_bins_total_is_bare_scan(spark, sf_dir, registry):
+    """The decile denominator must be a fresh 1-column count scan, not a
+    re-execution of the enumeration subtree (scan count stays at 3:
+    data + block-counts + total)."""
+    df = registry["corpus_quality_bins"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") == 3
+    assert plan.count("Exchange SinglePartition") == 2  # offsets window + total
+
+
+def test_multires_rollup_single_scan_single_shuffle(spark, sf_dir, registry):
+    """Three resolutions in one pass: one events scan, one hash exchange
+    (partial agg collapses the 3x explode before the shuffle) — never the
+    union-of-three-rollups triple scan."""
+    df = registry["events_multires_rollup"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_boilerplate_ngrams_take_ordered(spark, sf_dir, registry):
+    """Top-100 boilerplate grams must plan as TakeOrderedAndProject
+    (per-partition heaps), not a global sort."""
+    df = registry["text_boilerplate_ngrams"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # gram agg only
+
+
+def test_domain_caps_single_exchange(spark, sf_dir, registry):
+    """Cap ranking and the per-source rollup share one shuffle on
+    source."""
+    df = registry["corpus_domain_caps"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1
