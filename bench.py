@@ -49,6 +49,9 @@ HEADLINE = [
     "dedup_embedding_cosine",       # embedding near-dup (blocked)
     "similarity_cosine_topk",       # brute-force ANN baseline
     "similarity_lsh_buckets",       # LSH-bucketed ANN
+    "similarity_pq_topk",           # product-quantization ADC
+    "corpus_global_shuffle",        # block-parallel global enumeration
+    "events_multires_rollup",       # one-pass multi-resolution rollup
     "text_quality_scores",          # text quality metrics
     "text_lang_id",                 # n-gram language id
     "multimodal_fake_decode",       # binary-column pipeline plumbing

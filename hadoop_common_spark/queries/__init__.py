@@ -100,6 +100,7 @@ PRIORITY: list[str] = [
     "similarity_cosine_topk",
     "similarity_lsh_buckets",
     "similarity_ivf_topk",
+    "similarity_pq_topk",
     # -- text analysis --
     "text_lang_id",
     "text_quality_scores",

@@ -204,3 +204,98 @@ def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
         )
     )
+
+
+def _pq_sqdist_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+_PQ_M, _PQ_DSUB, _PQ_KSUB = 4, 16, 16
+
+_PQ_ORACLE = f"""
+WITH samp AS (
+  SELECT embedding,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+  FROM embeddings
+  QUALIFY code < {_PQ_KSUB}
+),
+subs AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sub),
+cb AS (
+  SELECT subs.sub, samp.code,
+         samp.embedding[subs.sub*{_PQ_DSUB}+1 : (subs.sub+1)*{_PQ_DSUB}] AS centroid
+  FROM samp, subs
+),
+sv AS (
+  SELECT e.vec_id, subs.sub,
+         e.embedding[subs.sub*{_PQ_DSUB}+1 : (subs.sub+1)*{_PQ_DSUB}] AS svec
+  FROM embeddings e, subs
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT sv.vec_id, sv.sub, cb.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY sv.vec_id, sv.sub
+             ORDER BY {_pq_sqdist_sql('sv.svec', 'cb.centroid')}, cb.code
+           ) AS rk
+    FROM sv JOIN cb ON sv.sub = cb.sub
+  ) WHERE rk = 1
+),
+dtab AS (
+  SELECT q.vec_id AS query_id, cb.sub, cb.code,
+         {_pq_sqdist_sql(f"q.embedding[cb.sub*{_PQ_DSUB}+1 : (cb.sub+1)*{_PQ_DSUB}]", "cb.centroid")} AS d
+  FROM embeddings q, cb
+  WHERE q.vec_id < 10
+),
+adc AS (
+  SELECT dt.query_id, en.vec_id AS neighbor_id,
+         list_reduce(array_agg(dt.d ORDER BY en.sub), (x, y) -> x + y) AS adc
+  FROM enc en JOIN dtab dt ON dt.sub = en.sub AND dt.code = en.code
+  WHERE en.vec_id <> dt.query_id
+  GROUP BY dt.query_id, en.vec_id
+)
+SELECT query_id, neighbor_id, rank, adc FROM (
+  SELECT query_id, neighbor_id, adc,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM adc
+) WHERE rank <= 5
+"""
+
+
+@query("similarity_pq_topk", oracle=_PQ_ORACLE)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (FAISS-lineage PQ/ADC): 64-dim vectors
+    split into 4 subspaces x 16-centroid codebooks, stored as 4 small
+    codes each; queries precompute an m*ksub distance table and every
+    candidate costs 4 lookups. Codebooks here are the deterministic
+    md5-sampled init (iters=0), which makes the ENTIRE pipeline — sample
+    -> codebooks -> encode -> ADC top-5 — a pure function of the data the
+    DuckDB oracle recomputes end-to-end; Lloyd-refined codebooks keep the
+    same contracts and are property-tested (exact reconstruction at
+    ksub >= #rows, distortion non-increasing in iters). Zero data
+    shuffle until the final per-query top-k window."""
+    from hadoop_common_spark.operators.pq import (
+        pq_adc_search,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.table("embeddings")
+    cb = pq_codebooks(
+        emb, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_KSUB, iters=0
+    )
+    codes = pq_encode(emb, cb, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB)
+    return pq_adc_search(
+        emb.filter(F.col("vec_id") < 10),
+        codes,
+        cb,
+        "vec_id",
+        "embedding",
+        k=5,
+        m=_PQ_M,
+        dsub=_PQ_DSUB,
+        ksub=_PQ_KSUB,
+    )

@@ -320,3 +320,85 @@ def test_connected_components_unordered_edges(spark):
     edges = spark.createDataFrame([(5, 3), (3, 9), (20, 10)], ["src", "dst"])
     got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {3: 3, 5: 3, 9: 3, 10: 10, 20: 10}
+
+
+def test_pq_exact_reconstruction_matches_l2_bruteforce(spark):
+    """PQ correctness contract: with ksub >= #rows every subvector is its
+    own centroid (zero quantization error), so ADC == exact squared L2
+    and PQ top-k must equal brute-force L2 top-k — including through
+    Lloyd refinement iterations (means of singleton clusters are fixed
+    points)."""
+    from hadoop_common_spark.operators.pq import (
+        pq_adc_search,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    from hadoop_common_spark.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 40)
+    cb = pq_codebooks(emb, "vec_id", "embedding", m=4, dsub=16, ksub=40, iters=2)
+    codes = pq_encode(emb, cb, "vec_id", "embedding", m=4, dsub=16)
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = pq_adc_search(
+        queries, codes, cb, "vec_id", "embedding", k=3, m=4, dsub=16, ksub=40
+    ).collect()
+
+    # exact L2 brute force
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = emb.select(F.col("vec_id").alias("neighbor_id"), vd.alias("dv"))
+    q = queries.select(F.col("vec_id").alias("query_id"), vd.alias("qv"))
+    diff = F.zip_with(F.col("qv"), F.col("dv"), lambda x, y: x - y)
+    sq = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("sq"), F.asc("neighbor_id"))
+    want = (
+        d.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sq", sq)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    )
+    got_set = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got}
+    want_set = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in want}
+    assert got_set == want_set
+    # ADC distances equal the exact squared distances bit-for-bit is NOT
+    # guaranteed (fold grouping differs per subspace); value closeness is
+    adc = {(r["query_id"], r["neighbor_id"]): r["adc"] for r in got}
+    exact = {(r["query_id"], r["neighbor_id"]): r["sq"] for r in want}
+    for key, v in adc.items():
+        assert abs(v - exact[key]) < 1e-9 * max(1.0, exact[key])
+
+
+def test_pq_distortion_non_increasing_with_lloyd(spark):
+    """Lloyd refinement must not increase mean quantization error
+    (k-means distortion is monotone non-increasing)."""
+    from hadoop_common_spark.operators.pq import (
+        _sq_dist,
+        _subspace_structs,
+        pq_codebooks,
+    )
+
+    from hadoop_common_spark.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 200)
+
+    def distortion(iters: int) -> float:
+        cb = pq_codebooks(emb, "vec_id", "embedding", m=4, dsub=16, ksub=8, iters=iters)
+        sv = emb.select(
+            F.explode(_subspace_structs(F.col("embedding"), 4, 16)).alias("_sc")
+        ).select(F.col("_sc.sub").alias("sub"), F.col("_sc.svec").alias("svec"))
+        from hadoop_common_spark.operators.pq import _encode_subvectors
+
+        enc = _encode_subvectors(sv, cb)
+        joined = enc.join(cb, ["sub", "code"])
+        return joined.agg(
+            F.avg(_sq_dist(F.col("svec"), F.col("centroid"))).alias("e")
+        ).collect()[0]["e"]
+
+    e0, e2 = distortion(0), distortion(2)
+    assert e2 <= e0 + 1e-9
