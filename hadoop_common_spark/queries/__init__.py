@@ -112,6 +112,7 @@ PRIORITY: list[str] = [
     "text_repetition_stats",
     "text_pii_scan",
     "text_boilerplate_ngrams",
+    "text_token_cms_topk",
     "corpus_tfidf_topterms",
     # -- corpus pipeline --
     "pipeline_clean_corpus",
@@ -126,6 +127,7 @@ PRIORITY: list[str] = [
     "corpus_domain_caps",
     "corpus_global_shuffle",
     "corpus_quality_bins",
+    "corpus_contamination_scores",
     "zorder_layout_keys",
     # -- multimodal plumbing (3 of 5 in the checked window carry the
     #    stub-kernel family's evidence; audio/resize share their shape) --
@@ -139,6 +141,8 @@ PRIORITY: list[str] = [
     "window_user_running_total",
     "window_user_analytics",
     "events_multires_rollup",
+    "events_rolling_1h_stats",
+    "events_value_percentiles",
     # -- OLAP superset --
     "rollup_region_nation_revenue",
     "cube_status_priority",

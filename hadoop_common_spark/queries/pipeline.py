@@ -459,3 +459,64 @@ def corpus_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_new_unique", F.lit(0)).alias("n_new_unique"),
         )
     )
+
+
+_CONTAM_SCORE_ORACLE = """
+WITH toks AS (
+  SELECT lang, doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+shs AS (
+  SELECT lang, doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(t)-2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+  FROM toks
+),
+bench AS (SELECT DISTINCT sh FROM shs WHERE doc_id % 101 = 0),
+tot AS (
+  SELECT lang, doc_id, COUNT(*) AS n_sh FROM shs
+  WHERE doc_id % 101 <> 0 GROUP BY lang, doc_id
+),
+hits AS (
+  SELECT s.lang, s.doc_id, COUNT(*) AS n_hit
+  FROM shs s JOIN bench b ON s.sh = b.sh
+  WHERE s.doc_id % 101 <> 0 GROUP BY s.lang, s.doc_id
+)
+SELECT lang, bin, COUNT(*) AS n_docs FROM (
+  SELECT t.lang,
+         CAST(least(floor((CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_sh) * 10), 9) AS INT) AS bin
+  FROM tot t LEFT JOIN hits h ON t.lang = h.lang AND t.doc_id = h.doc_id
+) GROUP BY lang, bin
+"""
+
+
+@query("corpus_contamination_scores", oracle=_CONTAM_SCORE_ORACLE)
+def corpus_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded benchmark-contamination audit: per document, the fraction
+    of its distinct word 3-grams that appear in the held-out benchmark
+    slice, histogrammed into deciles per language (bin 9 = 90%+ overlap
+    -> certain contamination; bin 0 = trace overlap). The binary
+    decontamination query drops flagged docs; this one quantifies the
+    tail so a pipeline can pick its threshold. The benchmark shingle set
+    broadcasts; corpus-side work is one explode + per-doc count — the
+    overlap ratio is a single exact double division, so decile binning
+    is engine-stable."""
+    from hadoop_common_spark.operators.dedup import word_shingles
+
+    sh = spark.table("documents").select(
+        "lang", "doc_id", F.explode(word_shingles("text", 3)).alias("sh")
+    )
+    corpus = sh.filter(F.col("doc_id") % 101 != 0)
+    bench = sh.filter(F.col("doc_id") % 101 == 0).select("sh").distinct()
+    tot = corpus.groupBy("lang", "doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        corpus.join(F.broadcast(bench), "sh", "left_semi")
+        .groupBy("lang", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    ratio = F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_sh")
+    return (
+        tot.join(hits, ["lang", "doc_id"], "left")
+        .select("lang", F.least(F.floor(ratio * 10), F.lit(9)).cast("int").alias("bin"))
+        .groupBy("lang", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

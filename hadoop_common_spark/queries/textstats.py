@@ -389,3 +389,75 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
         .limit(100)
     )
+
+
+_CMS_W, _CMS_D = 1024, 4
+
+
+def _cms_bucket_sql(expr: str, row: int) -> str:
+    return (
+        f"('0x' || substr(md5('cms{row}:' || CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {_CMS_W}"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH words AS (
+  SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents
+),
+tok AS (SELECT w FROM words WHERE w <> ''),
+cells AS (
+  SELECT r.row, CASE r.row
+           {' '.join(f"WHEN {r} THEN {_cms_bucket_sql('w', r)}" for r in range(_CMS_D))}
+         END AS bucket
+  FROM tok, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS row) r
+),
+sketch AS (SELECT row, bucket, COUNT(*) AS cnt FROM cells GROUP BY row, bucket),
+probes AS (SELECT DISTINCT w FROM tok),
+pcells AS (
+  SELECT p.w, r.row, CASE r.row
+           {' '.join(f"WHEN {r} THEN {_cms_bucket_sql('p.w', r)}" for r in range(_CMS_D))}
+         END AS bucket
+  FROM probes p, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS row) r
+),
+est AS (
+  SELECT pc.w, MIN(COALESCE(s.cnt, 0)) AS est_count
+  FROM pcells pc LEFT JOIN sketch s ON pc.row = s.row AND pc.bucket = s.bucket
+  GROUP BY pc.w
+)
+SELECT w, est_count, rank FROM (
+  SELECT w, est_count,
+         ROW_NUMBER() OVER (ORDER BY est_count DESC, w ASC) AS rank
+  FROM est
+) WHERE rank <= 20
+"""
+
+
+@query("text_token_cms_topk", oracle=_CMS_ORACLE)
+def text_token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a relational count-min sketch: token stream ->
+    depth x width counter sketch (constant size, mergeable by re-summing
+    — the incremental/streaming path) -> estimated counts for the
+    vocabulary -> top 20. The md5-derived hashes make the sketch a pure
+    function of the data, so the oracle rebuilds the IDENTICAL sketch
+    and checks the estimates themselves — a differential check of the
+    approximate tier, not just its error bound (those are
+    property-tested in tests/test_operators.py::TestApproxSketches).
+    At 100 TB the exact wordcount shuffles the full vocabulary; the
+    sketch shuffle is bounded by depth x width regardless of input."""
+    from hadoop_common_spark.operators.cms import cms_build, cms_estimate
+
+    tok = (
+        spark.table("documents")
+        .select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    sketch = cms_build(tok, "w", width=_CMS_W, depth=_CMS_D)
+    est = cms_estimate(sketch, tok.distinct(), "w", width=_CMS_W, depth=_CMS_D)
+    from pyspark.sql import Window
+
+    wnd = Window.orderBy(F.col("est_count").desc(), F.col("w").asc())
+    return (
+        est.withColumn("rank", F.row_number().over(wnd).cast("int"))
+        .filter(F.col("rank") <= 20)
+    )

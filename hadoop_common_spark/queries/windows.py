@@ -298,3 +298,73 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
         )
     )
+
+
+_ROLLING_ORACLE = f"""
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_1h,
+       MIN(value) OVER w AS min_1h,
+       MAX(value) OVER w AS max_1h,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sum_1h
+FROM (SELECT event_id, user_id, value, {EPOCH_SQL} AS e FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY e
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("events_rolling_1h_stats", oracle=_ROLLING_ORACLE)
+def events_rolling_1h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-hour features (the time-decayed feature shape
+    every fraud/abuse/engagement model consumes): RANGE frame over epoch
+    seconds, so events sharing a second are all in-frame regardless of
+    tie order — deterministic where a ROWS frame would not be. One
+    shuffle on user_id; the value sum is an exact decimal fold
+    (functions/exact.py) so every prefix matches the oracle
+    bit-for-bit."""
+    df = spark.table("events").select(
+        "event_id", "user_id", "value", F.expr(EPOCH).alias("e")
+    )
+    w = Window.partitionBy("user_id").orderBy("e").rangeBetween(-3600, 0)
+    return df.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.min("value").over(w).alias("min_1h"),
+        F.max("value").over(w).alias("max_1h"),
+        # not dsum(...).over(w): dsum wraps the aggregate in a cast, so
+        # .over would attach to the cast — apply the frame to the SUM
+        # itself, then cast
+        F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double").alias("sum_1h"),
+    )
+
+
+_PERCENTILE_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       quantile_cont(value, 0.5)  AS p50,
+       quantile_cont(value, 0.9)  AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+@query("events_value_percentiles", oracle=_PERCENTILE_ORACLE)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact latency-style percentiles (p50/p90/p99) per event type —
+    the reference's WordMedian driver-side scan (EX/WordMedian.java:121)
+    generalized to true linear-interpolated quantiles. Spark's
+    `percentile` and DuckDB's `quantile_cont` share the 1+p*(n-1)
+    interpolation and produce bit-identical doubles (probed). Exact
+    percentile sorts each group; at 100 TB the swap is one token:
+    `percentile_approx` (t-digest, mergeable, no group sort) — the
+    sketch error-bound tests cover that tier."""
+    return (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("percentile(value, 0.5D)").alias("p50"),
+            F.expr("percentile(value, 0.9D)").alias("p90"),
+            F.expr("percentile(value, 0.99D)").alias("p99"),
+        )
+    )

@@ -325,6 +325,46 @@ class TestApproxSketches:
             assert exact[c].max_str == appr[c].max_str
             assert abs(appr[c].n_distinct - exact[c].n_distinct) <= 0.15 * exact[c].n_distinct
 
+    def test_count_min_frequency_bounds(self, spark):
+        """Relational count-min sketch: estimates never undercount, and
+        the eps*N overcount bound (eps ~ e/width) holds for all but the
+        delta tail; merging two half-sketches equals the full sketch."""
+        from pyspark.sql import functions as F
+
+        from hadoop_common_spark.operators.cms import cms_build, cms_estimate
+
+        df = spark.range(0, 30_000).select(
+            F.when(F.col("id") % 3 == 0, F.lit(7)).otherwise(F.col("id") % 500).alias("k")
+        )
+        width, depth = 512, 4
+        sketch = cms_build(df, "k", width=width, depth=depth)
+        probes = df.distinct()
+        est = {
+            r.k: r.est_count
+            for r in cms_estimate(sketch, probes, "k", width=width, depth=depth).collect()
+        }
+        exact = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+        n = sum(exact.values())
+        eps = 2.718 / width
+        viol = 0
+        for k, c in exact.items():
+            assert est[k] >= c  # CMS never undercounts
+            if est[k] > c + eps * n:
+                viol += 1
+        assert viol <= 0.05 * len(exact) + 3
+
+        # mergeability: union of the two half-sketches re-summed == full
+        lo = cms_build(df.filter("id % 2 = 0"), "k", width=width, depth=depth)
+        hi = cms_build(df.filter("id % 2 = 1"), "k", width=width, depth=depth)
+        merged = (
+            lo.unionByName(hi)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        a = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+        b = {(r.row, r.bucket): r.cnt for r in sketch.collect()}
+        assert a == b
+
     def test_percentile_approx_within_accuracy(self, spark):
         from pyspark.sql import functions as F
 
