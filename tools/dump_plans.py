@@ -90,6 +90,28 @@ REPRESENTATIVE = {
         "each iteration is join-on-src + agg-on-dst (the two canonical "
         "PageRank shuffles); integer ranks keep the result partition-invariant"
     ),
+    "similarity_pq_topk": (
+        "codebooks broadcast twice (encode + distance tables); per-candidate "
+        "cost is m table lookups; the only data shuffle is the final "
+        "per-query top-k window"
+    ),
+    "corpus_global_shuffle": (
+        "global enumeration without a global funnel: window PARTITION BY the "
+        "hash-prefix block, per-block offsets broadcast back — the single-"
+        "partition exchange touches only the 256-row counts aggregate"
+    ),
+    "events_multires_rollup": (
+        "three resolutions in ONE events scan and ONE hash exchange: the 3x "
+        "explode collapses in the map-side partial aggregate"
+    ),
+    "events_rolling_1h_stats": (
+        "trailing RANGE frame = one exchange on user_id + in-partition sort; "
+        "decimal sum stays inside the window stage"
+    ),
+    "text_token_cms_topk": (
+        "sketch build shuffles at most depth*width cells regardless of input "
+        "size; probe join broadcasts the sketch; top-20 is TakeOrderedAndProject"
+    ),
 }
 
 
