@@ -167,3 +167,69 @@ def view_click_attribution_stream(
             "MINUTES AND view_ts <= click_ts"
         ),
     ).select("c_user", "click_id", "view_id", "click_ts", "view_ts")
+
+
+def multires_partial(events: DataFrame) -> DataFrame:
+    """Per-(resolution, bucket) partial aggregate of one events slice —
+    the increment unit of the continuous multi-resolution rollup
+    (batch twin: queries/windows.py::events_multires_rollup). Measures
+    are mergeable (count/min/max), so partials from any batching fold
+    to the exact full-history rollup."""
+    cell = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(tag).alias("resolution"),
+                    F.date_trunc(unit, F.col("ts")).alias("bucket"),
+                )
+                for tag, unit in (("1m", "minute"), ("1h", "hour"), ("1d", "day"))
+            ]
+        )
+    )
+    return (
+        events.select(cell.alias("rb"), "value")
+        .select("rb.resolution", "rb.bucket", "value")
+        .groupBy("resolution", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def multires_rollup_incremental(
+    stream_events: DataFrame, out_path: str, checkpoint: str
+) -> None:
+    """Incrementally maintained multi-resolution rollup: each micro-batch
+    appends its partial tier rows; readers fold partials with
+    read_multires_rollup. This is the production continuous-aggregate
+    shape — the full-history table is never rescanned, each increment
+    costs one pass over the new events only, and the foreachBatch
+    checkpoint gives exactly-once per batch id."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        multires_partial(batch_df).write.mode("append").parquet(out_path)
+
+    (
+        stream_events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_multires_rollup(spark: SparkSession, out_path: str) -> DataFrame:
+    """Fold the appended partials to the exact rollup (count sums, min of
+    mins, max of maxes — associative, so ANY batching of history yields
+    identical results)."""
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("resolution", "bucket")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )

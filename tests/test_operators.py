@@ -325,6 +325,27 @@ class TestApproxSketches:
             assert exact[c].max_str == appr[c].max_str
             assert abs(appr[c].n_distinct - exact[c].n_distinct) <= 0.15 * exact[c].n_distinct
 
+    def test_hll_union_of_sketches_equals_sketch_of_union(self, spark):
+        """The mergeable-distinct tier for hierarchical rollups: merging
+        per-slice HLL sketches yields the SAME registers (hence the same
+        estimate) as sketching the whole set — the property that lets a
+        minute tier carry user-distinct sketches upward to hour/day."""
+        from pyspark.sql import functions as F
+
+        df = spark.range(0, 40_000).select((F.col("id") % 4999).alias("u"),
+                                           (F.col("id") % 3).alias("slice"))
+        per_slice = df.groupBy("slice").agg(
+            F.hll_sketch_agg("u").alias("sk")
+        )
+        merged = per_slice.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        ).collect()[0].est
+        whole = df.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("u")).alias("est")
+        ).collect()[0].est
+        assert merged == whole
+        assert abs(whole - 4999) / 4999 < 0.05
+
     def test_count_min_frequency_bounds(self, spark):
         """Relational count-min sketch: estimates never undercount, and
         the eps*N overcount bound (eps ~ e/width) holds for all but the

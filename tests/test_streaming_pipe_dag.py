@@ -240,3 +240,54 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     batch = load_all()["view_click_attribution"].fn(spark, sf_dir)
     want = {(r.click_id, r.view_id) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_multires_incremental_matches_batch(spark, sf_dir, tmp_path):
+    """The incrementally maintained rollup (micro-batch partials folded)
+    must equal the one-pass batch query over the same events — for any
+    batching (here: events split into 3 files, streamed file-wise)."""
+    from hadoop_common_spark.streaming.jobs import (
+        multires_rollup_incremental,
+        read_multires_rollup,
+    )
+    from hadoop_common_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    events = spark.table("events")
+    src = str(tmp_path / "src")
+    events.repartition(3).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    multires_rollup_incremental(stream, out, ckpt)
+
+    from hadoop_common_spark.queries import load_all
+
+    batch = load_all()["events_multires_rollup"].fn(spark, sf_dir)
+    got = {
+        (r.resolution, r.bucket): (r.n_events, r.min_value, r.max_value)
+        for r in read_multires_rollup(spark, out).collect()
+    }
+    want = {
+        (r.resolution, r.bucket): (r.n_events, r.min_value, r.max_value)
+        for r in batch.collect()
+    }
+    assert got == want
+
+    # idempotent resume: re-running with the same checkpoint appends nothing
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    multires_rollup_incremental(stream2, out, ckpt)
+    again = {
+        (r.resolution, r.bucket): (r.n_events, r.min_value, r.max_value)
+        for r in read_multires_rollup(spark, out).collect()
+    }
+    assert again == want
