@@ -90,14 +90,32 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_value_cols: list[str],
+    direction: str = "backward",
+    tolerance: int | None = None,
+    right_tie_col: str | None = None,
 ) -> DataFrame:
-    """As-of join (engine extension; reference has none — SURVEY §2.4):
-    for each left row, the latest right row with
-    ``right_ts <= left_ts`` for the same key.
+    """As-of join (engine extension; reference has none — SURVEY §2.4).
 
-    Union + last(ignorenulls) window: O(n log n) sort within key
+    ``direction='backward'`` (default): for each left row, the latest
+    right row with ``right_ts <= left_ts`` for the same key.
+    ``direction='forward'``: the earliest right row with
+    ``right_ts >= left_ts`` (ties at equal ts match in both directions).
+
+    ``tolerance`` (same units as the ts columns — use numeric/epoch
+    columns when setting it): matches farther than ``tolerance`` from the
+    left ts are nulled out, the pandas ``merge_asof`` contract.
+
+    ``right_tie_col``: deterministic tie-break among right rows sharing
+    (key, ts) — backward keeps the max tie value, forward the min (both
+    = "the one nearest the boundary" in the combined sort order). Without
+    it, equal-ts right rows resolve by partition order (nondeterministic
+    under re-partitioning) — always pass it when duplicates are possible.
+
+    Union + last/first(ignorenulls) window: O(n log n) sort within key
     partitions, no range cross-product. The idiomatic 100 TB-safe plan.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lt = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
     rt = (
         right.select(
@@ -111,19 +129,40 @@ def asof_join(
         if c not in lt.columns:
             lt = lt.withColumn(c, F.lit(None).cast(rt.schema[c].dataType))
     unioned = lt.unionByName(rt, allowMissingColumns=True)
-    # right rows sort before left rows at equal ts so a tie matches
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    tie = (
+        F.when(F.col("_side") == 0, F.col(right_tie_col))
+        if right_tie_col
+        else F.lit(0)
     )
-    out = unioned
+    if direction == "backward":
+        # rights sort before lefts at equal ts (so a tie matches); the
+        # frame ends at the current row and last() picks the nearest
+        # preceding right — among equal-ts rights, the max tie value
+        order = [F.col("_ts").asc(), F.col("_side").asc(), tie.asc_nulls_first()]
+        frame = (Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        # lefts sort before rights at equal ts; the frame starts at the
+        # current row and first() picks the nearest following right —
+        # among equal-ts rights, the min tie value
+        order = [F.col("_ts").asc(), F.col("_side").desc(), tie.asc_nulls_first()]
+        frame = (Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
+    w = Window.partitionBy(on).orderBy(*order).rowsBetween(*frame)
+    out = unioned.withColumn(
+        "_match_ts", pick(F.when(F.col("_side") == 0, F.col("_ts"))).over(w)
+    )
+    within = (
+        F.lit(True)
+        if tolerance is None
+        else F.abs(F.col("_match_ts") - F.col("_ts")) <= tolerance
+    )
     for c in right_value_cols:
         out = out.withColumn(
             c + "_asof",
-            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w),
+            F.when(within, pick(F.when(F.col("_side") == 0, F.col(c))).over(w)),
         )
     return (
         out.filter(F.col("_side") == 1)
-        .drop("_ts", "_side", *right_value_cols)
+        .drop("_ts", "_side", "_match_ts", *right_value_cols)
     )

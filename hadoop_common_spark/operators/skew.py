@@ -85,3 +85,36 @@ def salted_join(
         salt_col, F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(n_salts)]))
     )
     return lt.join(rt, on + [salt_col], how).drop(salt_col)
+
+
+def top_k_per_group_two_phase(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    order_cols: list[Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Grouped top-k that survives a hot group (the 100 TB form of
+    sort.top_k_per_group): phase 1 ranks within (group, salt) partitions
+    and keeps k rows each — a hot group spreads over ``n_salts``
+    reducers and at most k*n_salts rows of it survive; phase 2 ranks the
+    survivors per group. Identical output to the one-phase window for
+    any total order (make ``order_cols`` tie-free for determinism).
+    The same two-phase prune applies to per-domain caps
+    (queries/pipeline.corpus_domain_caps) when a domain is hot."""
+    from pyspark.sql import Window
+
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order_cols)
+    pruned = (
+        df.withColumn("_salt", salt)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .drop("_salt", "_rn1")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        pruned.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

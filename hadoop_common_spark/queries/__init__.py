@@ -173,6 +173,7 @@ PRIORITY: list[str] = [
     # -- one representative per previously-green family --
     "flagship_revenue_by_nation",
     "wordcount",
+    "asof_join_next_purchase",
     "asof_join_last_purchase",
     "window_tumbling_hourly",
 ]

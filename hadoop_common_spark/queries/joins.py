@@ -197,3 +197,59 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_value_cols=["value"],
     )
     return joined.select("event_id", F.col("value_asof").alias("purchase_value_asof"))
+
+
+_E_C = "CAST(floor(epoch(c.ts)) AS BIGINT)"
+_E_P = "CAST(floor(epoch(p.ts)) AS BIGINT)"
+_NEXT_PURCHASE_SUB = f"""FROM events p
+     WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+       AND {_E_P} >= {_E_C} AND {_E_P} <= {_E_C} + 3600
+     ORDER BY {_E_P}, p.event_id LIMIT 1"""
+
+
+@query(
+    "asof_join_next_purchase",
+    oracle=f"""
+    SELECT c.event_id,
+           (SELECT p.event_id {_NEXT_PURCHASE_SUB}) AS next_purchase_id,
+           (SELECT p.value {_NEXT_PURCHASE_SUB}) AS next_purchase_value
+    FROM events c WHERE c.event_type = 'click'
+    """,
+)
+def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance (the conversion-attribution
+    shape): each click matches the EARLIEST purchase by the same user at
+    or after the click, nulled if more than 1 hour later — pandas
+    merge_asof(direction='forward', tolerance=1h) semantics, expressed
+    as the union + first(ignorenulls) window (one shuffle on user_id, no
+    range cross-product). Equal-ts purchases tie-break by event_id, so
+    the match is deterministic under any partitioning."""
+    from hadoop_common_spark.operators.joins import asof_join
+
+    ev = spark.table("events")
+    e = F.expr("CAST(ts AS LONG)")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", e.alias("e")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        e.alias("e"),
+        F.col("event_id").alias("pid"),
+        "value",
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="e",
+        right_ts="e",
+        right_value_cols=["pid", "value"],
+        direction="forward",
+        tolerance=3600,
+        right_tie_col="pid",
+    )
+    return out.select(
+        "event_id",
+        F.col("pid_asof").alias("next_purchase_id"),
+        F.col("value_asof").alias("next_purchase_value"),
+    )

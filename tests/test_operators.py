@@ -580,3 +580,21 @@ class TestReviewFixes:
         f.write_bytes(b"B" * 300)
         distcp(spark, str(src), str(dst))
         assert (dst / "data#1.bin").read_bytes() == b"B" * 300
+
+
+def test_two_phase_top_k_equals_one_phase(spark, tables):
+    """The salted two-phase grouped top-k must equal the single-window
+    form for a tie-free order, at any salt count."""
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.operators.skew import top_k_per_group_two_phase
+    from hadoop_common_spark.operators.sort import top_k_per_group
+
+    ev = spark.table("events").select("event_type", "event_id", "value")
+    order = [F.col("value").desc(), F.col("event_id").asc()]
+    one = top_k_per_group(ev, ["event_type"], 5, order)
+    for n_salts in (1, 4, 16):
+        two = top_k_per_group_two_phase(ev, ["event_type"], 5, order, n_salts=n_salts)
+        a = sorted(map(tuple, one.collect()))
+        b = sorted(map(tuple, two.collect()))
+        assert a == b, f"n_salts={n_salts}"
