@@ -86,10 +86,10 @@ _QUERY_MODULES = [
 # are slotted right after the priority block, BEFORE the known-green tail,
 # so a new query is never silently pushed out of the checked window.
 PRIORITY: list[str] = [
-    # -- changed this round: hash-fix verification --
+    # -- changed in r02: hash-fix verification --
     "returnflag_priority_pivot",
     "join_semi_anti",
-    # -- LLM dedup / similarity suite (north star; unchecked in r01) --
+    # -- LLM dedup / similarity suite (north star) --
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -111,8 +111,6 @@ PRIORITY: list[str] = [
     "text_winnow_fingerprint",
     "text_repetition_stats",
     "text_pii_scan",
-    "text_boilerplate_ngrams",
-    "text_token_cms_topk",
     "corpus_tfidf_topterms",
     # -- corpus pipeline --
     "pipeline_clean_corpus",
@@ -129,8 +127,8 @@ PRIORITY: list[str] = [
     "corpus_quality_bins",
     "corpus_contamination_scores",
     "zorder_layout_keys",
-    # -- multimodal plumbing (3 of 5 in the checked window carry the
-    #    stub-kernel family's evidence; audio/resize share their shape) --
+    # -- multimodal plumbing (3 of 5 carry the stub-kernel family's
+    #    evidence; audio/resize share their shape) --
     "multimodal_metadata",
     "multimodal_fake_decode",
     "multimodal_frame_sample",
@@ -140,14 +138,21 @@ PRIORITY: list[str] = [
     "view_click_attribution",
     "window_user_running_total",
     "window_user_analytics",
-    "events_multires_rollup",
-    "events_rolling_1h_stats",
-    "events_value_percentiles",
-    # -- OLAP superset --
+    # -- OLAP superset (VERDICT r1 "Done" list) --
     "rollup_region_nation_revenue",
     "cube_status_priority",
     "grouping_sets_events",
     "pivot_status_priority",
+    # -- new as-of direction variant closes the top-50 window --
+    "asof_join_next_purchase",
+    # ---- ~50-entry checked-window boundary (r01 budget) ----
+    # newest operators first in the overflow, in case the budget is
+    # larger this round; rotate these to the front in r03
+    "text_boilerplate_ngrams",
+    "text_token_cms_topk",
+    "events_multires_rollup",
+    "events_rolling_1h_stats",
+    "events_value_percentiles",
     # -- synthetic generators / compute demos --
     "teragen_checksum",
     "terasort_head",
@@ -156,9 +161,7 @@ PRIORITY: list[str] = [
     "bbp_pi_digits",
     "sudoku_distributed",
     "pentomino_count",
-    # -- subquery shapes (standard Catalyst decorrelation; lower
-    #    evidence value than the blocks above, so they take the tail
-    #    of the checked window) --
+    # -- subquery shapes (standard Catalyst decorrelation) --
     "above_avg_balance",
     "above_nation_avg_balance",
     "customers_without_urgent_orders",
@@ -167,13 +170,11 @@ PRIORITY: list[str] = [
     "important_parts_share",
     "waiting_suppliers",
     "min_cost_supplier",
-    # -- below the ~50-entry checked window from here down --
     "multimodal_audio_features",
     "multimodal_resize_plan",
     # -- one representative per previously-green family --
     "flagship_revenue_by_nation",
     "wordcount",
-    "asof_join_next_purchase",
     "asof_join_last_purchase",
     "window_tumbling_hourly",
 ]
