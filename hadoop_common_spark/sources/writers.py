@@ -170,3 +170,22 @@ def compact(
     n = max(1, math.ceil(total / target_file_bytes))
     df.repartition(n).write.mode("overwrite").parquet(out_path)
     return n
+
+
+def write_sequence_file(
+    df: DataFrame, path: str, key_col: str, value_col: str
+) -> None:
+    """SequenceFile WRITE bridge (SequenceFileOutputFormat,
+    MRC/mapreduce/lib/output/SequenceFileOutputFormat.java) — the other
+    half of readers.read_sequence_file, for pipelines that must hand
+    results back to a legacy Hadoop consumer. Key/value stringified to
+    Text writables (the reference's most common K/V shape); everything
+    upstream stays a DataFrame and only the final sink drops to the RDD
+    API."""
+    (
+        df.select(
+            F.col(key_col).cast("string"), F.col(value_col).cast("string")
+        )
+        .rdd.map(tuple)
+        .saveAsSequenceFile(path)
+    )

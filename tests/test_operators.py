@@ -598,3 +598,99 @@ def test_two_phase_top_k_equals_one_phase(spark, tables):
         a = sorted(map(tuple, one.collect()))
         b = sorted(map(tuple, two.collect()))
         assert a == b, f"n_salts={n_salts}"
+
+
+class TestNewOperatorEdges:
+    """Adversarial-input behavior of the round-2 operators."""
+
+    def test_global_row_number_empty_and_single_block(self, spark):
+        from pyspark.sql import functions as F
+
+        from hadoop_common_spark.operators.sort import global_row_number
+
+        empty = spark.range(0).select(F.col("id"))
+        out = global_row_number(empty, [F.col("id")], F.lit(0), pos_col="pos")
+        assert out.count() == 0
+
+        # constant block column: degenerates to one window, still correct
+        df = spark.range(10, 0, -1).select(F.col("id"))
+        out = global_row_number(df, [F.col("id")], F.lit(0), pos_col="pos")
+        got = {r.id: r.pos for r in out.collect()}
+        assert got == {i: i for i in range(1, 11)}
+
+    def test_cms_empty_input_estimates_zero(self, spark):
+        from pyspark.sql import functions as F
+
+        from hadoop_common_spark.operators.cms import cms_build, cms_estimate
+
+        empty = spark.range(0).select(F.col("id").alias("k"))
+        sketch = cms_build(empty, "k", width=64, depth=3)
+        assert sketch.count() == 0
+        probes = spark.range(5).select(F.col("id").alias("k"))
+        est = cms_estimate(sketch, probes, "k", width=64, depth=3)
+        assert {r.est_count for r in est.collect()} == {0}
+
+    def test_asof_forward_no_match_and_tolerance_nulls(self, spark):
+        from hadoop_common_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 100), (1, 500), (2, 100)], ["k", "t"]
+        )
+        right = spark.createDataFrame(
+            [(1, 150, "a"), (1, 160, "b")], ["k", "t", "val"]
+        )
+        out = asof_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            right_value_cols=["val"], direction="forward",
+            tolerance=75, right_tie_col="val",
+        )
+        got = {(r.k, r.t): r.val_asof for r in out.collect()}
+        # k=1 t=100: nearest following right is t=150 (within 75) -> 'a'
+        # k=1 t=500: no following right -> null
+        # k=2: no rights at all -> null
+        assert got == {(1, 100): "a", (1, 500): None, (2, 100): None}
+
+        # same data, tolerance 10: the t=150 match is beyond 10 -> null
+        tight = asof_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            right_value_cols=["val"], direction="forward",
+            tolerance=10, right_tie_col="val",
+        )
+        got2 = {(r.k, r.t): r.val_asof for r in tight.collect()}
+        assert got2 == {(1, 100): None, (1, 500): None, (2, 100): None}
+
+    def test_asof_backward_tie_prefers_max_tie_forward_min(self, spark):
+        from hadoop_common_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame([(1, 100)], ["k", "t"])
+        right = spark.createDataFrame(
+            [(1, 100, "x"), (1, 100, "y")], ["k", "t", "val"]
+        )
+        back = asof_join(
+            left, right, "k", "t", "t", ["val"],
+            direction="backward", right_tie_col="val",
+        ).collect()[0].val_asof
+        fwd = asof_join(
+            left, right, "k", "t", "t", ["val"],
+            direction="forward", right_tie_col="val",
+        ).collect()[0].val_asof
+        assert back == "y" and fwd == "x"
+
+    def test_pq_rejects_nothing_but_handles_trailing_dims(self, spark):
+        """dim not divisible by m*dsub: trailing dims are simply not
+        quantized (slice is bounds-safe) — encode still yields m codes."""
+        from pyspark.sql import functions as F
+
+        from hadoop_common_spark.operators.pq import pq_codebooks, pq_encode
+
+        vecs = spark.range(8).select(
+            F.col("id").alias("vec_id"),
+            F.expr("transform(sequence(1, 10), i -> CAST(i * (id + 1) AS FLOAT))").alias(
+                "embedding"
+            ),
+        )
+        cb = pq_codebooks(vecs, "vec_id", "embedding", m=3, dsub=3, ksub=4, iters=0)
+        codes = pq_encode(vecs, cb, "vec_id", "embedding", m=3, dsub=3)
+        rows = codes.collect()
+        assert len(rows) == 8
+        assert all(len(r.codes) == 3 for r in rows)

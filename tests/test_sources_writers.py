@@ -325,3 +325,21 @@ def test_mapfile_lookup_and_closest(spark):
         spark.conf.unset("spark.sql.maxMetadataStringLength")
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
         spark.sql("DROP TABLE IF EXISTS mapfile_t")
+
+
+def test_sequence_file_roundtrip_write_then_read(spark, tmp_path):
+    """write_sequence_file -> read_sequence_file -> read_auto all agree
+    (the legacy-consumer handoff path)."""
+    from hadoop_common_spark.sources.readers import read_auto, read_sequence_file
+    from hadoop_common_spark.sources.writers import write_sequence_file
+
+    df = spark.range(0, 100).selectExpr(
+        "CAST(id AS STRING) AS k", "CONCAT('v', CAST(id AS STRING)) AS v"
+    )
+    path = str(tmp_path / "seqout")
+    write_sequence_file(df, path, "k", "v")
+    back = read_sequence_file(spark, path)
+    rows = {(r.key, r.value) for r in back.collect()}
+    assert rows == {(str(i), f"v{i}") for i in range(100)}
+    auto = read_auto(spark, path)
+    assert {(r.key, r.value) for r in auto.collect()} == rows
