@@ -228,3 +228,92 @@ def pq_adc_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc")
     )
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    index_codes: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 4,
+    m: int = 4,
+    dsub: int = 16,
+    ksub: int = 16,
+) -> DataFrame:
+    """IVF-PQ: the composed 100 TB ANN architecture (coarse k-means cells
+    prune the candidate set to ~nprobe/nlist of the index; PQ codes make
+    each surviving candidate cost m lookups instead of dim multiplies —
+    the FAISS IVFADC design). ``index_codes`` carries (id, cell, codes):
+    join ivf.ivf_index's cell assignment with pq_encode's codes.
+
+    Query side: rank cells by centroid distance (broadcast centroids),
+    take nprobe, precompute the PQ distance table once per query; the
+    candidate equi-join on cell is the only index-side shuffle. With
+    nprobe == nlist the candidate set is the whole index, so the result
+    equals pq_adc_search exactly — the oracle identity the registry
+    query exploits; pruned recall is property-tested."""
+    from hadoop_common_spark.operators.ivf import _sq_dist as cell_dist
+
+    cents = centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cell"), F.col("centroid")))
+        ).alias("_cents")
+    )
+    flat = codebooks.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("sub"), F.col("code"), F.col("centroid")))
+        ).alias("_cb")
+    )
+    qd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), qd.alias("_qv"))
+        .crossJoin(F.broadcast(cents))
+        .crossJoin(F.broadcast(flat))
+    )
+    ranked_cells = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    cell_dist(F.col("_qv"), c["centroid"]).alias("d"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    dtab = F.transform(
+        F.col("_cb"),
+        lambda c: _sq_dist(
+            F.slice(F.col("_qv"), c["sub"] * dsub + 1, dsub), c["centroid"]
+        ),
+    )
+    probes = q.select(
+        "query_id", dtab.alias("_dtab"), F.explode(ranked_cells).alias("_pc")
+    ).select("query_id", "_dtab", F.col("_pc.cell").alias("cell"))
+    cand = index_codes.select(
+        F.col(id_col).alias("neighbor_id"), "cell", "codes"
+    ).join(F.broadcast(probes), "cell")
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("_dtab"), (s * ksub + F.element_at(F.col("codes"), s + 1) + 1).cast("int")
+        ),
+    )
+    scored = (
+        cand.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc", adc)
+        .select("query_id", "neighbor_id", "adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )

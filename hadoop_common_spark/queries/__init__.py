@@ -148,6 +148,7 @@ PRIORITY: list[str] = [
     # ---- ~50-entry checked-window boundary (r01 budget) ----
     # newest operators first in the overflow, in case the budget is
     # larger this round; rotate these to the front in r03
+    "similarity_ivfpq_topk",
     "text_boilerplate_ngrams",
     "text_token_cms_topk",
     "events_multires_rollup",

@@ -299,3 +299,43 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsub=_PQ_DSUB,
         ksub=_PQ_KSUB,
     )
+
+
+@query("similarity_ivfpq_topk", oracle=_PQ_ORACLE)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, the composed scale architecture (FAISS IVFADC lineage):
+    k-means cells prune candidates, PQ codes price each candidate at m
+    lookups. Run with exhaustive probing (nprobe == nlist), the pruning
+    admits every vector exactly once, so the result is provably equal to
+    pq_adc_search — the SAME end-to-end SQL oracle checks the composed
+    pipeline (cells change only which rows are scored, never their ADC
+    distance). The pruned configuration is recall-property-tested in
+    tests/."""
+    from hadoop_common_spark.operators.ivf import ivf_index, kmeans_fit
+    from hadoop_common_spark.operators.pq import (
+        ivfpq_search,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.table("embeddings")
+    cents = kmeans_fit(emb, "embedding", "vec_id", nlist=8, iters=2)
+    cells = ivf_index(emb, cents, "embedding").select("vec_id", "cell")
+    cb = pq_codebooks(
+        emb, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_KSUB, iters=0
+    )
+    codes = pq_encode(emb, cb, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB)
+    index_codes = cells.join(codes, "vec_id")
+    return ivfpq_search(
+        emb.filter(F.col("vec_id") < 10),
+        index_codes,
+        cents,
+        cb,
+        "vec_id",
+        "embedding",
+        k=5,
+        nprobe=8,
+        m=_PQ_M,
+        dsub=_PQ_DSUB,
+        ksub=_PQ_KSUB,
+    )

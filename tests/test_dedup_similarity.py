@@ -402,3 +402,39 @@ def test_pq_distortion_non_increasing_with_lloyd(spark):
 
     e0, e2 = distortion(0), distortion(2)
     assert e2 <= e0 + 1e-9
+
+
+def test_ivfpq_pruned_recall(spark):
+    """IVF-PQ with pruned probing (nprobe < nlist) must still recover
+    most of the full-ADC top-k — the composed scale path's recall
+    contract."""
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.operators.ivf import ivf_index, kmeans_fit
+    from hadoop_common_spark.operators.pq import (
+        ivfpq_search,
+        pq_adc_search,
+        pq_codebooks,
+        pq_encode,
+    )
+    from hadoop_common_spark.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 200)
+    cents = kmeans_fit(emb, "embedding", "vec_id", nlist=4, iters=2)
+    cells = ivf_index(emb, cents, "embedding").select("vec_id", "cell")
+    cb = pq_codebooks(emb, "vec_id", "embedding", m=4, dsub=16, ksub=16, iters=1)
+    codes = pq_encode(emb, cb, "vec_id", "embedding", m=4, dsub=16)
+    index_codes = cells.join(codes, "vec_id")
+    q = emb.filter(F.col("vec_id") < 6)
+    pruned = ivfpq_search(
+        q, index_codes, cents, cb, "vec_id", "embedding",
+        k=3, nprobe=2, m=4, dsub=16, ksub=16,
+    )
+    full = pq_adc_search(
+        q, codes, cb, "vec_id", "embedding", k=3, m=4, dsub=16, ksub=16
+    )
+    got = {(r.query_id, r.neighbor_id) for r in pruned.collect()}
+    want = {(r.query_id, r.neighbor_id) for r in full.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.6, f"IVF-PQ recall@3 with nprobe=2 was {recall}"
