@@ -149,6 +149,8 @@ PRIORITY: list[str] = [
     # newest operators first in the overflow, in case the budget is
     # larger this round; rotate these to the front in r03
     "similarity_ivfpq_topk",
+    "events_funnel",
+    "events_cohort_retention",
     "text_boilerplate_ngrams",
     "text_token_cms_topk",
     "events_multires_rollup",

@@ -368,3 +368,106 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(value, 0.99D)").alias("p99"),
         )
     )
+
+
+_FUNNEL_ORACLE = f"""
+WITH pe AS (SELECT user_id, event_type, {EPOCH_SQL} AS e FROM events),
+v AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN e END) AS v_ts
+  FROM pe GROUP BY user_id
+),
+c AS (
+  SELECT pe.user_id, MIN(CASE WHEN pe.event_type = 'click' AND pe.e >= v.v_ts
+                              THEN pe.e END) AS c_ts
+  FROM pe JOIN v ON pe.user_id = v.user_id GROUP BY pe.user_id
+),
+p AS (
+  SELECT pe.user_id, MIN(CASE WHEN pe.event_type = 'purchase' AND pe.e >= c.c_ts
+                              THEN pe.e END) AS p_ts
+  FROM pe JOIN c ON pe.user_id = c.user_id GROUP BY pe.user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN v.v_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN c.c_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(SUM(CASE WHEN p.p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+FROM v JOIN c ON v.user_id = c.user_id JOIN p ON v.user_id = p.user_id
+"""
+
+
+@query("events_funnel", oracle=_FUNNEL_ORACLE)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click-after-view -> purchase-
+    after-click), the product-analytics staple: stage k counts users
+    whose earliest stage-k event follows their earliest completed stage
+    k-1. Three unbounded per-user windows CHAINED IN ONE SELECT pipeline
+    share a single exchange on user_id (no orderBy needed — min over the
+    whole partition); the final count is a 4-number global fold. At 100
+    TB this is one shuffle of (user, type, ts) triples, nothing else."""
+    pe = spark.table("events").select(
+        "user_id", "event_type", F.expr(EPOCH).alias("e")
+    )
+    w = Window.partitionBy("user_id")
+    v = F.min(F.when(F.col("event_type") == "view", F.col("e"))).over(w)
+    staged = pe.withColumn("v_ts", v)
+    c = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("e") >= F.col("v_ts")), F.col("e"))
+    ).over(w)
+    staged = staged.withColumn("c_ts", c)
+    p = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("e") >= F.col("c_ts")), F.col("e")
+        )
+    ).over(w)
+    staged = staged.withColumn("p_ts", p)
+    per_user = staged.groupBy("user_id").agg(
+        F.first("v_ts").alias("v_ts"),
+        F.first("c_ts").alias("c_ts"),
+        F.first("p_ts").alias("p_ts"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("v_ts").isNotNull().cast("int")).cast("bigint").alias("n_view"),
+        F.sum(F.col("c_ts").isNotNull().cast("int")).cast("bigint").alias("n_view_click"),
+        F.sum(F.col("p_ts").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_view_click_purchase"),
+    )
+
+
+_COHORT_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+firsts AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, d.day) AS INT) AS day_offset,
+       COUNT(*) AS n_users
+FROM days d JOIN firsts f ON d.user_id = f.user_id
+GROUP BY f.cohort_day, day_offset
+"""
+
+
+@query("events_cohort_retention", oracle=_COHORT_ORACLE)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-active day, and
+    for each (cohort, day-offset) the count of cohort members active
+    that day. (user, day) pairs are pre-deduped, so the join fans out
+    only per active-day; cohort assignment is a min-aggregate re-joined
+    on user_id (broadcast-sized per cohort at any corpus — it is one row
+    per user... the join key is user_id so both sides co-partition in
+    one shuffle). COUNT(*) after the dedup IS distinct users."""
+    days = (
+        spark.table("events")
+        .select("user_id", F.to_date(F.col("ts")).alias("day"))
+        .distinct()
+    )
+    firsts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("int").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
