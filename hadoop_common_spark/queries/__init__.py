@@ -151,6 +151,8 @@ PRIORITY: list[str] = [
     "similarity_ivfpq_topk",
     "events_funnel",
     "events_cohort_retention",
+    "corpus_pack_sequences",
+    "orders_scd2_intervals",
     "text_boilerplate_ngrams",
     "text_token_cms_topk",
     "events_multires_rollup",

@@ -520,3 +520,78 @@ def corpus_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "bin")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+_PACK_ORACLE = """
+WITH docs AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+chunks AS (
+  SELECT lang, doc_id, unnest(generate_series(0, CAST((n_tok + 255) // 256 AS INT) - 1)) AS ci,
+         n_tok
+  FROM docs
+),
+sized AS (
+  SELECT lang, doc_id, ci,
+         least(256, n_tok - ci * 256) AS chunk_tok
+  FROM chunks
+),
+packed AS (
+  SELECT lang, doc_id, chunk_tok,
+         CAST((SUM(chunk_tok) OVER (PARTITION BY lang ORDER BY doc_id, ci
+                                    ROWS UNBOUNDED PRECEDING) - chunk_tok) // 2048 AS BIGINT)
+           AS seq_id
+  FROM sized
+)
+SELECT lang, seq_id,
+       COUNT(*) AS n_chunks,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(chunk_tok) AS BIGINT) AS seq_tokens
+FROM packed GROUP BY lang, seq_id
+"""
+
+
+@query("corpus_pack_sequences", oracle=_PACK_ORACLE)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing WITH document chunking: documents split
+    into <=256-token chunks (long docs span chunks; explode over a
+    sequence() — no UDF), chunks packed in (doc, chunk) order into
+    ~2048-token sequences per language via the running-total window.
+    This is the corpus_token_shards refinement every trainer actually
+    needs — a 10k-token doc must not overflow its shard, it must split.
+    One explode + one per-language window + one aggregate; the explode
+    fan-out is ceil(n_tok/256) per doc, linear in corpus tokens."""
+    n_tok = F.size(F.split(F.col("text"), " ", -1)).cast("bigint")
+    docs = spark.table("documents").select("lang", "doc_id", n_tok.alias("n_tok"))
+    n_chunks = ((F.col("n_tok") + 255) / 256).cast("bigint")
+    chunks = docs.select(
+        "lang",
+        "doc_id",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("ci"),
+    )
+    sized = chunks.select(
+        "lang",
+        "doc_id",
+        "ci",
+        F.least(F.lit(256).cast("bigint"), F.col("n_tok") - F.col("ci") * 256).alias(
+            "chunk_tok"
+        ),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id", "ci")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = F.sum("chunk_tok").over(w) - F.col("chunk_tok")
+    return (
+        sized.withColumn("seq_id", F.floor(pre / 2048).cast("bigint"))
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("chunk_tok").cast("bigint").alias("seq_tokens"),
+        )
+    )

@@ -471,3 +471,36 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+_SCD2_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_orderdate AS DATE) AS valid_from,
+       CAST(LEAD(o_orderdate) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS DATE) AS valid_to
+FROM orders WHERE o_custkey < 200
+"""
+
+
+@query("orders_scd2_intervals", oracle=_SCD2_ORACLE)
+def orders_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval construction: each
+    customer's order history becomes [valid_from, valid_to) rows, the
+    open interval (valid_to null) marking the current record — the
+    snapshot-to-history transform every warehouse maintains. One lead()
+    window per customer; point-in-time lookup is then a pushed-down
+    range filter, and the as-of join (asof_join_last_purchase) is its
+    query-side twin."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        spark.table("orders")
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.to_date("o_orderdate").alias("valid_from"),
+            F.to_date(F.lead("o_orderdate").over(w)).alias("valid_to"),
+        )
+    )
