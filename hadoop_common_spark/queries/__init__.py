@@ -153,6 +153,8 @@ PRIORITY: list[str] = [
     "events_cohort_retention",
     "corpus_pack_sequences",
     "orders_scd2_intervals",
+    "text_fuzzy_word_pairs",
+    "events_outlier_counts",
     "text_boilerplate_ngrams",
     "text_token_cms_topk",
     "events_multires_rollup",

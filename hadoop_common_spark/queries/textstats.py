@@ -461,3 +461,77 @@ def text_token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.withColumn("rank", F.row_number().over(wnd).cast("int"))
         .filter(F.col("rank") <= 20)
     )
+
+
+_FUZZY_ORACLE = """
+WITH words AS (
+  SELECT w, COUNT(*) AS wc FROM (
+    SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+grams AS (
+  SELECT w, wc, unnest(list_distinct(list_transform(
+           generate_series(1, len(w) - 1), i -> substr(w, i, 2)))) AS g
+  FROM words WHERE len(w) >= 2
+),
+cand AS (
+  SELECT DISTINCT a.w AS w_a, b.w AS w_b, a.wc AS wc_a, b.wc AS wc_b
+  FROM grams a JOIN grams b
+    ON a.g = b.g AND a.w < b.w
+   AND abs(len(a.w) - len(b.w)) <= 2
+)
+SELECT w_a, w_b, CAST(levenshtein(w_a, w_b) AS INT) AS dist,
+       CAST(wc_a AS BIGINT) AS wc_a, CAST(wc_b AS BIGINT) AS wc_b
+FROM cand
+WHERE levenshtein(w_a, w_b) <= 2
+"""
+
+
+@query("text_fuzzy_word_pairs", oracle=_FUZZY_ORACLE)
+def text_fuzzy_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy vocabulary matching (typo/variant clustering): word pairs
+    at edit distance <= 2, with q-gram blocking doing the scale work —
+    candidates must share a character 2-gram and differ in length by at
+    most 2, so the quadratic verify runs only inside tiny blocks, never
+    all-pairs. (2 edits destroy at most 4 of a word's 2-grams, so the
+    shared-gram filter is EXACT for words of length >= 6 and a recall
+    heuristic below — the standard q-gram-filter trade.) The vocabulary
+    is aggregated FIRST (corpus-size-independent, the wordcount trick),
+    and levenshtein() is exact integer DP in both engines."""
+    words = (
+        spark.table("documents")
+        .select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    grams = words.select(
+        "w",
+        "wc",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            )
+        ).alias("g"),
+    )
+    a = grams.select(
+        F.col("g"), F.col("w").alias("w_a"), F.col("wc").alias("wc_a")
+    )
+    b = grams.select(
+        F.col("g"), F.col("w").alias("w_b"), F.col("wc").alias("wc_b")
+    )
+    cand = (
+        a.join(b, "g")
+        .filter(F.col("w_a") < F.col("w_b"))
+        .filter(F.abs(F.length("w_a") - F.length("w_b")) <= 1)
+        .select("w_a", "w_b", "wc_a", "wc_b")
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("w_a", "w_b") <= 2).select(
+        "w_a",
+        "w_b",
+        F.levenshtein("w_a", "w_b").cast("int").alias("dist"),
+        F.col("wc_a").cast("bigint").alias("wc_a"),
+        F.col("wc_b").cast("bigint").alias("wc_b"),
+    )

@@ -504,3 +504,51 @@ def orders_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date(F.lead("o_orderdate").over(w)).alias("valid_to"),
         )
     )
+
+
+_OUTLIER_ORACLE = """
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+                       OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN bounds b ON e.event_type = b.event_type
+GROUP BY e.event_type
+"""
+
+
+@query("events_outlier_counts", oracle=_OUTLIER_ORACLE)
+def events_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier screening per event type (the data-quality
+    tripwire before values feed a model): exact q1/q3 (bit-identical
+    interpolation, see events_value_percentiles), fences at 1.5 IQR,
+    counts only — so the result is integer-stable across engines. The
+    bounds side is one tiny aggregate broadcast back onto the stream;
+    two passes over events, both full scans with partial aggregation."""
+    bounds = (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.25D)").alias("q1"),
+            F.expr("percentile(value, 0.75D)").alias("q3"),
+        )
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        spark.table("events")
+        .join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(out.cast("int")).cast("bigint").alias("n_outliers"),
+        )
+    )
