@@ -52,6 +52,9 @@ HEADLINE = [
     "similarity_pq_topk",           # product-quantization ADC
     "corpus_global_shuffle",        # block-parallel global enumeration
     "events_multires_rollup",       # one-pass multi-resolution rollup
+    "events_funnel",                # ordered conversion funnel
+    "corpus_pack_sequences",        # chunked sequence packing
+    "text_fuzzy_word_pairs",        # q-gram-blocked edit-distance join
     "text_quality_scores",          # text quality metrics
     "text_lang_id",                 # n-gram language id
     "multimodal_fake_decode",       # binary-column pipeline plumbing
