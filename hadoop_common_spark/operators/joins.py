@@ -149,20 +149,25 @@ def asof_join(
         frame = (Window.currentRow, Window.unboundedFollowing)
         pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
     w = Window.partitionBy(on).orderBy(*order).rowsBetween(*frame)
-    out = unioned.withColumn(
-        "_match_ts", pick(F.when(F.col("_side") == 0, F.col("_ts"))).over(w)
+    # ONE struct pick, not one ignorenulls pick per value column: a right
+    # row whose value is NULL must still be "the match" (per-column picks
+    # would skip past it to a farther row, tearing the matched row apart
+    # and leaking values from beyond the tolerance). The struct is
+    # non-null for every right row, so last/first lands on the same row
+    # for the ts and every value.
+    payload = F.when(
+        F.col("_side") == 0,
+        F.struct(F.col("_ts").alias("_mts"), *[F.col(c) for c in right_value_cols]),
     )
+    out = unioned.withColumn("_m", pick(payload).over(w))
     within = (
-        F.lit(True)
+        F.col("_m").isNotNull()
         if tolerance is None
-        else F.abs(F.col("_match_ts") - F.col("_ts")) <= tolerance
+        else F.abs(F.col("_m")["_mts"] - F.col("_ts")) <= tolerance
     )
     for c in right_value_cols:
-        out = out.withColumn(
-            c + "_asof",
-            F.when(within, pick(F.when(F.col("_side") == 0, F.col(c))).over(w)),
-        )
+        out = out.withColumn(c + "_asof", F.when(within, F.col("_m")[c]))
     return (
         out.filter(F.col("_side") == 1)
-        .drop("_ts", "_side", "_match_ts", *right_value_cols)
+        .drop("_ts", "_side", "_m", *right_value_cols)
     )

@@ -110,12 +110,21 @@ def pq_codebooks(
             .groupBy("sub", "code", "_i")
             .agg(F.avg("_x").alias("_mu"))
         )
-        cb = (
+        refined = (
             per_dim.groupBy("sub", "code")
             .agg(F.array_sort(F.collect_list(F.struct("_i", "_mu"))).alias("_s"))
             .select(
-                "sub", "code", F.transform(F.col("_s"), lambda s: s["_mu"]).alias("centroid")
+                "sub", "code", F.transform(F.col("_s"), lambda s: s["_mu"]).alias("_new")
             )
+        )
+        # A cluster that received no assignments keeps its previous
+        # centroid (standard Lloyd's empty-cluster handling). This also
+        # keeps every (sub, code) pair PRESENT, which the ADC search
+        # depends on: the flat distance table indexes by sub*ksub+code,
+        # so a dropped code would misalign every lookup after the gap.
+        cb = (
+            cb.join(refined, ["sub", "code"], "left")
+            .select("sub", "code", F.coalesce("_new", "centroid").alias("centroid"))
         )
     # m*ksub tiny rows, reused by encode and every search
     return cb.cache()

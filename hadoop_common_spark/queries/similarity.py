@@ -207,11 +207,11 @@ def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_sqdist_sql(a: str, b: str) -> str:
-    return (
-        f"list_reduce(list_transform(generate_series(1, len({a})), "
-        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
-        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
-    )
+    # delegate to the operator module so the oracle fragment and the
+    # Spark-side _sq_dist stay in one place
+    from hadoop_common_spark.operators.pq import _sq_dist_sql
+
+    return _sq_dist_sql(a, b)
 
 
 _PQ_M, _PQ_DSUB, _PQ_KSUB = 4, 16, 16

@@ -395,10 +395,12 @@ _CMS_W, _CMS_D = 1024, 4
 
 
 def _cms_bucket_sql(expr: str, row: int) -> str:
-    return (
-        f"('0x' || substr(md5('cms{row}:' || CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
-        f" % {_CMS_W}"
-    )
+    # single source of truth for the hash: the oracle fragment renders
+    # from the same module as the Spark-side _bucket, so they cannot
+    # drift apart
+    from hadoop_common_spark.operators.cms import _bucket_sql
+
+    return _bucket_sql(expr, row, _CMS_W)
 
 
 _CMS_ORACLE = f"""
@@ -456,11 +458,13 @@ def text_token_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = cms_estimate(sketch, tok.distinct(), "w", width=_CMS_W, depth=_CMS_D)
     from pyspark.sql import Window
 
+    # orderBy+limit -> TakeOrderedAndProject (per-partition heaps); the
+    # rank window runs AFTER the limit, over 20 rows — never a
+    # partition-less window across the whole vocabulary (that would be
+    # the single-reducer funnel the sketch exists to avoid).
+    top = est.orderBy(F.col("est_count").desc(), F.col("w").asc()).limit(20)
     wnd = Window.orderBy(F.col("est_count").desc(), F.col("w").asc())
-    return (
-        est.withColumn("rank", F.row_number().over(wnd).cast("int"))
-        .filter(F.col("rank") <= 20)
-    )
+    return top.withColumn("rank", F.row_number().over(wnd).cast("int"))
 
 
 _FUZZY_ORACLE = """
@@ -524,7 +528,7 @@ def text_fuzzy_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         a.join(b, "g")
         .filter(F.col("w_a") < F.col("w_b"))
-        .filter(F.abs(F.length("w_a") - F.length("w_b")) <= 1)
+        .filter(F.abs(F.length("w_a") - F.length("w_b")) <= 2)
         .select("w_a", "w_b", "wc_a", "wc_b")
         .distinct()
     )

@@ -202,14 +202,19 @@ def multires_rollup_incremental(
     stream_events: DataFrame, out_path: str, checkpoint: str
 ) -> None:
     """Incrementally maintained multi-resolution rollup: each micro-batch
-    appends its partial tier rows; readers fold partials with
-    read_multires_rollup. This is the production continuous-aggregate
-    shape — the full-history table is never rescanned, each increment
-    costs one pass over the new events only, and the foreachBatch
-    checkpoint gives exactly-once per batch id."""
+    writes its partial tier rows under a batch-id-keyed directory;
+    readers fold partials with read_multires_rollup. This is the
+    production continuous-aggregate shape — the full-history table is
+    never rescanned and each increment costs one pass over the new
+    events. foreachBatch is at-least-once, so the sink must be
+    IDEMPOTENT: overwriting the batch's own directory makes a replayed
+    batch rewrite (not duplicate) its rows — blind append would
+    double-count after a failure between write and checkpoint commit."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        multires_partial(batch_df).write.mode("append").parquet(out_path)
+        multires_partial(batch_df).write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
 
     (
         stream_events.writeStream.foreachBatch(sink)

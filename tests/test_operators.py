@@ -694,3 +694,23 @@ class TestNewOperatorEdges:
         rows = codes.collect()
         assert len(rows) == 8
         assert all(len(r.codes) == 3 for r in rows)
+
+
+def test_asof_null_valued_match_stays_matched(spark):
+    """Review regression: a right row whose VALUE is null must still be
+    THE match (ts and all values come from one row) — per-column
+    ignorenulls picks would leak a farther row's value past the
+    tolerance."""
+    from hadoop_common_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 100)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, 150, None, "p1"), (1, 5000, 9.0, "p2")],
+        "k long, t long, val double, pid string",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t",
+        right_value_cols=["val", "pid"], direction="forward",
+        tolerance=3600, right_tie_col="pid",
+    ).collect()[0]
+    assert out.pid_asof == "p1" and out.val_asof is None

@@ -15,10 +15,32 @@ executor-side package imports). Run: python tools/driver_sim.py [names...]
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 
 REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _norm(v):
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
 
 SPOT_DEFAULT = [
     "flagship_revenue_by_nation",
@@ -68,11 +90,14 @@ def main() -> None:
     failed = []
     for name in names:
         sdf = qs[name](spark, sf_dir)
-        srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
-        drows = sorted(
-            tuple(str(x) for x in r) for r in con.execute(osql[name]).fetchall()
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(osql[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        ok = sorted(scols) == sorted(dcols) and _rowset(scols, srows) == _rowset(
+            dcols, drows
         )
-        ok = len(srows) == len(drows)
         print(f"{'ok  ' if ok else 'FAIL'} {name}: spark={len(srows)} duck={len(drows)}")
         if not ok:
             failed.append(name)
