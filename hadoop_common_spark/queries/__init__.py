@@ -155,6 +155,7 @@ PRIORITY: list[str] = [
     "orders_scd2_intervals",
     "text_fuzzy_word_pairs",
     "events_outlier_counts",
+    "events_gapfill_minutes",
     "text_boilerplate_ngrams",
     "text_token_cms_topk",
     "events_multires_rollup",

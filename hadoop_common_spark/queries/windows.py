@@ -552,3 +552,50 @@ def events_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(out.cast("int")).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+_GAPFILL_ORACLE = f"""
+WITH m AS (
+  SELECT ({EPOCH_SQL} // 60) * 60 AS minute_start, COUNT(*) AS n_events
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+bounds AS (SELECT MIN(minute_start) AS lo, MAX(minute_start) AS hi FROM m),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, 60)) AS minute_start FROM bounds
+)
+SELECT g.minute_start,
+       CAST(COALESCE(m.n_events, 0) AS BIGINT) AS n_events,
+       COALESCE(m.n_events, 0) = 0 AS gap_filled
+FROM grid g LEFT JOIN m ON g.minute_start = m.minute_start
+"""
+
+
+@query("events_gapfill_minutes", oracle=_GAPFILL_ORACLE)
+def events_gapfill_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled minute series (the hypertable `time_bucket_gapfill`
+    shape): purchase counts per minute with EVERY minute between the
+    observed min and max present, zero-filled and flagged — downstream
+    models and dashboards need the dense grid, not the sparse one. The
+    grid generates from a 1-row bounds aggregate (sequence() explode —
+    grid size is (hi-lo)/step regardless of event count), then one
+    left join back; with the rollup bucketed/partitioned by time the
+    join is co-located."""
+    m = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(((F.expr(EPOCH) / 60).cast("bigint") * 60).alias("minute_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    bounds = m.agg(
+        F.min("minute_start").alias("lo"), F.max("minute_start").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(60).cast("bigint"))
+        ).alias("minute_start")
+    )
+    return grid.join(m, "minute_start", "left").select(
+        "minute_start",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        (F.coalesce("n_events", F.lit(0)) == 0).alias("gap_filled"),
+    )
