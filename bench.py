@@ -178,10 +178,14 @@ def _vs_prev(timings: dict[str, float], sf: float) -> dict:
     import glob
     import re
 
-    runs = sorted(
-        glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
-    )
+    # keep only files whose name actually carries a round number — a
+    # stray BENCH_rerun.json would make the sort key crash the bench
+    runs = [
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    runs = [p for _, p in sorted(runs)]
     if not runs:
         return {"prev_round": None, "regressions": {}}
     prev_path = runs[-1]

@@ -76,6 +76,25 @@ def bloom_probe(
     The word table collapses to a single map literal (≤ m/64 entries,
     128 KiB at m=2^20), broadcast to every task; each row checks its k
     bits against map lookups. One narrow pass over ``df``."""
+    flagged = bloom_flag(df, key_col, bloom, "_may", m_bits, k)
+    cond = ~F.col("_may") if negate else F.col("_may")
+    return flagged.filter(cond).drop("_may")
+
+
+def bloom_flag(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    flag_col: str = "_may",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """``df`` plus a boolean ``flag_col`` (true = key MAY be in the
+    filter). The split-both-ways form: callers that need BOTH the
+    definitely-new and the may-match sides flag once and filter twice on
+    the same frame — the k hash positions appear once in the plan
+    instead of per probe call (and a persisted flagged frame makes the
+    split a true single pass at the 100 TB tier)."""
     compact = bloom.agg(
         F.map_from_entries(F.collect_list(F.struct("word_idx", "word"))).alias("_bloom")
     )
@@ -85,10 +104,9 @@ def bloom_probe(
         for p in _position_sqls(key_col, m_bits, k)
     ]
     may_match = " AND ".join(checks)
-    cond = f"NOT ({may_match})" if negate else may_match
     return (
         df.crossJoin(F.broadcast(compact))
-        .filter(F.expr(cond))
+        .withColumn(flag_col, F.expr(may_match))
         .drop("_bloom")
     )
 

@@ -22,9 +22,11 @@ from pyspark.sql import functions as F
 
 def profile_table(df: DataFrame, columns: list[str] | None = None, approx: bool = False) -> DataFrame:
     """One row per column: (col_name, n_rows, n_nulls, n_distinct,
-    min_str, max_str). min/max are stringified so heterogeneous column
-    types stack in one long-format result; byte-wise string comparison
-    matches every engine for ASCII data."""
+    min_str, max_str). min/max aggregate in the column's NATIVE type and
+    only the resulting scalar is stringified (so heterogeneous types
+    stack in one long-format result) — casting before the aggregate
+    would report lexicographic extremes ('100' < '99') and gut the
+    range signal for every numeric/timestamp column."""
     cols = columns or df.columns
     ndv = F.approx_count_distinct if approx else F.countDistinct
     aggs = [F.count(F.lit(1)).alias("n_rows")]
@@ -38,8 +40,8 @@ def profile_table(df: DataFrame, columns: list[str] | None = None, approx: bool 
         aggs += [
             F.count(F.when(ref(c).isNull(), 1)).alias(f"_p{i}_nulls"),
             ndv(ref(c)).alias(f"_p{i}_ndv"),
-            F.min(ref(c).cast("string")).alias(f"_p{i}_min"),
-            F.max(ref(c).cast("string")).alias(f"_p{i}_max"),
+            F.min(ref(c)).cast("string").alias(f"_p{i}_min"),
+            F.max(ref(c)).cast("string").alias(f"_p{i}_max"),
         ]
     wide = df.agg(*aggs)
     # one wide row -> long format via stack (no second scan); the real

@@ -30,14 +30,16 @@ from pyspark.sql import types as T
 _BYTES, _BYTE, _BOOL, _INT, _LONG, _FLOAT, _DOUBLE, _STRING = range(8)
 _VECTOR, _LIST, _MAP = 8, 9, 10
 _LIST_END = 0xFF
+# application-range code (the reference reserves 50-200 for apps,
+# TypedBytesInput.java readType) marking SQL NULL: without it a null
+# field would ship as empty BYTES and come back b'' instead of null
+_NULL = 50
 
 
 def tb_encode(value: Any, out: io.BytesIO) -> None:
     """Encode one value in typed-bytes wire format (TypedBytesOutput)."""
     if value is None:
-        # reference has no null code; Streaming ships nulls as empty
-        # bytes — we use an empty 0-code payload, decoded back to b""
-        out.write(struct.pack(">Bi", _BYTES, 0))
+        out.write(struct.pack(">B", _NULL))
     elif isinstance(value, bool):
         out.write(struct.pack(">B?", _BOOL, value))
     elif isinstance(value, int):
@@ -73,6 +75,8 @@ def tb_decode(stream: io.BufferedIOBase) -> Any:
     if not code_b:
         raise EOFError
     code = code_b[0]
+    if code == _NULL:
+        return None
     if code == _BYTES:
         (n,) = struct.unpack(">i", stream.read(4))
         return stream.read(n)

@@ -85,7 +85,7 @@ _QUERY_MODULES = [
 # Names not in this list (e.g. future additions that forget to update it)
 # are slotted right after the priority block, BEFORE the known-green tail,
 # so a new query is never silently pushed out of the checked window.
-PRIORITY: list[str] = [
+PRIORITY_WINDOW: list[str] = [
     # -- changed in r02: hash-fix verification --
     "returnflag_priority_pivot",
     "join_semi_anti",
@@ -145,9 +145,12 @@ PRIORITY: list[str] = [
     "pivot_status_priority",
     # -- new as-of direction variant closes the top-50 window --
     "asof_join_next_purchase",
-    # ---- ~50-entry checked-window boundary (r01 budget) ----
-    # newest operators first in the overflow, in case the budget is
-    # larger this round; rotate these to the front in r03
+]
+
+# ---- ~50-entry checked-window boundary (r01 budget) ----
+# Newest operators first in the overflow, in case the budget is larger
+# this round; rotate these to the front in r03.
+PRIORITY_OVERFLOW: list[str] = [
     "similarity_ivfpq_topk",
     "events_funnel",
     "events_cohort_retention",
@@ -188,15 +191,22 @@ PRIORITY: list[str] = [
 ]
 
 
+PRIORITY = PRIORITY_WINDOW + PRIORITY_OVERFLOW
+
+
 def _ordered(reg: dict[str, QueryDef]) -> dict[str, QueryDef]:
-    """Registry reordered: PRIORITY first, unlisted newcomers next,
-    known-green remainder last (stable within each block)."""
-    prio = [n for n in PRIORITY if n in reg]
+    """Registry reordered: the hand-curated checked-window block first,
+    then UNLISTED newcomers (a query that forgot to update the lists
+    lands at the window boundary — ahead of every overflow entry, never
+    silently last), then the overflow, then the known-green remainder
+    (stable within each block)."""
+    prio_w = [n for n in PRIORITY_WINDOW if n in reg]
+    prio_o = [n for n in PRIORITY_OVERFLOW if n in reg]
     listed = set(PRIORITY)
     rest = [n for n in reg if n not in listed]
     newcomers = [n for n in rest if n not in _R01_GREEN]
     tail = [n for n in rest if n in _R01_GREEN]
-    return {n: reg[n] for n in prio + newcomers + tail}
+    return {n: reg[n] for n in prio_w + newcomers + prio_o + tail}
 
 
 # Queries fully green in CORRECTNESS_r01.json — safe to defer past the

@@ -250,8 +250,8 @@ def _profile_oracle() -> str:
 SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
        CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
-       MIN(CAST({c} AS VARCHAR)) AS min_str,
-       MAX(CAST({c} AS VARCHAR)) AS max_str
+       CAST(MIN({c}) AS VARCHAR) AS min_str,
+       CAST(MAX({c}) AS VARCHAR) AS max_str
 FROM documents"""
         for c in cols
     ]
@@ -427,7 +427,7 @@ def corpus_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     may-match remainder pays the exact semi/anti join that removes Bloom
     false positives. Per-language: incoming count, dup-vs-corpus count,
     surviving unique-new count (in-batch dedup by fingerprint)."""
-    from hadoop_common_spark.operators.bloom import bloom_build, bloom_probe
+    from hadoop_common_spark.operators.bloom import bloom_build, bloom_flag
 
     docs = spark.table("documents").select(
         "doc_id", "lang", F.md5(F.col("text")).alias("fp")
@@ -437,8 +437,12 @@ def corpus_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex_fps = existing.select("fp").distinct()
 
     sketch = bloom_build(ex_fps, "fp")
-    definite_new = bloom_probe(incoming, "fp", sketch, negate=True)
-    candidates = bloom_probe(incoming, "fp", sketch)
+    # flag once, filter both ways: the k hash positions appear once in
+    # the plan (a probe call per side would duplicate them); persisting
+    # `flagged` would make this a literal single pass over the increment
+    flagged = bloom_flag(incoming, "fp", sketch, "_may")
+    definite_new = flagged.filter(~F.col("_may")).drop("_may")
+    candidates = flagged.filter(F.col("_may")).drop("_may")
     dup = candidates.join(ex_fps, "fp", "left_semi")
     new = definite_new.unionByName(candidates.join(ex_fps, "fp", "left_anti"))
 

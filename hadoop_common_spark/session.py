@@ -86,10 +86,15 @@ def _ship_package(spark: SparkSession) -> None:
                     zf.write(full, rel)
     try:
         sc.addPyFile(zpath)
-    except Exception:
-        # already added under this name in a previous session sharing the
-        # context — the file is in place either way
-        pass
+    except Exception as e:
+        # Do NOT mark shipped: leaving the flag unset lets the next query
+        # retry, and the warning names the root cause — silently
+        # swallowing this used to surface later as a bare
+        # ModuleNotFoundError on the executors.
+        import sys
+
+        print(f"warning: addPyFile({zpath}) failed: {e!r}", file=sys.stderr)
+        return
     sc._hcs_pkg_shipped = True
 
 

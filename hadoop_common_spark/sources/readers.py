@@ -198,19 +198,31 @@ def distcp(
     tasks write to the destination path directly. Returns the number of
     files copied."""
     import os
-    from urllib.parse import urlparse
 
     reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     listing = reader.load(src).select("path", "length").collect()
-    src_root = urlparse(src).path if "://" in src else os.path.abspath(src)
 
     def _local_path(binaryfile_path: str) -> str:
-        # binaryFile's path column is NOT URI-encoded — urlparse would
-        # truncate names containing '#' (fragment) or '?' (query); strip
-        # the scheme prefix textually instead.
-        return binaryfile_path[5:] if binaryfile_path.startswith("file:") else binaryfile_path
+        # Paths are NOT URI-encoded — urlparse would truncate names
+        # containing '#' (fragment) or '?' (query); strip the scheme
+        # prefix textually instead. Handles both 'file:///x' and the
+        # single-slash 'file:/x' form.
+        p = binaryfile_path
+        if p.startswith("file:"):
+            p = p[5:]
+            while p.startswith("//"):
+                p = p[1:]
+        return p
+
+    # src must go through the SAME normalization as the listing paths:
+    # urlparse on 'file:/x' (or a '#' in the path) would compute a root
+    # that never prefixes the listed files, sending relpath('..'-ward)
+    # writes OUTSIDE dst.
+    src_root = _local_path(src) if src.startswith("file:") or "://" in src else os.path.abspath(src)
+    if "://" in src_root:
+        src_root = src_root.split("://", 1)[1]
 
     chunks = []
     dest_sizes = []

@@ -291,3 +291,18 @@ def test_multires_incremental_matches_batch(spark, sf_dir, tmp_path):
         for r in read_multires_rollup(spark, out).collect()
     }
     assert again == want
+
+
+def test_typed_bytes_null_roundtrip():
+    """Review regression: SQL NULL must survive the typed-bytes pipe as
+    None, not collapse to b''."""
+    import io
+
+    from hadoop_common_spark.operators.typedbytes import tb_decode, tb_encode
+
+    buf = io.BytesIO()
+    for v in [None, "x", 3, [None, 1.5], {"k": None}]:
+        tb_encode(v, buf)
+    buf.seek(0)
+    got = [tb_decode(buf) for _ in range(5)]
+    assert got == [None, "x", 3, [None, 1.5], {"k": None}]
