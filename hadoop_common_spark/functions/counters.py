@@ -32,8 +32,13 @@ def with_counters(
 
 def record_counters(df: DataFrame, name: str = "records") -> tuple[DataFrame, Observation]:
     """The TaskCounter basics: record count + null-free count per run."""
+    no_null = None
+    for c in df.columns:
+        cond = F.col("`" + c.replace("`", "``") + "`").isNotNull()
+        no_null = cond if no_null is None else (no_null & cond)
     return with_counters(
         df,
         name,
         input_records=F.count(F.lit(1)),
+        null_free_records=F.count(F.when(no_null if no_null is not None else F.lit(True), 1)),
     )

@@ -164,6 +164,11 @@ def minhash_lsh_pairs(
     distinct shingle sets (integer set sizes → double division —
     deterministic across engines).
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} — a remainder "
+            "would silently weaken the (bands, rows) LSH guarantee"
+        )
     rows = num_hashes // bands
     # One shingling pass total: the signature groupBy also collects the
     # distinct shingle set, so the verify join reads it from the (reused)

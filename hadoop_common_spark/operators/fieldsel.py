@@ -44,14 +44,21 @@ class FieldSpec:
         return cls(ranges)
 
     def columns(self, fields: Column) -> list[Column]:
-        """Columns extracting each range from a split-array column."""
+        """Columns extracting each range from a split-array column.
+
+        Lines with fewer fields than the spec references yield empty
+        output for the missing part (FieldSelectionHelper tolerance):
+        the open-range slice length clamps at 0 (a negative length is a
+        runtime error) and single-field access uses try_element_at
+        (plain element_at throws under Spark 4's default ANSI mode)."""
         out = []
         for lo, hi in self.ranges:
             if hi is None:
-                # open range: slice from lo to end (1-based slice start)
-                out.append(F.slice(fields, lo + 1, F.size(fields) - lo))
+                out.append(
+                    F.slice(fields, lo + 1, F.greatest(F.lit(0), F.size(fields) - lo))
+                )
             elif hi == lo:
-                out.append(F.array(F.element_at(fields, lo + 1)))
+                out.append(F.array(F.try_element_at(fields, F.lit(lo + 1))))
             else:
                 out.append(F.slice(fields, lo + 1, hi - lo + 1))
         return out
@@ -76,8 +83,12 @@ def field_select(
 ) -> DataFrame:
     """Apply a field-selection spec to a delimited line column, producing
     (key, value) string columns — FieldSelectionMapper/Reducer parity."""
+    import re as _re
+
     kspec, vspec = parse_spec(spec)
-    fields = F.split(F.col(line_col), F.lit(separator).cast("string"))
+    # re.escape: F.split treats the pattern as a regex; a literal '|' or
+    # '.' separator would otherwise split on every character
+    fields = F.split(F.col(line_col), _re.escape(separator))
     out = df
     sep = separator
 

@@ -62,11 +62,14 @@ def kmeans_fit(
     init = (
         vectors.select(F.col(id_col), F.col(vec_col))
         .withColumn("_r", F.md5(F.col(id_col).cast("string")))
-        .orderBy("_r")
+        .orderBy("_r", id_col)
         .limit(nlist)
     )
+    # id tie-break: duplicate ids share an md5 rank, and without it the
+    # sampled centroids would depend on partition order (pq_codebooks
+    # uses the same idiom)
     centroids = init.select(
-        (F.row_number().over(Window.orderBy("_r")) - 1).alias("cell"),
+        (F.row_number().over(Window.orderBy("_r", id_col)) - 1).alias("cell"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
     )
     for _ in range(iters):

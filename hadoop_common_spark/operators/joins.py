@@ -125,9 +125,17 @@ def asof_join(
         )
         .withColumn("_side", F.lit(0))
     )
+    clash = [c for c in right_value_cols if c in left.columns]
+    if clash:
+        # silently proceeding would mix the left table's own values into
+        # the union rows AND drop the left column at the end — require
+        # the caller to rename (merge_asof would suffix)
+        raise ValueError(
+            f"right_value_cols {clash} collide with left columns — "
+            "alias the right side before the as-of join"
+        )
     for c in right_value_cols:
-        if c not in lt.columns:
-            lt = lt.withColumn(c, F.lit(None).cast(rt.schema[c].dataType))
+        lt = lt.withColumn(c, F.lit(None).cast(rt.schema[c].dataType))
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     tie = (
         F.when(F.col("_side") == 0, F.col(right_tie_col))

@@ -30,6 +30,7 @@ class KeySpec:
     start_field: int  # 1-based
     end_field: int | None  # inclusive; None = end of line
     start_char: int  # 1-based within start field
+    end_char: int | None  # 1-based within end field; None = whole field
     numeric: bool
     reverse: bool
 
@@ -44,6 +45,7 @@ class KeySpec:
             start_field=int(m.group("f1")),
             end_field=int(f2) if f2 else None,
             start_char=int(m.group("c1") or 1),
+            end_char=int(m.group("c2")) if m.group("c2") else None,
             numeric="n" in flags,
             reverse="r" in flags,
         )
@@ -56,10 +58,22 @@ class KeySpec:
             # try_element_at: a line with fewer fields than the spec sorts
             # as null (unix-sort tolerance) instead of throwing under ANSI
             key = F.try_element_at(fields, F.lit(self.start_field))
+            if self.end_char is not None:
+                key = F.substring(key, 1, self.end_char)
         else:
             key = F.concat_ws(
                 sep, F.slice(fields, self.start_field, self.end_field - self.start_field + 1)
             )
+            if self.end_char is not None:
+                # f2.c2 ends the key at char c2 OF FIELD f2 (unix sort /
+                # KeyFieldHelper): truncate the reconstructed span at
+                # (chars of fields f1..f2-1 + separators) + c2
+                prefix = F.aggregate(
+                    F.slice(fields, self.start_field, self.end_field - self.start_field),
+                    F.lit(0),
+                    lambda a, x: a + F.length(x) + len(sep),
+                )
+                key = key.substr(F.lit(1), prefix + self.end_char)
         if self.start_char > 1:
             key = F.substring(key, self.start_char, 1 << 30)
         if self.numeric:

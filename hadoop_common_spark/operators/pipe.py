@@ -36,8 +36,14 @@ def pipe_lines(
     """
     spark = df.sparkSession
     cols = df.columns
+    # coalesce each column: concat_ws SKIPS nulls, which would shift
+    # every subsequent field and corrupt the child's record framing —
+    # a null crosses the pipe as an empty field (the Streaming text
+    # convention; typed-bytes framing preserves real nulls)
     lines = df.select(
-        F.concat_ws(sep, *[F.col(c).cast("string") for c in cols]).alias("_line")
+        F.concat_ws(
+            sep, *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+        ).alias("_line")
     )
     piped = lines.rdd.map(lambda r: r["_line"]).pipe(command)
     if not out_cols:

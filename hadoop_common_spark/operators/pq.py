@@ -21,8 +21,9 @@ until the final per-query top-k window:
   dimension-independent aggregate width).
 - **Encode**: per vector, per subspace, argmin distance over that
   subspace's centroids — broadcast codebook, no shuffle.
-- **ADC search**: per query, the m×ksub distance table as one array
-  (position sub*ksub+code); per (query, vector) pair the approximate
+- **ADC search**: per query, the m×ksub distance table as one map
+  (key sub*ksub+code — robust to codebooks with fewer than ksub codes);
+  per (query, vector) pair the approximate
   distance folds m lookups in ascending-subspace order, so the double
   is bit-identical across engines (same left-fold contract as
   similarity.dot_exact).
@@ -208,11 +209,20 @@ def pq_adc_search(
     q = queries.select(F.col(id_col).alias("query_id"), qd.alias("_qv")).crossJoin(
         F.broadcast(flat)
     )
-    dtab = F.transform(
-        F.col("_cb"),
-        lambda c: _sq_dist(
-            F.slice(F.col("_qv"), c["sub"] * dsub + 1, dsub), c["centroid"]
-        ),
+    # map keyed by sub*ksub+code, NOT a positional array: with fewer
+    # than ksub sampled rows the codebook has fewer codes per subspace,
+    # and positional indexing would read another subspace's entry (or
+    # off the end) — the map stays correct for any actual code set
+    dtab = F.map_from_entries(
+        F.transform(
+            F.col("_cb"),
+            lambda c: F.struct(
+                (c["sub"] * ksub + c["code"]).cast("int").alias("key"),
+                _sq_dist(
+                    F.slice(F.col("_qv"), c["sub"] * dsub + 1, dsub), c["centroid"]
+                ).alias("value"),
+            ),
+        )
     )
     q = q.select("query_id", dtab.alias("_dtab"))
     pairs = codes.select(F.col(id_col).alias("neighbor_id"), "codes").crossJoin(
@@ -223,7 +233,7 @@ def pq_adc_search(
         F.lit(0.0),
         lambda acc, s: acc
         + F.element_at(
-            F.col("_dtab"), (s * ksub + F.element_at(F.col("codes"), s + 1) + 1).cast("int")
+            F.col("_dtab"), (s * ksub + F.element_at(F.col("codes"), s + 1)).cast("int")
         ),
     )
     scored = (
@@ -295,11 +305,20 @@ def ivfpq_search(
         1,
         nprobe,
     )
-    dtab = F.transform(
-        F.col("_cb"),
-        lambda c: _sq_dist(
-            F.slice(F.col("_qv"), c["sub"] * dsub + 1, dsub), c["centroid"]
-        ),
+    # map keyed by sub*ksub+code, NOT a positional array: with fewer
+    # than ksub sampled rows the codebook has fewer codes per subspace,
+    # and positional indexing would read another subspace's entry (or
+    # off the end) — the map stays correct for any actual code set
+    dtab = F.map_from_entries(
+        F.transform(
+            F.col("_cb"),
+            lambda c: F.struct(
+                (c["sub"] * ksub + c["code"]).cast("int").alias("key"),
+                _sq_dist(
+                    F.slice(F.col("_qv"), c["sub"] * dsub + 1, dsub), c["centroid"]
+                ).alias("value"),
+            ),
+        )
     )
     probes = q.select(
         "query_id", dtab.alias("_dtab"), F.explode(ranked_cells).alias("_pc")
@@ -312,7 +331,7 @@ def ivfpq_search(
         F.lit(0.0),
         lambda acc, s: acc
         + F.element_at(
-            F.col("_dtab"), (s * ksub + F.element_at(F.col("codes"), s + 1) + 1).cast("int")
+            F.col("_dtab"), (s * ksub + F.element_at(F.col("codes"), s + 1)).cast("int")
         ),
     )
     scored = (

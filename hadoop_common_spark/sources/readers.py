@@ -204,25 +204,26 @@ def distcp(
         reader = reader.option("pathGlobFilter", glob)
     listing = reader.load(src).select("path", "length").collect()
 
-    def _local_path(binaryfile_path: str) -> str:
+    def _local_path(p: str) -> str:
         # Paths are NOT URI-encoded — urlparse would truncate names
         # containing '#' (fragment) or '?' (query); strip the scheme
-        # prefix textually instead. Handles both 'file:///x' and the
-        # single-slash 'file:/x' form.
-        p = binaryfile_path
+        # textually instead. 'file:' keeps the leading-slash path
+        # ('file:/x' and 'file:///x' both -> '/x'); any other scheme
+        # keeps 'scheme://authority' INTACT so listing paths and
+        # src_root stay in the same namespace and relpath never walks
+        # '..'-ward out of dst.
         if p.startswith("file:"):
             p = p[5:]
             while p.startswith("//"):
                 p = p[1:]
         return p
 
-    # src must go through the SAME normalization as the listing paths:
-    # urlparse on 'file:/x' (or a '#' in the path) would compute a root
-    # that never prefixes the listed files, sending relpath('..'-ward)
-    # writes OUTSIDE dst.
-    src_root = _local_path(src) if src.startswith("file:") or "://" in src else os.path.abspath(src)
-    if "://" in src_root:
-        src_root = src_root.split("://", 1)[1]
+    # src must go through the SAME normalization as the listing paths
+    # (they come back as 'file:/...' / 'scheme://...' strings).
+    if src.startswith("file:") or "://" in src:
+        src_root = _local_path(src).rstrip("/")
+    else:
+        src_root = os.path.abspath(src)
 
     chunks = []
     dest_sizes = []

@@ -438,3 +438,45 @@ def test_ivfpq_pruned_recall(spark):
     want = {(r.query_id, r.neighbor_id) for r in full.collect()}
     recall = len(got & want) / len(want)
     assert recall >= 0.6, f"IVF-PQ recall@3 with nprobe=2 was {recall}"
+
+
+def test_pq_fewer_rows_than_ksub_stays_exact(spark):
+    """Review regression: with fewer rows than ksub the codebook carries
+    fewer codes per subspace — the ADC table lookup must stay aligned
+    (positional indexing read across subspaces). Every row is its own
+    centroid here, so ADC top-k must equal exact L2 top-k."""
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.operators.pq import (
+        pq_adc_search,
+        pq_codebooks,
+        pq_encode,
+    )
+    from hadoop_common_spark.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings").filter(F.col("vec_id") < 10)  # 10 rows, ksub=16
+    cb = pq_codebooks(emb, "vec_id", "embedding", m=4, dsub=16, ksub=16, iters=0)
+    codes = pq_encode(emb, cb, "vec_id", "embedding", m=4, dsub=16)
+    got = pq_adc_search(
+        emb.filter(F.col("vec_id") < 3), codes, cb, "vec_id", "embedding",
+        k=3, m=4, dsub=16, ksub=16,
+    ).collect()
+    assert all(abs(r.adc) < 1e20 and r.adc is not None for r in got)
+    # exact-reconstruction check vs brute-force L2
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = emb.select(F.col("vec_id").alias("neighbor_id"), vd.alias("dv"))
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), vd.alias("qv"))
+    diff = F.zip_with(F.col("qv"), F.col("dv"), lambda x, y: x - y)
+    sq = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("sq"), F.asc("neighbor_id"))
+    want = (
+        d.crossJoin(q).filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sq", sq).withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3).collect()
+    )
+    assert {(r.query_id, r.rank): r.neighbor_id for r in got} == {
+        (r.query_id, r.rank): r.neighbor_id for r in want
+    }
