@@ -152,6 +152,8 @@ PRIORITY_WINDOW: list[str] = [
 # this round; rotate these to the front in r03.
 PRIORITY_OVERFLOW: list[str] = [
     "similarity_ivfpq_topk",
+    "dedup_winnow_pairs",
+    "events_weekday_heatmap",
     "events_funnel",
     "events_cohort_retention",
     "corpus_pack_sequences",

@@ -254,3 +254,47 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cluster == F.col("doc_id")).alias("is_canonical"),
         )
     )
+
+
+_WINNOW_PAIRS_ORACLE = """
+WITH fps AS (
+  SELECT doc_id,
+         MIN(('0x' || substr(md5(gram), 1, 15))::BIGINT) AS winnow_fp
+  FROM (
+    SELECT doc_id, substr(text, i, 8) AS gram
+    FROM documents, LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i)
+  )
+  GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.winnow_fp
+FROM fps a JOIN fps b ON a.winnow_fp = b.winnow_fp AND a.doc_id < b.doc_id
+"""
+
+
+@query("dedup_winnow_pairs", oracle=_WINNOW_PAIRS_ORACLE)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-tier candidate pairs: documents sharing the min-gram
+    rolling-hash fingerprint (text_winnow_fingerprint) are near-dup
+    candidates — the cheapest pairing tier (one bigint equi-join on the
+    fingerprint, cheaper than MinHash banding), robust to small edits
+    anywhere except at the minimizing gram. Completes the winnowing
+    family end-to-end the way simhash_pairs completes SimHash; the
+    candidate pairs feed the same connected-components resolution."""
+    from hadoop_common_spark.operators.textstats import fingerprint
+
+    grams = spark.table("documents").select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 7, 1)), i -> substring(text, i, 8))"
+            )
+        ).alias("gram"),
+    )
+    fps = grams.groupBy("doc_id").agg(F.min(fingerprint("gram")).alias("winnow_fp"))
+    a = fps.select(F.col("doc_id").alias("id_a"), "winnow_fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "winnow_fp")
+    return (
+        a.join(b, "winnow_fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "winnow_fp")
+    )

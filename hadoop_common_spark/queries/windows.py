@@ -599,3 +599,34 @@ def events_gapfill_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
         (F.coalesce("n_events", F.lit(0)) == 0).alias("gap_filled"),
     )
+
+
+_HEATMAP_ORACLE = f"""
+SELECT CAST((({EPOCH_SQL} // 86400) + 4) % 7 AS INT) AS dow,
+       CAST(({EPOCH_SQL} % 86400) // 3600 AS INT) AS hour,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY dow, hour
+"""
+
+
+@query("events_weekday_heatmap", oracle=_HEATMAP_ORACLE)
+def events_weekday_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap (the usage-pattern
+    dashboard staple). dow/hour derive from PURE epoch integer math
+    ((days + 4) % 7: epoch day 0 was a Thursday) — engine day-numbering
+    conventions (Spark's Sunday=1 vs DuckDB's ISO Mon=1) never enter,
+    and the bucketing is timezone-proof. One scan, one partial-agg
+    shuffle over at most 168 groups."""
+    e = F.expr(EPOCH)
+    return (
+        spark.table("events")
+        .groupBy(
+            (((e / 86400).cast("bigint") + 4) % 7).cast("int").alias("dow"),
+            ((e % 86400) / 3600).cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
