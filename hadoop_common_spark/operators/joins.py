@@ -116,12 +116,21 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if right_tie_col is not None and right_tie_col not in right.columns:
+        # without this check the tie expression would resolve against the
+        # unioned frame — binding to a same-named LEFT column (NULL for
+        # every right row) and silently restoring the nondeterministic
+        # tie-break the parameter exists to prevent
+        raise ValueError(f"right_tie_col {right_tie_col!r} not in right columns")
     lt = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
     rt = (
         right.select(
             F.col(on),
             F.col(right_ts).alias("_ts"),
             *[F.col(c) for c in right_value_cols],
+            # tie column projected explicitly under a reserved name — it
+            # need not be (and usually isn't) one of the value columns
+            *([F.col(right_tie_col).alias("_tie")] if right_tie_col else []),
         )
         .withColumn("_side", F.lit(0))
     )
@@ -136,9 +145,10 @@ def asof_join(
         )
     for c in right_value_cols:
         lt = lt.withColumn(c, F.lit(None).cast(rt.schema[c].dataType))
+    # allowMissingColumns: lt has no _tie — union fills NULL for left rows
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     tie = (
-        F.when(F.col("_side") == 0, F.col(right_tie_col))
+        F.when(F.col("_side") == 0, F.col("_tie"))
         if right_tie_col
         else F.lit(0)
     )
@@ -177,5 +187,5 @@ def asof_join(
         out = out.withColumn(c + "_asof", F.when(within, F.col("_m")[c]))
     return (
         out.filter(F.col("_side") == 1)
-        .drop("_ts", "_side", "_m", *right_value_cols)
+        .drop("_ts", "_side", "_m", "_tie", *right_value_cols)
     )

@@ -45,7 +45,10 @@ class KeySpec:
             start_field=int(m.group("f1")),
             end_field=int(f2) if f2 else None,
             start_char=int(m.group("c1") or 1),
-            end_char=int(m.group("c2")) if m.group("c2") else None,
+            # an explicit .0 end-char means "through the end of the end
+            # field" (KeyFieldHelper.java:148 endChar==0 / unix sort),
+            # i.e. the same as omitting it — never substring(key, 1, 0)
+            end_char=(int(m.group("c2")) or None) if m.group("c2") else None,
             numeric="n" in flags,
             reverse="r" in flags,
         )

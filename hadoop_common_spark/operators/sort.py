@@ -103,9 +103,15 @@ def global_row_number(
     offsets = counts.select(
         "_blk", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off")
     )
+    # eqNullSafe join: a NULL block key (e.g. a NULL score under
+    # floor(score*16)) must keep its rows — a plain equi-join silently
+    # drops them and shifts every later position. NULL blocks form their
+    # own group and sort first (Spark asc-nulls-first), consistent with
+    # the window/groupBy treatment above.
+    offs2 = offsets.withColumnRenamed("_blk", "_blk2")
     return (
         blocked.withColumn("_rn", rn)
-        .join(F.broadcast(offsets), "_blk")
+        .join(F.broadcast(offs2), F.col("_blk").eqNullSafe(F.col("_blk2")))
         .withColumn(pos_col, (F.col("_off") + F.col("_rn")).cast("bigint"))
-        .drop("_blk", "_rn", "_off")
+        .drop("_blk", "_blk2", "_rn", "_off")
     )

@@ -77,80 +77,17 @@ _QUERY_MODULES = [
 
 
 # Driver-facing iteration order. The external correctness harness walks the
-# registry in dict order and has a bounded budget (round 1 covered exactly the
-# first 50 entries), so the order is part of the evidence strategy:
-#   1. queries whose hard-signal status is new or changed this round,
-#   2. the LLM-pipeline / streaming / OLAP / subquery suite (unchecked in r01),
-#   3. previously-green TPC-H / examples redundancy last.
+# registry in dict order and has a bounded budget (~50 rows/round), so the
+# order is part of the evidence strategy. Round-3 rotation (VERDICT r2 "Next
+# round" #1): the 32 queries that have NO driver CORRECTNESS row from any
+# round go first, then the two whose hard-signal status changed this round
+# (pivot oracle CAST fix; embedding-dedup re-blocked on LSH bands), then
+# newcomers, then the r02-green 48 and r01-green tail (rows already exist).
 # Names not in this list (e.g. future additions that forget to update it)
 # are slotted right after the priority block, BEFORE the known-green tail,
 # so a new query is never silently pushed out of the checked window.
 PRIORITY_WINDOW: list[str] = [
-    # -- changed in r02: hash-fix verification --
-    "returnflag_priority_pivot",
-    "join_semi_anti",
-    # -- LLM dedup / similarity suite (north star) --
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_resolution",
-    "dedup_embedding_cosine",
-    "similarity_cosine_topk",
-    "similarity_lsh_buckets",
-    "similarity_ivf_topk",
-    "similarity_pq_topk",
-    # -- text analysis --
-    "text_lang_id",
-    "text_quality_scores",
-    "text_token_stats",
-    "text_fingerprints",
-    "text_bpe_token_stats",
-    "text_bpe_merge_pairs",
-    "text_winnow_fingerprint",
-    "text_repetition_stats",
-    "text_pii_scan",
-    "corpus_tfidf_topterms",
-    # -- corpus pipeline --
-    "pipeline_clean_corpus",
-    "corpus_split_counts",
-    "corpus_token_shards",
-    "corpus_decontamination",
-    "corpus_mixture_sample",
-    "corpus_semantic_dedup",
-    "graph_pagerank",
-    "corpus_profile",
-    "corpus_incremental_ingest",
-    "corpus_domain_caps",
-    "corpus_global_shuffle",
-    "corpus_quality_bins",
-    "corpus_contamination_scores",
-    "zorder_layout_keys",
-    # -- multimodal plumbing (3 of 5 carry the stub-kernel family's
-    #    evidence; audio/resize share their shape) --
-    "multimodal_metadata",
-    "multimodal_fake_decode",
-    "multimodal_frame_sample",
-    # -- streaming-equivalent windows (only tumbling was checked in r01) --
-    "window_sliding_10m_5m",
-    "window_sessionize",
-    "view_click_attribution",
-    "window_user_running_total",
-    "window_user_analytics",
-    # -- OLAP superset (VERDICT r1 "Done" list) --
-    "rollup_region_nation_revenue",
-    "cube_status_priority",
-    "grouping_sets_events",
-    "pivot_status_priority",
-    # -- new as-of direction variant closes the top-50 window --
-    "asof_join_next_purchase",
-]
-
-# ---- ~50-entry checked-window boundary (r01 budget) ----
-# Newest operators first in the overflow, in case the budget is larger
-# this round; rotate these to the front in r03.
-PRIORITY_OVERFLOW: list[str] = [
+    # -- never driver-checked in r01/r02 (the last gap to 130/130) --
     "similarity_ivfpq_topk",
     "dedup_winnow_pairs",
     "events_weekday_heatmap",
@@ -185,11 +122,69 @@ PRIORITY_OVERFLOW: list[str] = [
     "min_cost_supplier",
     "multimodal_audio_features",
     "multimodal_resize_plan",
-    # -- one representative per previously-green family --
+    # -- status changed in r03: re-check --
+    "pivot_status_priority",  # oracle CAST(SUM AS BIGINT) fix (r02 hash-FAIL)
+    "dedup_embedding_cosine",  # re-blocked on banded sign-LSH (scale fix)
+]
+
+# ---- ~50-entry checked-window boundary ----
+# r02-green block (rows exist in CORRECTNESS_r02.json) after the window and
+# any unlisted newcomers; r01-green tail last.
+PRIORITY_OVERFLOW: list[str] = [
+    # -- one representative per r01-green family --
     "flagship_revenue_by_nation",
     "wordcount",
     "asof_join_last_purchase",
     "window_tumbling_hourly",
+    # -- r02-green (checked last round) --
+    "returnflag_priority_pivot",
+    "join_semi_anti",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_resolution",
+    "similarity_cosine_topk",
+    "similarity_lsh_buckets",
+    "similarity_ivf_topk",
+    "similarity_pq_topk",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_token_stats",
+    "text_fingerprints",
+    "text_bpe_token_stats",
+    "text_bpe_merge_pairs",
+    "text_winnow_fingerprint",
+    "text_repetition_stats",
+    "text_pii_scan",
+    "corpus_tfidf_topterms",
+    "pipeline_clean_corpus",
+    "corpus_split_counts",
+    "corpus_token_shards",
+    "corpus_decontamination",
+    "corpus_mixture_sample",
+    "corpus_semantic_dedup",
+    "graph_pagerank",
+    "corpus_profile",
+    "corpus_incremental_ingest",
+    "corpus_domain_caps",
+    "corpus_global_shuffle",
+    "corpus_quality_bins",
+    "corpus_contamination_scores",
+    "zorder_layout_keys",
+    "multimodal_metadata",
+    "multimodal_fake_decode",
+    "multimodal_frame_sample",
+    "window_sliding_10m_5m",
+    "window_sessionize",
+    "view_click_attribution",
+    "window_user_running_total",
+    "window_user_analytics",
+    "rollup_region_nation_revenue",
+    "cube_status_priority",
+    "grouping_sets_events",
+    "asof_join_next_purchase",
 ]
 
 

@@ -88,13 +88,16 @@ def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CAST(... AS BIGINT): DuckDB types SUM(int) as HUGEINT, Spark's pivot
+# count is BIGINT — same hash-normalization fix as returnflag_priority_pivot
+# (queries/tpch.py) and join_semi_anti.
 _PIVOT_ORACLE = """
 SELECT o_orderstatus,
-       SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS "1-URGENT",
-       SUM(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 ELSE 0 END) AS "2-HIGH",
-       SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS "3-MEDIUM",
-       SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS "4-NOT SPECIFIED",
-       SUM(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 ELSE 0 END) AS "5-LOW"
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "1-URGENT",
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 ELSE 0 END) AS BIGINT) AS "2-HIGH",
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS "3-MEDIUM",
+       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "4-NOT SPECIFIED",
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
 FROM orders
 GROUP BY o_orderstatus
 """

