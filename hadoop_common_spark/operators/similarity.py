@@ -42,6 +42,25 @@ def dot_exact_sql(a: str, b: str) -> str:
     )
 
 
+def dot_exact_udf():
+    """Arrow-vectorized twin of :func:`dot_exact` — identical doubles
+    (numpy ``cumsum`` along the element axis is sequential, i.e. the same
+    ((0+t1)+t2)+… left fold; float64 products are IEEE-identical), at C
+    speed instead of interpreted-lambda speed. Use on the hot pair-verify
+    path of LSH dedup, where the built-in fold's ~µs/element overhead is
+    the measured scale bottleneck (47s → vectorized at 10× sf0.1)."""
+
+    @F.pandas_udf("double")
+    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.array(a.tolist(), dtype=np.float64)
+        B = np.array(b.tolist(), dtype=np.float64)
+        return pd.Series(np.cumsum(A * B, axis=1)[:, -1])
+
+    return _dot
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity: dot/(sqrt(na)*sqrt(nb)) — identical double
     operands in every engine (see dot_exact)."""
@@ -88,12 +107,15 @@ def cosine_topk_bruteforce(
     )
     from pyspark.sql import Window
 
+    # per-pair dot via the Arrow kernel (identical doubles to the fold,
+    # C speed): the queries×data cross product is the one per-pair stage
+    dot = dot_exact_udf()
     scored = (
         d.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos",
-            dot_exact(F.col("q_vec"), F.col("d_vec"))
+            dot(F.col("q_vec"), F.col("d_vec"))
             / (F.col("q_vec_norm") * F.col("d_vec_norm")),
         )
     )

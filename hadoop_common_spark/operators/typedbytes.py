@@ -132,6 +132,102 @@ class _Pushback(io.RawIOBase):
         return self._rest.read(n)
 
 
+def pipe_raw_bytes(
+    df: DataFrame,
+    command: list[str],
+    key_col: str | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """PipeMapper with ``-io rawbytes`` — the third Streaming framing
+    (ST/io/RawBytesInputWriter.java:1-60 / RawBytesOutputReader.java):
+    each record crosses the pipe as two length-prefixed byte blobs,
+    4-byte big-endian length + raw key bytes, then length + raw value
+    bytes. No type codes, no escaping — binary-safe like typed-bytes but
+    with zero per-value framing beyond the lengths (the cheapest binary
+    protocol; TestRawBytesStreaming is the reference test analog).
+
+    ``key_col``/``value_col`` default to the DataFrame's first two
+    columns. BINARY columns pass through; STRING columns are UTF-8
+    encoded (the reference converts Writables via their raw
+    serialization). Output rows are ``(key binary, value binary)``.
+
+    Same fork-per-partition / concurrent feed-drain shape as
+    :func:`pipe_typed_bytes`."""
+    spark = df.sparkSession
+    kc = key_col or df.columns[0]
+    vc = value_col or df.columns[1]
+
+    def to_bytes(v: Any) -> bytes:
+        if v is None:
+            return b""
+        if isinstance(v, str):
+            return v.encode("utf-8")
+        return bytes(v)
+
+    def run_partition(rows: Iterator) -> Iterator[tuple]:
+        import subprocess
+        import threading
+
+        proc = subprocess.Popen(
+            command, stdin=subprocess.PIPE, stdout=subprocess.PIPE, bufsize=1 << 16
+        )
+        feed_error: list[BaseException] = []
+
+        def feed():
+            try:
+                for row in rows:
+                    k, v = to_bytes(row[kc]), to_bytes(row[vc])
+                    proc.stdin.write(struct.pack(">i", len(k)) + k)
+                    proc.stdin.write(struct.pack(">i", len(v)) + v)
+            except BrokenPipeError:
+                pass
+            except BaseException as e:
+                feed_error.append(e)
+            finally:
+                try:
+                    proc.stdin.close()
+                except BrokenPipeError:
+                    pass
+
+        writer = threading.Thread(target=feed, daemon=True)
+        writer.start()
+        out = proc.stdout
+
+        def read_blob() -> bytes | None:
+            hdr = out.read(4)
+            if not hdr:
+                return None
+            if len(hdr) < 4:
+                raise EOFError(f"truncated rawbytes length prefix: {hdr!r}")
+            (n,) = struct.unpack(">i", hdr)
+            blob = out.read(n)
+            if len(blob) < n:
+                raise EOFError(f"truncated rawbytes blob: want {n}, got {len(blob)}")
+            return blob
+
+        while True:
+            k = read_blob()
+            if k is None:
+                break
+            v = read_blob()
+            if v is None:
+                raise EOFError("rawbytes stream ended mid-record (key without value)")
+            yield (bytearray(k), bytearray(v))
+        writer.join()
+        rc = proc.wait()
+        if feed_error:
+            raise RuntimeError(
+                f"rawbytes framing failed feeding {command!r}"
+            ) from feed_error[0]
+        if rc != 0:
+            raise RuntimeError(f"piped command {command!r} exited {rc}")
+
+    out_schema = T.StructType(
+        [T.StructField("key", T.BinaryType()), T.StructField("value", T.BinaryType())]
+    )
+    return spark.createDataFrame(df.rdd.mapPartitions(run_partition), out_schema)
+
+
 def pipe_typed_bytes(
     df: DataFrame,
     command: list[str],

@@ -125,6 +125,9 @@ PRIORITY_WINDOW: list[str] = [
     # -- status changed in r03: re-check --
     "pivot_status_priority",  # oracle CAST(SUM AS BIGINT) fix (r02 hash-FAIL)
     "dedup_embedding_cosine",  # re-blocked on banded sign-LSH (scale fix)
+    # -- new in r03 --
+    "text_bm25_topk",  # BM25 retrieval scoring (log-free weights)
+    "corpus_bigram_familiarity",  # bigram-LM perplexity-proxy filtering
 ]
 
 # ---- ~50-entry checked-window boundary ----

@@ -10,6 +10,7 @@ from hadoop_common_spark.operators.similarity import (
     cosine,
     cosine_sql,
     cosine_topk_bruteforce,
+    dot_exact_udf,
     sign_lsh_band_keys,
     sign_lsh_band_keys_sql,
     sign_lsh_band_keys_udf,
@@ -169,7 +170,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # norms once per row before the verify join (not per pair);
-    # sqrt(a)*sqrt(b) keeps the oracle's exact double operands
+    # sqrt(a)*sqrt(b) keeps the oracle's exact double operands. The
+    # per-pair dot product is the Arrow kernel (dot_exact_udf): same
+    # doubles as the built-in fold, C speed on the one per-pair stage.
+    dot = dot_exact_udf()
     vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     normed = emb.select(
         "vec_id", vd.alias("e"), F.sqrt(dot_exact(vd, vd)).alias("nrm")
@@ -179,7 +183,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
-        .withColumn("cos", dot_exact(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")))
+        .withColumn("cos", dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")))
         .filter(F.col("cos") >= 0.35)
         .select("id_a", "id_b", "cos")
     )
@@ -244,11 +248,12 @@ def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", F.col("vec_id").alias("id_b"),
         F.col("e").alias("e_b"), F.col("nrm").alias("n_b"),
     )
+    dot = dot_exact_udf()  # Arrow pair-verify kernel (same doubles as the fold)
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            dot_exact(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+            dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
             >= 0.2
         )
         .select("id_a", "id_b")

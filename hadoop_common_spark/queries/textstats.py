@@ -539,3 +539,173 @@ def text_fuzzy_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wc_a").cast("bigint").alias("wc_a"),
         F.col("wc_b").cast("bigint").alias("wc_b"),
     )
+
+
+# ---- BM25 retrieval scoring (engine extension) --------------------------
+# Okapi BM25 with a LOG-FREE rarity weight (N/df, same determinism
+# rationale as corpus_tfidf_topterms: ln() bit-patterns are libm-
+# dependent, ratios are IEEE-exact in every engine). The per-term
+# contributions are summed in FIXED expression order (t0 + t1 + t2), not
+# via an aggregate, so the double result is bit-identical across engines
+# and partitionings.
+_BM25_Q = ["spark", "vector", "merge"]
+_BM25_K1, _BM25_B = 1.5, 0.75
+
+_BM25_PARTS_SQL = " + ".join(
+    f"(CAST(n_docs AS DOUBLE) / df_{i}) * "
+    f"(tf_{i} / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)))"
+    for i in range(len(_BM25_Q))
+)
+
+_BM25_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+  FROM documents
+),
+tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tk GROUP BY doc_id),
+corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id,
+         {', '.join(f"CAST(SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS DOUBLE) AS tf_{i}" for i, t in enumerate(_BM25_Q))}
+  FROM tk GROUP BY doc_id
+),
+dfreq AS (
+  SELECT
+    {', '.join(f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}" for i in range(len(_BM25_Q)))}
+  FROM tf
+),
+scored AS (
+  SELECT tf.doc_id, ({_BM25_PARTS_SQL}) AS score
+  FROM tf JOIN dl USING (doc_id), corpus, dfreq
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+@query("text_bm25_topk", oracle=_BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents for a fixed query-term set — the
+    retrieval primitive of RAG-corpus curation, as a pure relational
+    plan: tokenize once, per-doc lengths + per-term tfs in ONE
+    conditional aggregation, corpus stats (N, avgdl, per-term df) reduced
+    to a single broadcast row, then a take-ordered top-10 (never a global
+    sort). Rarity weight is the log-free N/df (see module comment)."""
+    docs = spark.table("documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).cast("double").alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_Q)
+        ],
+    )
+    corpus = per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("int")).cast("double").alias(f"df_{i}")
+            for i in range(len(_BM25_Q))
+        ],
+    )
+    parts = None
+    for i in range(len(_BM25_Q)):
+        term_part = (F.col("n_docs").cast("double") / F.col(f"df_{i}")) * (
+            F.col(f"tf_{i}")
+            / (
+                F.col(f"tf_{i}")
+                + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        parts = term_part if parts is None else parts + term_part
+    scored = per_doc.crossJoin(F.broadcast(corpus)).select(
+        "doc_id", parts.alias("score")
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    # rank window runs on the 10 surviving rows only (post take-ordered)
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+# ---- bigram-LM familiarity (perplexity-proxy filtering) -----------------
+_BIGRAM_ORACLE = r"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS a
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(a) - 1), i -> a[i] || ' ' || a[i + 1])) AS bg
+  FROM arr
+),
+c2 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY bg),
+c1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+  FROM c2 GROUP BY 1
+)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(c2.c2) AS BIGINT) AS sum_bigram,
+       CAST(SUM(c1.c1) AS BIGINT) AS sum_prefix,
+       CAST(SUM(c2.c2) AS DOUBLE) / CAST(SUM(c1.c1) AS DOUBLE) AS familiarity
+FROM bg
+JOIN c2 USING (bg)
+JOIN c1 ON split_part(bg.bg, ' ', 1) = c1.w1
+GROUP BY bg.doc_id
+"""
+
+
+@query("corpus_bigram_familiarity", oracle=_BIGRAM_ORACLE)
+def corpus_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring with a corpus-fit bigram model
+    (the KenLM-filtering idiom of LLM data pipelines, relational form):
+    familiarity = Σ c(w1,w2) / Σ c(w1·) over a doc's bigrams — high for
+    docs whose bigrams are corpus-typical, low for noise. Determinism by
+    construction: both sums are exact integers (one double division at
+    the end), so no float-aggregation-order hazard. Scale: bigram counts
+    are hash aggregations; the occurrence joins shuffle on bigram/prefix
+    keys — linear in tokens, no all-pairs anywhere. Docs with < 2 tokens
+    have no bigrams and drop out (same in the oracle)."""
+    docs = spark.table("documents")
+    arr = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    bigrams = F.zip_with(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    c2 = bg.groupBy("bg").agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    c1 = (
+        c2.groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
+        .agg(F.sum("c2").cast("bigint").alias("c1"))
+    )
+    return (
+        bg.join(c2, "bg")
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("c2").cast("bigint").alias("sum_bigram"),
+            F.sum("c1").cast("bigint").alias("sum_prefix"),
+        )
+        .withColumn(
+            "familiarity",
+            F.col("sum_bigram").cast("double") / F.col("sum_prefix").cast("double"),
+        )
+    )

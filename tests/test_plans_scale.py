@@ -328,6 +328,27 @@ def test_boilerplate_ngrams_take_ordered(spark, sf_dir, registry):
     assert plan.count("Exchange hashpartitioning") == 1  # gram agg only
 
 
+def test_bm25_take_ordered_no_global_sort(spark, sf_dir, registry):
+    """BM25 top-10 must plan as TakeOrderedAndProject (per-partition
+    heaps) with the corpus stats broadcast — the rank window runs on the
+    10 surviving rows only, never the full corpus."""
+    df = registry["text_bm25_topk"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan  # 1-row stats
+
+
+def test_bigram_familiarity_hash_joins_only(spark, sf_dir, registry):
+    """The bigram/prefix count joins must be equi hash/SMJ joins on the
+    bigram and prefix keys — never a cartesian; all aggregations partial
+    (map-side combine) before their exchanges."""
+    df = registry["corpus_bigram_familiarity"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
 def test_domain_caps_single_exchange(spark, sf_dir, registry):
     """Cap ranking and the per-source rollup share one shuffle on
     source."""

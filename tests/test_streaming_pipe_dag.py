@@ -218,6 +218,59 @@ out.flush()
     assert sorted((r.s, r.n) for r in out.collect()) == [("ABC", 2), ("XYZ", 42)]
 
 
+def test_pipe_raw_bytes_identity_binary_safe(spark):
+    """-io rawbytes round-trip (TestRawBytesStreaming analog): `cat` is a
+    valid child (length prefixes self-delimit); payloads with tabs,
+    newlines, NULs, and invalid-UTF8 bytes survive intact — the text
+    framing would mangle every one of these."""
+    from hadoop_common_spark.operators.typedbytes import pipe_raw_bytes
+
+    rows = [
+        (bytearray(b"k\t1\n"), bytearray(b"\x00\xff\xfe raw \n\t bytes")),
+        (bytearray(b""), bytearray(b"\x80\x81not-utf8")),
+        (bytearray(b"\n\n"), bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, "key binary, value binary")
+    out = pipe_raw_bytes(df, ["cat"])
+    got = sorted((bytes(r.key), bytes(r.value)) for r in out.collect())
+    assert got == sorted((bytes(k), bytes(v)) for k, v in rows)
+
+
+def test_pipe_raw_bytes_external_transform(spark, tmp_path):
+    """A real child speaking rawbytes (RawBytesInputWriter framing:
+    4-byte big-endian length + raw bytes, key then value): reverses each
+    value. String columns are UTF-8 encoded on the way in."""
+    import sys
+
+    from hadoop_common_spark.operators.typedbytes import pipe_raw_bytes
+
+    child = tmp_path / "rb_child.py"
+    child.write_text(
+        """
+import struct, sys
+inp, out = sys.stdin.buffer, sys.stdout.buffer
+def blob():
+    hdr = inp.read(4)
+    if not hdr:
+        return None
+    (n,) = struct.unpack(">i", hdr)
+    return inp.read(n)
+while True:
+    k = blob()
+    if k is None:
+        break
+    v = blob()
+    rv = v[::-1]
+    out.write(struct.pack(">i", len(k)) + k + struct.pack(">i", len(rv)) + rv)
+out.flush()
+"""
+    )
+    df = spark.createDataFrame([("k1", "abc"), ("k2", "wxyz")], ["k", "v"])
+    out = pipe_raw_bytes(df, [sys.executable, str(child)], "k", "v")
+    got = sorted((bytes(r.key), bytes(r.value)) for r in out.collect())
+    assert got == [(b"k1", b"cba"), (b"k2", b"zyxw")]
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir):
     """Stream-stream watermarked interval join == its batch twin
     (view_click_attribution, the oracle-checked formulation). Inner join

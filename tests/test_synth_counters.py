@@ -83,3 +83,40 @@ def test_read_csv_skip_bad(spark, tmp_path):
     assert good.count() == 3
     assert bad.count() == 1
     assert bad.collect()[0]._corrupt_record.startswith("not_an_int")
+
+
+def test_gridmix_trace_replay(spark, tmp_path):
+    """Gridmix/Rumen shape: a 3-job Rumen-style trace replays as
+    deterministic synthetic load jobs — serial order preserved, per-job
+    IO profile honored (rows = input_bytes * byte_scale / 100), and the
+    stress policy completes every job concurrently."""
+    import json as _json
+
+    from hadoop_common_spark.plans.gridmix import load_trace, replay
+
+    trace_file = tmp_path / "trace.json"
+    jobs = [
+        {"jobID": "job_1", "submitTime": 1000, "totalMaps": 2, "totalReduces": 2,
+         "inputBytes": 200_000},
+        {"jobID": "job_2", "submitTime": 2000, "totalMaps": 1, "totalReduces": 1,
+         "inputBytes": 50_000},
+        {"jobID": "job_3", "submitTime": 3000},  # sparse record: defaults
+    ]
+    trace_file.write_text("\n".join(_json.dumps(j) for j in jobs))
+
+    trace = load_trace(spark, str(trace_file))
+    rows = trace.collect()
+    assert [r.job_id for r in rows] == ["job_1", "job_2", "job_3"]
+    assert rows[0].maps == 2 and rows[0].reduces == 2
+    assert rows[2].maps == 1 and rows[2].input_bytes == 128 << 20
+
+    got = replay(spark, trace, policy="serial", byte_scale=1e-3)
+    assert [g["job_id"] for g in got] == ["job_1", "job_2", "job_3"]
+    # LOAD profile: job_1 = 200_000 * 1e-3 / 100 = 2 records, job_3
+    # defaults to one 128MB block -> 1342 records
+    assert got[0]["rows"] == 2
+    assert got[2]["rows"] == (128 << 20) // 1000 // 100
+
+    stress = replay(spark, trace, policy="stress", byte_scale=1e-3, max_concurrency=3)
+    assert sorted(g["job_id"] for g in stress) == ["job_1", "job_2", "job_3"]
+    assert all(g["rows"] >= 1 for g in stress)
