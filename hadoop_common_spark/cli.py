@@ -27,7 +27,45 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--explain", action="store_true", help="print the formatted plan instead of rows")
     runp.add_argument("--output", help="write result parquet here instead of showing rows")
     runp.add_argument("--show", type=int, default=20, help="rows to show (default 20)")
+    dcp = sub.add_parser("distcp", help="parallel file copy (DistCp analog)")
+    dcp.add_argument("src")
+    dcp.add_argument("dst")
+    dcp.add_argument("--glob", help="path glob filter, e.g. '*.parquet'")
+    dcp.add_argument("--update", action="store_true", help="skip up-to-date files")
+    dcp.add_argument("--delete", action="store_true", help="remove extraneous destination files")
+    dcp.add_argument("--checksum", action="store_true", help="md5-compare same-length files under --update")
+    dcp.add_argument("--chunk-mb", type=int, default=128, help="byte-range chunk size (MB)")
+    gmx = sub.add_parser("gridmix", help="replay a Rumen-style job trace as synthetic load")
+    gmx.add_argument("trace")
+    gmx.add_argument("--policy", choices=["serial", "replay", "stress"], default="serial")
+    gmx.add_argument("--byte-scale", type=float, default=1.0)
+    gmx.add_argument("--time-scale", type=float, default=0.0)
     args = p.parse_args(argv)
+
+    if args.cmd == "distcp":
+        from hadoop_common_spark.session import get_spark
+        from hadoop_common_spark.sources.readers import distcp
+
+        n = distcp(
+            get_spark("cli-distcp"), args.src, args.dst, glob=args.glob,
+            chunk_bytes=args.chunk_mb << 20, update=args.update,
+            delete=args.delete, checksum=args.checksum,
+        )
+        print(f"copied {n} files")
+        return 0
+
+    if args.cmd == "gridmix":
+        from hadoop_common_spark.plans.gridmix import load_trace, replay
+        from hadoop_common_spark.session import get_spark
+
+        spark = get_spark("cli-gridmix")
+        results = replay(
+            spark, load_trace(spark, args.trace), policy=args.policy,
+            byte_scale=args.byte_scale, time_scale=args.time_scale,
+        )
+        for r in results:
+            print(f"{r['job_id']}\t{r['rows']} rows\t{r['seconds']}s")
+        return 0
 
     from hadoop_common_spark.queries import load_all
 

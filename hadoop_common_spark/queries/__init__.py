@@ -128,6 +128,9 @@ PRIORITY_WINDOW: list[str] = [
     # -- new in r03 --
     "text_bm25_topk",  # BM25 retrieval scoring (log-free weights)
     "corpus_bigram_familiarity",  # bigram-LM perplexity-proxy filtering
+    "corpus_stratified_sample",  # exact per-stratum allocation sampling
+    "events_value_ntile_deciles",  # ntile/percent_rank ranked-window surface
+    "embedding_quantize_int8",  # symmetric int8 vector compression
 ]
 
 # ---- ~50-entry checked-window boundary ----

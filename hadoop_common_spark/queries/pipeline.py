@@ -599,3 +599,36 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chunk_tok").cast("bigint").alias("seq_tokens"),
         )
     )
+
+
+_STRATIFIED_ORACLE = """
+SELECT lang, doc_id, rk FROM (
+  SELECT lang, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS INT) AS rk
+  FROM documents
+) WHERE rk <= 20
+"""
+
+
+@query("corpus_stratified_sample", oracle=_STRATIFIED_ORACLE)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT stratified sampling: precisely k=20 documents per language
+    stratum (sampleBy() is binomial — approximate counts; training-data
+    mixtures need exact allocations), chosen by md5-hash rank within the
+    stratum — deterministic across engines, runs, and repartitionings.
+    One shuffle on the stratum key. Skewed strata at 100 TB: swap the
+    window for skew.top_k_per_group_two_phase (salted partial top-k,
+    equivalence-tested) — same contract, no single hot partition."""
+    from hadoop_common_spark.operators.sort import top_k_per_group
+
+    docs = spark.table("documents").select("lang", "doc_id")
+    order = [F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()]
+    ranked = docs.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(*order)
+        ),
+    )
+    return ranked.filter(F.col("rk") <= 20).select("lang", "doc_id", "rk")

@@ -404,3 +404,69 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsub=_PQ_DSUB,
         ksub=_PQ_KSUB,
     )
+
+
+_INT8_ORACLE = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) AS maxabs
+  FROM v
+),
+q AS (
+  SELECT vec_id, e, maxabs,
+         CASE WHEN maxabs = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(e, x -> CAST(floor(x * (127.0 / maxabs) + 0.5) AS BIGINT))
+         END AS codes
+  FROM s
+)
+SELECT vec_id, maxabs,
+       CAST(list_reduce(codes, (a, b) -> a + b) AS BIGINT) AS sum_q,
+       CASE WHEN maxabs = 0 THEN 0.0
+            ELSE list_max(list_transform(generate_series(1, len(e)),
+                 i -> abs(codes[i] / (127.0 / maxabs) - e[i])))
+       END AS max_err
+FROM q
+"""
+
+
+@query("embedding_quantize_int8", oracle=_INT8_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (the storage/
+    bandwidth-compression step of large-scale vector pipelines): per-
+    vector scale = 127/max|x|, code = floor(x*scale + 0.5) — floor, not
+    round(), because banker's-rounding ties differ across engines while
+    floor(+0.5) is IEEE-exact everywhere. Outputs the per-vector scale
+    basis, the exact integer code sum (an order-independent checksum of
+    the whole code array), and the max dequantization error (max is
+    order-independent too — deliberately no float SUM across elements).
+    Pure narrow map at scan speed; zero shuffles."""
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    emb = spark.table("embeddings").select("vec_id", vd.alias("e"))
+    maxabs = F.array_max(F.transform(F.col("e"), F.abs))
+    withs = emb.withColumn("maxabs", maxabs)
+    scale = F.lit(127.0) / F.col("maxabs")
+    codes = F.when(
+        F.col("maxabs") == 0,
+        F.transform(F.col("e"), lambda x: F.lit(0).cast("bigint")),
+    ).otherwise(
+        F.transform(F.col("e"), lambda x: F.floor(x * scale + F.lit(0.5)))
+    )
+    qq = withs.withColumn("codes", codes)
+    errs = F.zip_with(
+        F.col("codes"), F.col("e"), lambda c, x: F.abs(c / scale - x)
+    )
+    return qq.select(
+        "vec_id",
+        "maxabs",
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("bigint"), lambda a, b: a + b
+        ).alias("sum_q"),
+        F.when(F.col("maxabs") == 0, F.lit(0.0))
+        .otherwise(F.array_max(errs))
+        .alias("max_err"),
+    )

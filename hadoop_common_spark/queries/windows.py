@@ -630,3 +630,46 @@ def events_weekday_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+_NTILE_ORACLE = """
+SELECT event_type, decile,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       MIN(pct_rank) AS min_pct_rank,
+       MAX(pct_rank) AS max_pct_rank
+FROM (
+  SELECT event_type, value,
+         CAST(NTILE(10) OVER w AS INT) AS decile,
+         PERCENT_RANK() OVER w AS pct_rank
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+)
+GROUP BY event_type, decile
+"""
+
+
+@query("events_value_ntile_deciles", oracle=_NTILE_ORACLE)
+def events_value_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count decile banding per event type via ntile(10) +
+    percent_rank — the ranked-window surface the reference's secondary
+    sort cannot express. Ordering carries event_id as the tiebreaker so
+    the tiling is total-order deterministic; ntile's floor-split
+    semantics (earlier tiles get the extras) match across engines. One
+    shuffle on event_type; the per-type sort is the window's in-partition
+    sort, then the decile rollup reuses the same partitioning."""
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    tiled = spark.table("events").select(
+        "event_type",
+        "value",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+    return tiled.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.min("pct_rank").alias("min_pct_rank"),
+        F.max("pct_rank").alias("max_pct_rank"),
+    )

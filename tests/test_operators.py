@@ -199,6 +199,28 @@ def test_cli_rejects_unknown_query(capsys):
     assert main(["run", "no_such_query"]) == 2
 
 
+def test_cli_distcp_and_gridmix(spark, tmp_path, capsys):
+    """Utility subcommands: distcp copies (with --update skipping), and
+    gridmix replays a one-job trace."""
+    import json as _json
+
+    from hadoop_common_spark.cli import main
+
+    src = tmp_path / "s"; src.mkdir()
+    (src / "f.bin").write_bytes(b"x" * 100)
+    dst = tmp_path / "d"
+    assert main(["distcp", str(src), str(dst)]) == 0
+    assert "copied 1 files" in capsys.readouterr().out
+    assert main(["distcp", str(src), str(dst), "--update"]) == 0
+    assert "copied 0 files" in capsys.readouterr().out
+    assert (dst / "f.bin").read_bytes() == b"x" * 100
+
+    trace = tmp_path / "t.json"
+    trace.write_text(_json.dumps({"jobID": "j1", "totalMaps": 1, "inputBytes": 10_000}))
+    assert main(["gridmix", str(trace), "--byte-scale", "0.1"]) == 0
+    assert "j1\t10 rows" in capsys.readouterr().out
+
+
 class TestComputeDemos:
     """BBP + distributed Sudoku kernels (EX/BaileyBorweinPlouffe.java,
     EX/dancing/Sudoku.java) — pure-kernel checks; the Spark fan-out path

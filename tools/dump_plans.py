@@ -112,6 +112,21 @@ REPRESENTATIVE = {
         "sketch build shuffles at most depth*width cells regardless of input "
         "size; probe join broadcasts the sketch; top-20 is TakeOrderedAndProject"
     ),
+    "dedup_embedding_cosine": (
+        "candidate self-join keyed on (label, band-key) — banded sign-LSH "
+        "blocking, never label-only all-pairs; Arrow-batched projection and "
+        "pair-dot kernels; verify joins broadcast the normed vector side"
+    ),
+    "text_bm25_topk": (
+        "one conditional aggregation for dl + per-term tfs, corpus stats "
+        "reduced to a broadcast single row, TakeOrderedAndProject top-10 "
+        "(no global sort); rank window runs on 10 surviving rows"
+    ),
+    "corpus_bigram_familiarity": (
+        "bigram/prefix counts as partial-agg hash aggregations; occurrence "
+        "joins are equi hash joins on the bigram/prefix keys — linear in "
+        "tokens, no all-pairs"
+    ),
 }
 
 
