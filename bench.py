@@ -181,8 +181,11 @@ def build_scale_dir(spark, sf_dir: str, replicas: int = SCALE_REPLICAS) -> str:
         .write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
     )
 
+    # absolute targets: a relative sf_dir would resolve the links
+    # against /tmp (dangling) rather than the cwd the scans use
+    abs_sf = os.path.abspath(sf_dir)
     for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
-        os.symlink(f"{sf_dir}/{t}.parquet", f"{out}/{t}.parquet")
+        os.symlink(f"{abs_sf}/{t}.parquet", f"{out}/{t}.parquet")
     return out
 
 
@@ -317,8 +320,17 @@ def _vs_prev(timings: dict[str, float], sf: float) -> dict:
     try:
         with open(prev_path) as f:
             d = json.load(f)
-        # the driver wraps our JSON line in run metadata under "parsed"
-        prev = d.get("parsed", d) if isinstance(d, dict) else {}
+        # the driver wraps our JSON line in run metadata — sometimes under
+        # "parsed", sometimes embedded verbatim in a "tail" text field
+        # (BENCH_r02.json shape); find the innermost object with "queries"
+        prev = d if isinstance(d, dict) else {}
+        if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+            prev = prev["parsed"]
+        if "queries" not in prev and isinstance(d, dict) and isinstance(d.get("tail"), str):
+            start = d["tail"].find('{"metric"')
+            if start >= 0:
+                decoded, _ = json.JSONDecoder().raw_decode(d["tail"][start:])
+                prev = decoded
         if not prev.get("queries") or prev.get("sf") not in (None, sf):
             return {"prev_round": os.path.basename(prev_path), "regressions": {}}
     except (OSError, json.JSONDecodeError, ValueError, AttributeError):

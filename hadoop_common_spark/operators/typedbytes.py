@@ -162,7 +162,13 @@ def pipe_raw_bytes(
             return b""
         if isinstance(v, str):
             return v.encode("utf-8")
-        return bytes(v)
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        # bytes(int) would silently yield that many ZERO bytes — corrupt
+        # framing, no error; reject non-bytes/str columns up front
+        raise TypeError(
+            f"rawbytes framing needs BINARY or STRING columns, got {type(v).__name__}"
+        )
 
     def run_partition(rows: Iterator) -> Iterator[tuple]:
         import subprocess

@@ -78,7 +78,7 @@ def replay(
     max_concurrency: int = 4,
 ) -> list[dict]:
     """Replay a normalized trace as synthetic load; returns one result
-    dict per job (id, rows, seconds) in completion order.
+    dict per job (id, rows, seconds) in submission order.
 
     ``policy``: 'serial' runs jobs back to back; 'replay' submits at the
     traced inter-arrival times scaled by ``time_scale`` (0.0 = no waits,
@@ -107,10 +107,15 @@ def replay(
 
     with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
         futs = []
-        base = jobs[0].submit_ms if jobs else 0
+        prev_ms = jobs[0].submit_ms if jobs else 0
         for row in jobs:
             if policy == "replay" and time_scale > 0:
-                time.sleep(max(0.0, (row.submit_ms - base) * time_scale / 1000.0))
+                # inter-arrival DELTA from the previous job, not the
+                # offset from trace start — sleeping the full offset each
+                # iteration would prefix-sum the delays and distort the
+                # traced schedule quadratically
+                time.sleep(max(0.0, (row.submit_ms - prev_ms) * time_scale / 1000.0))
+                prev_ms = row.submit_ms
             futs.append(pool.submit(run_one, row))
         for f in futs:
             results.append(f.result())

@@ -621,8 +621,6 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on the stratum key. Skewed strata at 100 TB: swap the
     window for skew.top_k_per_group_two_phase (salted partial top-k,
     equivalence-tested) — same contract, no single hot partition."""
-    from hadoop_common_spark.operators.sort import top_k_per_group
-
     docs = spark.table("documents").select("lang", "doc_id")
     order = [F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()]
     ranked = docs.withColumn(

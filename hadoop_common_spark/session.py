@@ -87,10 +87,14 @@ def _ship_package(spark: SparkSession) -> None:
     try:
         sc.addPyFile(zpath)
     except Exception as e:
-        if "already" in str(e).lower():
+        msg = str(e).lower()
+        if "already" in msg and ("added" in msg or "exists" in msg or "registered" in msg):
             # benign: the package zip reached this context in a prior
             # session sharing it — mark shipped so later queries don't
-            # retry and re-warn for the lifetime of the context
+            # retry and re-warn for the lifetime of the context. The
+            # compound match avoids mistaking unrelated errors that merely
+            # contain 'already' for the benign case (which would suppress
+            # the retry and resurface as executor ModuleNotFoundError).
             sc._hcs_pkg_shipped = True
             return
         # Do NOT mark shipped: leaving the flag unset lets the next query

@@ -322,12 +322,16 @@ def distcp(
     if delete:
         dst_root = os.path.abspath(dst)
         try:
-            dst_files = (
-                spark.read.format("binaryFile")
-                .option("recursiveFileLookup", "true")
-                .load(dst)
-                .select("path")
+            # the dst listing takes the SAME glob as the src listing: a
+            # scoped sync (glob='*.parquet') must only consider in-scope
+            # destination files — an unfiltered listing would delete
+            # out-of-scope files that still exist in the source
+            dreader = spark.read.format("binaryFile").option(
+                "recursiveFileLookup", "true"
             )
+            if glob:
+                dreader = dreader.option("pathGlobFilter", glob)
+            dst_files = dreader.load(dst).select("path")
             dst_rel = spark.createDataFrame(
                 dst_files.rdd.map(
                     lambda r: (os.path.relpath(_distcp_local_path(r.path), dst_root),)

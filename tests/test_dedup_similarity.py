@@ -480,3 +480,50 @@ def test_pq_fewer_rows_than_ksub_stays_exact(spark):
     assert {(r.query_id, r.rank): r.neighbor_id for r in got} == {
         (r.query_id, r.rank): r.neighbor_id for r in want
     }
+
+
+def test_banded_lsh_near_dup_recall_and_kernel_equivalence(spark, sf_dir):
+    """Banded sign-LSH quality contract: (1) the Arrow kernel's keys
+    equal the built-in HOF expression's keys on real data; (2) among
+    genuine near-duplicate pairs (cosine >= 0.9, synthesized as
+    deterministic perturbations), at least 95% collide in some band with
+    the 16x4 production config — the recall that makes the banded
+    candidate join a valid substitute for the all-pairs scan."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.operators.similarity import (
+        _coef_int,
+        sign_lsh_band_keys,
+        sign_lsh_band_keys_udf,
+    )
+
+    bands, ppb, dim = 16, 4, 64
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    hof = emb.select("vec_id", sign_lsh_band_keys(F.col("embedding"), dim, bands, ppb).alias("k"))
+    udf = emb.select("vec_id", sign_lsh_band_keys_udf(dim, bands, ppb)("embedding").alias("k"))
+    mism = hof.alias("h").join(udf.alias("u"), "vec_id").filter(F.col("h.k") != F.col("u.k")).count()
+    assert mism == 0
+
+    V = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+    # deterministic directional perturbation (scaling alone is
+    # cosine-invariant and would be a vacuous test)
+    rng_pattern = np.sin(np.arange(dim)[None, :] * (1.0 + np.arange(len(V))[:, None] % 7))
+    W = V + 0.15 * np.std(V, axis=1, keepdims=True) * rng_pattern
+    cos = (V * W).sum(1) / (np.linalg.norm(V, axis=1) * np.linalg.norm(W, axis=1))
+
+    C = np.array([[_coef_int(p, i) / 1000.0 for i in range(dim)] for p in range(bands * ppb)])
+
+    def keys(M):
+        projs = np.cumsum(M[:, None, :] * C[None, :, :], axis=2)[:, :, -1]
+        bits = (projs > 0).reshape(len(M), bands, ppb)
+        weights = (1 << np.arange(ppb)).astype(np.int64)
+        offs = (np.arange(bands) * (1 << ppb)).astype(np.int64)
+        return offs[None, :] + (bits * weights[None, None, :]).sum(axis=2)
+
+    kv, kw = keys(V), keys(W)
+    near = cos >= 0.9
+    assert near.sum() >= 50  # the perturbation actually produces near-dups
+    collide = np.array([len(set(a) & set(b)) > 0 for a, b in zip(kv, kw)])
+    recall = collide[near].mean()
+    assert recall >= 0.95, f"banded recall {recall:.3f} on {near.sum()} near-dup pairs"

@@ -230,6 +230,24 @@ def test_distcp_delete_removes_extraneous(spark, tmp_path):
     assert not (dst / "sub" / "stale2.bin").exists()
 
 
+def test_distcp_delete_respects_glob_scope(spark, tmp_path):
+    """A glob-scoped sync with -delete must only delete IN-SCOPE
+    extraneous destination files — never out-of-scope files that still
+    exist in the source (regression: the dst listing was unfiltered)."""
+    from hadoop_common_spark.sources.readers import distcp
+
+    src = tmp_path / "src"; dst = tmp_path / "dst"
+    src.mkdir()
+    (src / "a.bin").write_bytes(b"a")
+    (src / "b.json").write_bytes(b"b")
+    distcp(spark, str(src), str(dst))  # full copy: both land in dst
+    (dst / "stale.bin").write_bytes(b"stale")
+    distcp(spark, str(src), str(dst), glob="*.bin", update=True, delete=True)
+    assert not (dst / "stale.bin").exists()  # in-scope extraneous: gone
+    assert (dst / "b.json").read_bytes() == b"b"  # out-of-scope: untouched
+    assert (dst / "a.bin").read_bytes() == b"a"
+
+
 def test_sequence_file_roundtrip_and_sniff(spark, tmp_path):
     """SequenceFile read bridge (HC/io/SequenceFile.java 'SEQ' magic):
     write a real SequenceFile via the RDD API, read it back as a

@@ -271,6 +271,18 @@ out.flush()
     assert got == [(b"k1", b"cba"), (b"k2", b"zyxw")]
 
 
+def test_pipe_raw_bytes_rejects_non_bytes_columns(spark):
+    """An int column must raise, not frame as bytes(n) == n ZERO bytes
+    (silent corruption; a huge id would even allocate GBs)."""
+    import pytest as _pytest
+
+    from hadoop_common_spark.operators.typedbytes import pipe_raw_bytes
+
+    df = spark.createDataFrame([(5, "v")], ["k", "v"])
+    with _pytest.raises(Exception, match="rawbytes framing|BINARY or STRING"):
+        pipe_raw_bytes(df, ["cat"]).collect()
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir):
     """Stream-stream watermarked interval join == its batch twin
     (view_click_attribution, the oracle-checked formulation). Inner join
