@@ -131,6 +131,7 @@ PRIORITY_WINDOW: list[str] = [
     "corpus_stratified_sample",  # exact per-stratum allocation sampling
     "events_value_ntile_deciles",  # ntile/percent_rank ranked-window surface
     "embedding_quantize_int8",  # symmetric int8 vector compression
+    "similarity_lsh_multiprobe_topk",  # multiprobe LSH ANN (recall knob)
 ]
 
 # ---- ~50-entry checked-window boundary ----

@@ -470,3 +470,89 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array_max(errs))
         .alias("max_err"),
     )
+
+
+# ---- multiprobe LSH ANN (tier between plain LSH and brute force) --------
+_MP_ORACLE = f"""
+WITH d AS (
+  SELECT vec_id AS neighbor_id, embedding AS d_vec,
+         {sign_lsh_bucket_sql('embedding', DIM, PLANES)} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec,
+         {sign_lsh_bucket_sql('embedding', DIM, PLANES)} AS qb
+  FROM embeddings WHERE vec_id < 10
+),
+probes AS (
+  SELECT query_id, q_vec, unnest(
+    [qb, {', '.join(f'xor(qb, {1 << p})' for p in range(PLANES))}]
+  ) AS bucket
+  FROM q
+),
+cand AS (
+  SELECT DISTINCT p.query_id, p.q_vec, d.neighbor_id, d.d_vec
+  FROM probes p JOIN d USING (bucket)
+  WHERE d.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT query_id, neighbor_id,
+         {cosine_sql('q_vec', 'd_vec')} AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY {cosine_sql('q_vec', 'd_vec')} DESC, neighbor_id ASC
+         ) AS rank
+  FROM cand
+) WHERE rank <= 5
+"""
+
+
+@query("similarity_lsh_multiprobe_topk", oracle=_MP_ORACLE)
+def similarity_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe sign-LSH ANN: each query probes its own bucket PLUS the
+    8 single-bit-flip neighbors (the buckets a near-boundary projection
+    could have landed in) — the standard recall knob between plain LSH
+    (1 probe, cheapest) and brute force (every bucket). Probes-per-query
+    is a constant (1 + planes), so candidate volume stays ~9 bucket
+    occupancies per query at ANY corpus size; exact cosine re-ranks the
+    candidates. One bucket equi-join; the probe side is tiny and
+    broadcasts."""
+    from hadoop_common_spark.operators.similarity import dot_exact
+    from pyspark.sql import Window
+
+    emb = spark.table("embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        vd.alias("d_vec"),
+        F.sqrt(dot_exact(vd, vd)).alias("d_norm"),
+        sign_lsh_bucket(F.col("embedding"), DIM, PLANES).alias("bucket"),
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        vd.alias("q_vec"),
+        F.sqrt(dot_exact(vd, vd)).alias("q_norm"),
+        sign_lsh_bucket(F.col("embedding"), DIM, PLANES).alias("qb"),
+    )
+    probe_list = F.array(
+        F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << p)) for p in range(PLANES)]
+    )
+    probes = q.select(
+        "query_id", "q_vec", "q_norm", F.explode(probe_list).alias("bucket")
+    )
+    cand = (
+        d.join(F.broadcast(probes), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_vec", "q_norm", "neighbor_id", "d_vec", "d_norm")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn(
+            "cos",
+            dot_exact(F.col("q_vec"), F.col("d_vec")) / (F.col("q_norm") * F.col("d_norm")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
