@@ -132,6 +132,7 @@ PRIORITY_WINDOW: list[str] = [
     "events_value_ntile_deciles",  # ntile/percent_rank ranked-window surface
     "embedding_quantize_int8",  # symmetric int8 vector compression
     "similarity_lsh_multiprobe_topk",  # multiprobe LSH ANN (recall knob)
+    "events_value_percentiles_sampled",  # deterministic-sample quantiles
 ]
 
 # ---- ~50-entry checked-window boundary ----

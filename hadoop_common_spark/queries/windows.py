@@ -673,3 +673,65 @@ def events_value_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pct_rank").alias("min_pct_rank"),
         F.max("pct_rank").alias("max_pct_rank"),
     )
+
+
+_SAMPLED_PCT_ORACLE = """
+WITH s AS (
+  SELECT event_type, value, event_id
+  FROM events
+  WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 16 = 0
+),
+rk AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value ASC NULLS FIRST, event_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM s
+)
+SELECT event_type,
+       CAST(MAX(cnt) AS BIGINT) AS n_sampled,
+       MIN(CASE WHEN rn >= ceil(0.5 * cnt) THEN value END) AS p50,
+       MIN(CASE WHEN rn >= ceil(0.9 * cnt) THEN value END) AS p90,
+       MIN(CASE WHEN rn >= ceil(0.99 * cnt) THEN value END) AS p99
+FROM rk
+GROUP BY event_type
+"""
+
+
+@query("events_value_percentiles_sampled", oracle=_SAMPLED_PCT_ORACLE)
+def events_value_percentiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles from a DETERMINISTIC 1/16 sample — the 100 TB path
+    next to events_value_percentiles' exact form (exact quantiles sort
+    every row; the sampled estimator sorts n/16 with error O(1/sqrt(n/16))
+    per stratum). md5-hash sampling, not rand(): the sample — hence the
+    estimate — is identical across engines, runs, and partitionings. The
+    order statistic is the 'lower' method (value at rank ceil(q*n)),
+    pure ordering with no float interpolation; ceil(0.9*n) is the same
+    IEEE double in both engines."""
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    s = spark.table("events").filter(h % 16 == 0).select("event_type", "value", "event_id")
+    # NULLS FIRST explicitly on BOTH sides: Spark ASC defaults nulls
+    # first, DuckDB defaults nulls LAST — silent rank divergence if the
+    # regenerated testdata ever carries null values
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_first("value"), F.asc("event_id")
+    )
+    wc = Window.partitionBy("event_type")
+    rk = s.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    def pick(q: float, name: str):
+        return F.min(
+            F.when(F.col("rn") >= F.ceil(F.lit(q) * F.col("cnt")), F.col("value"))
+        ).alias(name)
+    return rk.groupBy("event_type").agg(
+        F.max("cnt").cast("bigint").alias("n_sampled"),
+        pick(0.5, "p50"),
+        pick(0.9, "p90"),
+        pick(0.99, "p99"),
+    )
