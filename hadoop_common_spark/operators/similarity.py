@@ -252,6 +252,20 @@ def sign_lsh_band_keys_udf(dim: int, bands: int, planes_per_band: int):
     return _keys
 
 
+def sign_lsh_bucket_udf(dim: int, planes: int):
+    """Arrow twin of :func:`sign_lsh_bucket`: one band of ``planes``
+    hyperplanes — band 0's offset is 0 and the global plane numbering
+    starts at 0, so the single band key IS the bucket, bit for bit.
+    Same ~µs-per-element interpreted-fold argument as
+    :func:`sign_lsh_band_keys_udf`."""
+    inner = sign_lsh_band_keys_udf(dim, 1, planes)
+
+    def bucket(col):
+        return F.element_at(inner(col), 1)
+
+    return bucket
+
+
 def sign_lsh_band_keys_sql(
     vec_expr: str, dim: int, bands: int, planes_per_band: int
 ) -> str:

@@ -16,6 +16,7 @@ from hadoop_common_spark.operators.similarity import (
     sign_lsh_band_keys_udf,
     sign_lsh_bucket,
     sign_lsh_bucket_sql,
+    sign_lsh_bucket_udf,
 )
 from hadoop_common_spark.queries import query
 
@@ -70,8 +71,9 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     search joins query buckets to data buckets instead of cross-joining
     everything — this query materializes the bucket histogram."""
     emb = spark.table("embeddings")
+    bucket = sign_lsh_bucket_udf(DIM, PLANES)  # Arrow twin, identical keys
     return (
-        emb.select(sign_lsh_bucket(F.col("embedding"), DIM, PLANES).alias("bucket"))
+        emb.select(bucket(F.col("embedding")).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
@@ -238,7 +240,7 @@ def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         vd.alias("e"),
         F.sqrt(dot_exact(vd, vd)).alias("nrm"),
-        sign_lsh_bucket(F.col("embedding"), DIM, PLANES).alias("bucket"),
+        sign_lsh_bucket_udf(DIM, PLANES)(F.col("embedding")).alias("bucket"),
     )
     a = normed.select(
         "bucket", F.col("vec_id").alias("id_a"),
@@ -526,13 +528,13 @@ def similarity_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("vec_id").alias("neighbor_id"),
         vd.alias("d_vec"),
         F.sqrt(dot_exact(vd, vd)).alias("d_norm"),
-        sign_lsh_bucket(F.col("embedding"), DIM, PLANES).alias("bucket"),
+        sign_lsh_bucket_udf(DIM, PLANES)(F.col("embedding")).alias("bucket"),
     )
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         vd.alias("q_vec"),
         F.sqrt(dot_exact(vd, vd)).alias("q_norm"),
-        sign_lsh_bucket(F.col("embedding"), DIM, PLANES).alias("qb"),
+        sign_lsh_bucket_udf(DIM, PLANES)(F.col("embedding")).alias("qb"),
     )
     probe_list = F.array(
         F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << p)) for p in range(PLANES)]
