@@ -61,6 +61,58 @@ def dot_exact_udf():
     return _dot
 
 
+def cosine_verify_pairs_broadcast(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_broadcast_rows: int = 500_000,
+) -> DataFrame:
+    """Exact-cosine verification of candidate pairs with the vector
+    table shipped as a Python broadcast (the DistributedCache map-side
+    idiom, reference row §2.9/66): Arrow then moves only the 16-byte id
+    pairs instead of two 512-byte arrays per pair — measured 13 GB → 0.2
+    GB at 12.8M candidates. Cosines are bit-identical to dot_exact /
+    the SQL oracle: per-element float64 products + ``cumsum`` left fold,
+    norms included (sqrt(dot(a,a)) exactly as the join form computes).
+
+    The broadcast holds ALL vectors in every executor — correct only
+    while the vector table is side-data-sized, so a hard row gate
+    (``max_broadcast_rows``) raises instead of silently OOM-ing at
+    100 TB; callers fall back to the join + dot_exact_udf form beyond
+    it."""
+    import pandas as pd
+
+    n = vectors.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"vector table has {n} rows > max_broadcast_rows={max_broadcast_rows}; "
+            "use the join-based verify instead"
+        )
+    rows = vectors.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    V = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    # norm via the same cumsum left fold the oracle's SQRT(dot(a,a)) uses
+    norms = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+    idx = {int(i): k for k, i in enumerate(ids)}
+    bc = pairs.sparkSession.sparkContext.broadcast((idx, V, norms))
+
+    out_schema = f"{id_a} long, {id_b} long, cos double"
+
+    def verify(batches):
+        idx_m, Vm, Nm = bc.value
+        for pdf in batches:
+            ka = pdf[id_a].map(idx_m).to_numpy()
+            kb = pdf[id_b].map(idx_m).to_numpy()
+            A, B = Vm[ka], Vm[kb]
+            cos = np.cumsum(A * B, axis=1)[:, -1] / (Nm[ka] * Nm[kb])
+            yield pd.DataFrame({id_a: pdf[id_a], id_b: pdf[id_b], "cos": cos})
+
+    return pairs.select(id_a, id_b).mapInPandas(verify, out_schema)
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity: dot/(sqrt(na)*sqrt(nb)) — identical double
     operands in every engine (see dot_exact)."""

