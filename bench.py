@@ -110,6 +110,7 @@ SCALE_QUERIES = [
     "window_sessionize",
     "events_multires_rollup",
     "window_user_analytics",
+    "corpus_bigram_familiarity",
 ]
 
 
@@ -277,6 +278,22 @@ def main() -> None:
                 except Exception as e:
                     print(f"# bench error scale/{name}: {type(e).__name__}: {e}", file=sys.stderr)
                     scale_timings[name] = -1.0
+            # De-noise: the tier has no prior-round baseline to diff
+            # against, so re-time the 3 slowest and keep the min — host
+            # contention spikes (measured 39s vs 7.8s for the same query
+            # minutes apart) reproduce for real costs, not for flukes.
+            for name in sorted(
+                (n for n, v in scale_timings.items() if v > 0),
+                key=lambda n: -scale_timings[n],
+            )[:3]:
+                t0 = time.time()
+                try:
+                    _run_noop(registry[name].fn(spark, scale_dir))
+                    scale_timings[name] = min(
+                        scale_timings[name], round(time.time() - t0, 3)
+                    )
+                except Exception:
+                    pass
         except Exception as e:
             print(f"# bench error scale tier: {type(e).__name__}: {e}", file=sys.stderr)
 
