@@ -61,6 +61,19 @@ def dot_exact_udf():
     return _dot
 
 
+class BroadcastGateExceeded(Exception):
+    """The vector table is past the side-data gate — use the join verify."""
+
+
+# digest -> pyspark Broadcast. Bounded FIFO: repeated queries over the
+# same table (bench loops, notebooks) REUSE one broadcast instead of
+# accruing a fresh ~10s-of-MB copy per call; evicted entries just lose
+# our reference so Spark's ContextCleaner reclaims them once no pending
+# query closure holds them.
+_BC_CACHE: dict[str, object] = {}
+_BC_CACHE_MAX = 8
+
+
 def cosine_verify_pairs_broadcast(
     pairs: DataFrame,
     vectors: DataFrame,
@@ -80,37 +93,99 @@ def cosine_verify_pairs_broadcast(
 
     The broadcast holds ALL vectors in every executor — correct only
     while the vector table is side-data-sized, so a hard row gate
-    (``max_broadcast_rows``) raises instead of silently OOM-ing at
+    (``max_broadcast_rows``) raises :class:`BroadcastGateExceeded` (a
+    dedicated type — a generic ValueError from e.g. ragged input data
+    must NOT be mistaken for the gate) instead of silently OOM-ing at
     100 TB; callers fall back to the join + dot_exact_udf form beyond
-    it."""
-    import pandas as pd
+    it. NULL vectors are excluded like the join form excludes them
+    (their pairs drop out); gate + fetch is ONE bounded collect, not a
+    count job followed by an unbounded collect."""
+    import hashlib
 
-    n = vectors.count()
-    if n > max_broadcast_rows:
-        raise ValueError(
-            f"vector table has {n} rows > max_broadcast_rows={max_broadcast_rows}; "
-            "use the join-based verify instead"
+    rows = (
+        vectors.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .limit(max_broadcast_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_broadcast_rows:
+        raise BroadcastGateExceeded(
+            f"vector table exceeds max_broadcast_rows={max_broadcast_rows}"
         )
-    rows = vectors.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     V = np.array([list(r[1]) for r in rows], dtype=np.float64)
     # norm via the same cumsum left fold the oracle's SQRT(dot(a,a)) uses
     norms = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
     idx = {int(i): k for k, i in enumerate(ids)}
-    bc = pairs.sparkSession.sparkContext.broadcast((idx, V, norms))
+
+    digest = hashlib.md5(ids.tobytes() + V.tobytes()).hexdigest()
+    bc = _BC_CACHE.get(digest)
+    if bc is None:
+        bc = pairs.sparkSession.sparkContext.broadcast((idx, V, norms))
+        while len(_BC_CACHE) >= _BC_CACHE_MAX:
+            _BC_CACHE.pop(next(iter(_BC_CACHE)))
+        _BC_CACHE[digest] = bc
 
     out_schema = f"{id_a} long, {id_b} long, cos double"
 
     def verify(batches):
         idx_m, Vm, Nm = bc.value
         for pdf in batches:
-            ka = pdf[id_a].map(idx_m).to_numpy()
-            kb = pdf[id_b].map(idx_m).to_numpy()
-            A, B = Vm[ka], Vm[kb]
-            cos = np.cumsum(A * B, axis=1)[:, -1] / (Nm[ka] * Nm[kb])
+            ka = pdf[id_a].map(idx_m)
+            kb = pdf[id_b].map(idx_m)
+            # pairs referencing a NULL-vector id vanish, matching the
+            # join form (null operand -> null cos -> filtered)
+            ok = ka.notna().to_numpy() & kb.notna().to_numpy()
+            pdf = pdf[ok]
+            ia = ka.to_numpy()[ok].astype(np.int64)
+            ib = kb.to_numpy()[ok].astype(np.int64)
+            A, B = Vm[ia], Vm[ib]
+            cos = (
+                np.cumsum(A * B, axis=1)[:, -1] / (Nm[ia] * Nm[ib])
+                if len(pdf)
+                else np.array([], dtype=np.float64)
+            )
             yield pd.DataFrame({id_a: pdf[id_a], id_b: pdf[id_b], "cos": cos})
 
     return pairs.select(id_a, id_b).mapInPandas(verify, out_schema)
+
+
+def cosine_verify_pairs(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Candidate-pair cosine verify ≥ threshold: broadcast kernel while
+    the vector table is side-data-sized, join + Arrow dot kernel past
+    the gate — one place for the adaptive choice so both dedup queries
+    share identical semantics. Returns (id_a, id_b, cos)."""
+    try:
+        scored = cosine_verify_pairs_broadcast(
+            pairs, vectors, id_col, vec_col, id_a=id_a, id_b=id_b
+        )
+    except BroadcastGateExceeded:
+        dot = dot_exact_udf()
+        vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        normed = vectors.select(
+            F.col(id_col), vd.alias("_e"), F.sqrt(dot_exact(vd, vd)).alias("_nrm")
+        )
+        ea = normed.select(
+            F.col(id_col).alias(id_a), F.col("_e").alias("_ea"), F.col("_nrm").alias("_na")
+        )
+        eb = normed.select(
+            F.col(id_col).alias(id_b), F.col("_e").alias("_eb"), F.col("_nrm").alias("_nb")
+        )
+        scored = (
+            pairs.join(ea, id_a)
+            .join(eb, id_b)
+            .withColumn("cos", dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")))
+            .select(id_a, id_b, "cos")
+        )
+    return scored.filter(F.col("cos") >= threshold)
 
 
 def cosine(a: Column, b: Column) -> Column:

@@ -171,37 +171,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    # Verify: DistributedCache idiom when the vector table is side-data
-    # sized (Arrow then moves 16-byte id pairs, not two 512-byte arrays
-    # per pair — measured 13 GB → 0.2 GB at 12.8M candidates); beyond the
-    # gate, fall back to broadcast-join + Arrow dot kernel. Either path
+    # Verify: cosine_verify_pairs picks the DistributedCache broadcast
+    # kernel while the vector table is side-data sized (Arrow moves
+    # 16-byte id pairs, not two 512-byte arrays per pair — measured
+    # 13 GB → 0.2 GB at 12.8M candidates) and falls back to the
+    # broadcast-join + Arrow dot kernel past the gate. Either path
     # produces the oracle's exact doubles (same cumsum left fold).
-    from hadoop_common_spark.operators.similarity import (
-        cosine_verify_pairs_broadcast,
-    )
+    from hadoop_common_spark.operators.similarity import cosine_verify_pairs
 
-    try:
-        return (
-            cosine_verify_pairs_broadcast(cand, emb, "vec_id", "embedding")
-            .filter(F.col("cos") >= 0.35)
-            .select("id_a", "id_b", "cos")
-        )
-    except ValueError:
-        pass
-    dot = dot_exact_udf()
-    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    normed = emb.select(
-        "vec_id", vd.alias("e"), F.sqrt(dot_exact(vd, vd)).alias("nrm")
-    )
-    ea = normed.select(F.col("vec_id").alias("id_a"), F.col("e").alias("e_a"), F.col("nrm").alias("n_a"))
-    eb = normed.select(F.col("vec_id").alias("id_b"), F.col("e").alias("e_b"), F.col("nrm").alias("n_b"))
-    return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .withColumn("cos", dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")))
-        .filter(F.col("cos") >= 0.35)
-        .select("id_a", "id_b", "cos")
-    )
+    return cosine_verify_pairs(cand, emb, "vec_id", "embedding", threshold=0.35)
 
 
 _SEMDEDUP_ORACLE = f"""
@@ -244,10 +222,7 @@ def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pair generation is bounded by bucket occupancy (tune PLANES),
     components are O(log n) rounds, everything else is one shuffle."""
     from hadoop_common_spark.operators.graph import connected_components
-    from hadoop_common_spark.operators.similarity import (
-        cosine_verify_pairs_broadcast,
-        dot_exact,
-    )
+    from hadoop_common_spark.operators.similarity import cosine_verify_pairs
 
     emb = spark.table("embeddings")
     bucketed = emb.select(
@@ -256,29 +231,10 @@ def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = bucketed.select("bucket", F.col("vec_id").alias("id_a"))
     b = bucketed.select("bucket", F.col("vec_id").alias("id_b"))
     cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-    # candidate verify via the DistributedCache broadcast kernel (ids
-    # only through Arrow) with the join + Arrow-dot fallback past the
-    # side-data gate — same exact doubles either way
-    try:
-        pairs = (
-            cosine_verify_pairs_broadcast(cand, emb, "vec_id", "embedding")
-            .filter(F.col("cos") >= 0.2)
-            .select("id_a", "id_b")
-        )
-    except ValueError:
-        dot = dot_exact_udf()
-        vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-        normed = emb.select(
-            "vec_id", vd.alias("e"), F.sqrt(dot_exact(vd, vd)).alias("nrm")
-        )
-        ea = normed.select(F.col("vec_id").alias("id_a"), F.col("e").alias("e_a"), F.col("nrm").alias("n_a"))
-        eb = normed.select(F.col("vec_id").alias("id_b"), F.col("e").alias("e_b"), F.col("nrm").alias("n_b"))
-        pairs = (
-            cand.join(ea, "id_a")
-            .join(eb, "id_b")
-            .filter(dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")) >= 0.2)
-            .select("id_a", "id_b")
-        )
+    # candidate verify: broadcast kernel / join fallback, shared helper
+    pairs = cosine_verify_pairs(cand, emb, "vec_id", "embedding", threshold=0.2).select(
+        "id_a", "id_b"
+    )
     cc = connected_components(pairs, "id_a", "id_b")
     kept = F.coalesce(F.col("component"), F.col("vec_id")) == F.col("vec_id")
     return (
@@ -512,7 +468,10 @@ probes AS (
   FROM q
 ),
 cand AS (
-  SELECT DISTINCT p.query_id, p.q_vec, d.neighbor_id, d.d_vec
+  -- no DISTINCT needed: a data vector has exactly ONE bucket and the 9
+  -- probe keys per query are pairwise distinct, so each (query,
+  -- neighbor) matches at most one probe row
+  SELECT p.query_id, p.q_vec, d.neighbor_id, d.d_vec
   FROM probes p JOIN d USING (bucket)
   WHERE d.neighbor_id <> p.query_id
 )
@@ -561,11 +520,14 @@ def similarity_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFram
     probes = q.select(
         "query_id", "q_vec", "q_norm", F.explode(probe_list).alias("bucket")
     )
+    # no distinct: one bucket per data vector x pairwise-distinct probe
+    # keys per query means each (query, neighbor) matches at most once —
+    # a dedup shuffle here would move two 64-double arrays per candidate
+    # for nothing
     cand = (
         d.join(F.broadcast(probes), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "q_vec", "q_norm", "neighbor_id", "d_vec", "d_norm")
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
