@@ -115,3 +115,106 @@ def test_keyspec_sort_matches_python_sorted(spark):
 
 settings.register_profile("ci", max_examples=50, deadline=None)
 settings.load_profile("ci")
+
+
+# ---- typed-bytes wire-format round trip (ST/typedbytes parity) ----------
+
+_tb_scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.floats(allow_nan=False),  # NaN != NaN breaks equality, not codec
+    st.text(max_size=40),
+    st.binary(max_size=40),
+)
+_tb_value = st.recursive(
+    _tb_scalar,
+    lambda children: st.one_of(
+        st.lists(children, max_size=5),
+        st.dictionaries(st.text(max_size=8), children, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+@given(st.lists(_tb_value, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_typed_bytes_roundtrip(values):
+    """tb_decode(tb_encode(v)) == v for every encodable value tree —
+    the binary framing must never mangle tabs, newlines, NULs, unicode,
+    nested vectors, or maps (exactly what the text framing cannot
+    promise). Tuples come back as lists (both encode as VECTOR)."""
+    import io
+
+    from hadoop_common_spark.operators.typedbytes import tb_decode, tb_encode
+
+    buf = io.BytesIO()
+    for v in values:
+        tb_encode(v, buf)
+    stream = io.BufferedReader(io.BytesIO(buf.getvalue()))
+    got = []
+    while True:
+        try:
+            got.append(tb_decode(stream))
+        except EOFError:
+            break
+
+    def norm(v):
+        if isinstance(v, tuple):
+            return [norm(x) for x in v]
+        if isinstance(v, list):
+            return [norm(x) for x in v]
+        if isinstance(v, dict):
+            return {k: norm(x) for k, x in v.items()}
+        if isinstance(v, bytearray):
+            return bytes(v)
+        return v
+
+    assert [norm(g) for g in got] == [norm(v) for v in values]
+
+
+# ---- as-of join vs pandas merge_asof (authoritative semantics) ----------
+
+_asof_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=12
+)
+
+
+@given(_asof_rows, _asof_rows, st.sampled_from(["backward", "forward"]),
+       st.one_of(st.none(), st.integers(1, 10)))
+@settings(max_examples=25, deadline=None)
+def test_asof_join_matches_pandas_merge_asof(lrows, rrows, direction, tol):
+    """asof_join == pd.merge_asof on random keyed event tables (unique
+    (k,t) on the right so the tie-break is immaterial), across both
+    directions and tolerances — the operator's contract IS merge_asof
+    (operators/joins.py docstring)."""
+    import pandas as pd
+
+    from hadoop_common_spark.operators.joins import asof_join
+    from hadoop_common_spark.session import get_spark
+
+    spark = get_spark("hcs-tests", shuffle_partitions=8)
+    rrows = list({(k, t) for k, t in rrows})  # unique right (k, t)
+    left = spark.createDataFrame(lrows, ["k", "t"])
+    right = spark.createDataFrame(
+        [(k, t, float(k * 1000 + t)) for k, t in rrows], ["k", "t", "val"]
+    )
+    got = {
+        (r.k, r.t): r.val_asof
+        for r in asof_join(
+            left, right, "k", "t", "t", ["val"], direction=direction, tolerance=tol
+        ).collect()
+    }
+
+    lp = pd.DataFrame(lrows, columns=["k", "t"]).sort_values("t").reset_index(drop=True)
+    rp = (
+        pd.DataFrame([(k, t, float(k * 1000 + t)) for k, t in rrows], columns=["k", "t", "val"])
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    mp = pd.merge_asof(lp, rp, on="t", by="k", direction=direction, tolerance=tol)
+    want = {}
+    for _, row in mp.iterrows():
+        v = row["val"]
+        want[(int(row["k"]), int(row["t"]))] = None if pd.isna(v) else float(v)
+    assert got == want
