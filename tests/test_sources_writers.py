@@ -412,3 +412,37 @@ def test_sequence_file_roundtrip_write_then_read(spark, tmp_path):
     assert rows == {(str(i), f"v{i}") for i in range(100)}
     auto = read_auto(spark, path)
     assert {(r.key, r.value) for r in auto.collect()} == rows
+
+
+def test_small_files_bin_packed_into_few_partitions(spark, tmp_path):
+    """CombineFileInputFormat parity (SURVEY §2.1 row 8, 'inherited'):
+    Spark's file source bin-packs many small files into few input
+    partitions (maxPartitionBytes + openCostInBytes packing) — 60 tiny
+    files must NOT become 60 tasks."""
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(60):
+        (d / f"f{i:02d}.txt").write_text(f"line {i}\n")
+    df = spark.read.text(str(d))
+    nparts = df.rdd.getNumPartitions()
+    assert df.count() == 60
+    # packing floor is parallelism-driven (bin size =
+    # max(openCost, totalSize/defaultParallelism)): the contract is
+    # strictly fewer partitions than files, floored at the core count —
+    # never one task per tiny file
+    assert nparts < 60, f"{nparts} partitions for 60 tiny files — no bin-packing"
+    assert nparts <= spark.sparkContext.defaultParallelism
+
+
+def test_parquet_write_commits_atomically(spark, tmp_path):
+    """FileOutputCommitter parity (SURVEY §2.2 row 25, 'inherited'):
+    a completed write leaves the _SUCCESS marker and no _temporary
+    residue — the visible contract of the v1/v2 commit protocols."""
+    import os
+
+    out = tmp_path / "committed"
+    spark.range(100).write.mode("overwrite").parquet(str(out))
+    names = os.listdir(out)
+    assert "_SUCCESS" in names
+    assert not any(n.startswith("_temporary") for n in names)
+    assert spark.read.parquet(str(out)).count() == 100
