@@ -379,6 +379,23 @@ def sign_lsh_band_keys_udf(dim: int, bands: int, planes_per_band: int):
     return _keys
 
 
+def sign_lsh_band_recall(cos_threshold: float, bands: int, planes_per_band: int) -> float:
+    """Closed-form candidate recall of banded sign-LSH at a cosine
+    threshold: a random hyperplane separates two vectors at angle θ with
+    probability θ/π, so one band of k planes collides with p = (1-θ/π)^k
+    and the OR over L bands recalls 1-(1-p)^L. This is THE tuning tool
+    for the (bands, planes_per_band) knob: pick planes_per_band ≈
+    log2(N / target_block_size) for candidate volume, then raise bands
+    until recall at your threshold clears the bar. The production 16×4
+    config recalls ≈0.91 at cos 0.35 and ≈1.0 for near-duplicates
+    (cos ≥ 0.9)."""
+    import math
+
+    theta = math.acos(max(-1.0, min(1.0, cos_threshold)))
+    p_band = (1.0 - theta / math.pi) ** planes_per_band
+    return 1.0 - (1.0 - p_band) ** bands
+
+
 def sign_lsh_bucket_udf(dim: int, planes: int):
     """Arrow twin of :func:`sign_lsh_bucket`: one band of ``planes``
     hyperplanes — band 0's offset is 0 and the global plane numbering

@@ -585,3 +585,21 @@ def test_multiprobe_beats_single_probe_recall(spark, sf_dir):
     # near-duplicate regimes (see test_banded_lsh_near_dup_recall)
     assert len(multi & truth) >= len(single & truth)
     assert len(multi & truth) > 0
+
+
+def test_band_recall_formula_and_production_config():
+    """The closed-form recall model must match the knob guidance the
+    dedup docstrings rely on: the production 16x4 config clears 0.9
+    recall at the 0.35 query threshold and is ~certain for real
+    near-duplicates; the single-probe 8-plane bucket (corpus_semantic_
+    dedup's blocking) is far weaker at the same threshold — exactly why
+    that query pairs it with a lower-stakes 0.2 threshold + connected
+    components."""
+    from hadoop_common_spark.operators.similarity import sign_lsh_band_recall
+
+    assert 0.90 <= sign_lsh_band_recall(0.35, 16, 4) <= 0.93
+    assert sign_lsh_band_recall(0.9, 16, 4) > 0.999
+    assert sign_lsh_band_recall(0.35, 1, 8) < 0.05
+    # monotonicity: more bands -> more recall; more planes -> less
+    assert sign_lsh_band_recall(0.5, 32, 4) > sign_lsh_band_recall(0.5, 16, 4)
+    assert sign_lsh_band_recall(0.5, 16, 8) < sign_lsh_band_recall(0.5, 16, 4)
