@@ -133,6 +133,7 @@ PRIORITY_WINDOW: list[str] = [
     "embedding_quantize_int8",  # symmetric int8 vector compression
     "similarity_lsh_multiprobe_topk",  # multiprobe LSH ANN (recall knob)
     "events_value_percentiles_sampled",  # deterministic-sample quantiles
+    "graph_triangle_count",  # degree-ordered triangle counting
 ]
 
 # ---- ~50-entry checked-window boundary ----

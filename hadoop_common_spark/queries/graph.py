@@ -64,3 +64,55 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed_point(
         edges, "src", "dst", iters=_ITERS, unit=_UNIT, damping_pct=_DAMP
     )
+
+
+_TRIANGLE_ORACLE = r"""
+WITH bg AS (
+  SELECT doc_id, t AS toks
+  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        FROM documents)
+),
+raw AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> [toks[i], toks[i + 1]])) AS pr
+  FROM bg
+),
+e AS (
+  SELECT DISTINCT least(pr[1], pr[2]) AS u, greatest(pr[1], pr[2]) AS v
+  FROM raw WHERE pr[1] <> pr[2]
+),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e)
+SELECT
+  CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+  CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+  CAST((SELECT COUNT(*)
+        FROM e a JOIN e b ON b.u = a.v JOIN e c ON c.u = a.u AND c.v = b.v
+       ) AS BIGINT) AS n_triangles
+"""
+
+
+@query("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the word co-occurrence graph (distinct
+    adjacent-bigram edges) — the standard clustering-coefficient
+    primitive, computed with degree-ordered orientation so wedge fan-out
+    is bounded by O(sqrt(m)) per node regardless of hub words ('the'
+    neighboring half the vocabulary is exactly the skew case the
+    orientation neutralizes). The oracle counts the same triangles via
+    the canonical x<y<z three-way join."""
+    from hadoop_common_spark.operators.graph import triangle_count
+
+    docs = spark.table("documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    prs = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    edges = (
+        docs.select(F.explode(prs).alias("p"))
+        .select(F.col("p.w1").alias("src"), F.col("p.w2").alias("dst"))
+    )
+    return triangle_count(edges, "src", "dst")

@@ -603,3 +603,24 @@ def test_band_recall_formula_and_production_config():
     # monotonicity: more bands -> more recall; more planes -> less
     assert sign_lsh_band_recall(0.5, 32, 4) > sign_lsh_band_recall(0.5, 16, 4)
     assert sign_lsh_band_recall(0.5, 16, 8) < sign_lsh_band_recall(0.5, 16, 4)
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has exactly 4 triangles; a 4-cycle has 0; duplicate /
+    reversed / self-loop edges must not change the count."""
+    from hadoop_common_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + [(2, 2), (0, 1), (1, 0)]
+    r = triangle_count(spark.createDataFrame(noisy, ["src", "dst"])).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+
+    square = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    r2 = triangle_count(spark.createDataFrame(square, ["src", "dst"])).collect()[0]
+    assert (r2.n_nodes, r2.n_edges, r2.n_triangles) == (4, 4, 0)
+
+    # star (hub with 5 leaves): many wedges at the hub, zero triangles —
+    # and the orientation must not route wedge generation through the hub
+    star = [(9, i) for i in range(5)]
+    r3 = triangle_count(spark.createDataFrame(star, ["src", "dst"])).collect()[0]
+    assert (r3.n_nodes, r3.n_edges, r3.n_triangles) == (6, 5, 0)
