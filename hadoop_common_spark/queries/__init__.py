@@ -134,6 +134,7 @@ PRIORITY_WINDOW: list[str] = [
     "similarity_lsh_multiprobe_topk",  # multiprobe LSH ANN (recall knob)
     "events_value_percentiles_sampled",  # deterministic-sample quantiles
     "graph_triangle_count",  # degree-ordered triangle counting
+    "corpus_split_leakage",  # train/eval near-dup leakage audit
 ]
 
 # ---- ~50-entry checked-window boundary ----

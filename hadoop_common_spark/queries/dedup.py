@@ -298,3 +298,55 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "winnow_fp")
     )
+
+
+_SPLIT_CTE = """sp AS (
+  SELECT doc_id,
+         CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+    FROM documents
+  )
+)"""
+
+_LEAKAGE_ORACLE = f"""
+WITH {_MINHASH_CTES},
+pj AS ({_JACCARD_SELECT}),
+{_SPLIT_CTE}
+SELECT id_a, id_b, jaccard, sa.split AS split_a, sb.split AS split_b
+FROM pj
+JOIN sp sa ON pj.id_a = sa.doc_id
+JOIN sp sb ON pj.id_b = sb.doc_id
+WHERE (sa.split = 'train') <> (sb.split = 'train')
+"""
+
+
+@query("corpus_split_leakage", oracle=_LEAKAGE_ORACLE)
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval LEAKAGE detection: near-duplicate pairs (MinHash-LSH,
+    exact Jaccard ≥ 0.5) that CROSS the train boundary of the
+    deterministic 90/5/5 split (corpus_split_counts) — the documents an
+    eval metric silently memorizes through. Decontamination
+    (corpus_decontamination) removes exact benchmark shingle overlap;
+    this is the fuzzier within-corpus analog every published pipeline
+    audits. Composition: the already-banded pair generation (no
+    all-pairs) + two broadcast-able split-assignment joins."""
+    docs = spark.table("documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    sp = docs.select("doc_id", split.alias("split"))
+    sa = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter((F.col("split_a") == "train") != (F.col("split_b") == "train"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    )
