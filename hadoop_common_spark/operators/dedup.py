@@ -51,6 +51,25 @@ def hash60_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, {HEX15}))::BIGINT"
 
 
+def split_90_5_5(id_col: Column) -> Column:
+    """Deterministic 90/5/5 train/val/test assignment:
+    hash60(id) % 100 bucket. THE one split definition —
+    ``corpus_split_counts`` (the pipeline's split) and
+    ``corpus_split_leakage`` (the audit of that split) must use the
+    identical function, or the audit silently checks a different split
+    than the pipeline produces."""
+    bucket = hash60(id_col.cast("string")) % 100
+    return F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+
+
+def split_90_5_5_sql(id_expr: str) -> str:
+    """DuckDB rendering of :func:`split_90_5_5`."""
+    b = f"{hash60_sql(f'CAST({id_expr} AS VARCHAR)')} % 100"
+    return (
+        f"CASE WHEN {b} < 90 THEN 'train' WHEN {b} < 95 THEN 'val' ELSE 'test' END"
+    )
+
+
 def hash32(c: Column) -> Column:
     """Deterministic 32-bit integer hash (md5 prefix) — the MinHash base."""
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")

@@ -192,21 +192,20 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     ed = e.join(du, "u").join(dv, "v")
-    # orient low (deg, id) -> high (deg, id)
-    lower_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
+    # orient low (deg, id) -> high (deg, id); e already has u < v, so
+    # du <= dv alone implements the id tie-break
+    lower_first = F.col("du") <= F.col("dv")
     oriented = ed.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("d"),
     )
     a = oriented.select(F.col("s"), F.col("d").alias("d1"))
     b = oriented.select(F.col("s"), F.col("d").alias("d2"))
+    # d1 < d2 makes (d1, d2) the canonical (u < v) form of the closing
+    # edge, so the closure is a plain two-column equi-join against e
     wedges = a.join(b, "s").filter(F.col("d1") < F.col("d2"))
     closed = wedges.join(
-        e,
-        (F.least(F.col("d1"), F.col("d2")) == F.col("u"))
-        & (F.greatest(F.col("d1"), F.col("d2")) == F.col("v")),
+        e, (F.col("d1") == F.col("u")) & (F.col("d2") == F.col("v"))
     )
     return (
         closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

@@ -23,7 +23,12 @@ _SHINGLES = (
     "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
 )
 
-from hadoop_common_spark.operators.dedup import hash32_sql, minhash_j_sql
+from hadoop_common_spark.operators.dedup import (
+    hash32_sql,
+    minhash_j_sql,
+    split_90_5_5,
+    split_90_5_5_sql,
+)
 
 _SIG_MINS = ",\n         ".join(
     f"MIN({minhash_j_sql(hash32_sql('s'), j)}) AS h{j}" for j in range(NUM_HASHES)
@@ -300,14 +305,9 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPLIT_CTE = """sp AS (
-  SELECT doc_id,
-         CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
-  FROM (
-    SELECT doc_id,
-           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
-    FROM documents
-  )
+_SPLIT_CTE = f"""sp AS (
+  SELECT doc_id, {split_90_5_5_sql('doc_id')} AS split
+  FROM documents
 )"""
 
 _LEAKAGE_ORACLE = f"""
@@ -336,12 +336,7 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint") % 100
-    )
-    split = F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
-    sp = docs.select("doc_id", split.alias("split"))
+    sp = docs.select("doc_id", split_90_5_5(F.col("doc_id")).alias("split"))
     sa = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
     sb = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
     return (

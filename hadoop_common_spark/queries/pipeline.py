@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hadoop_common_spark.operators.dedup import split_90_5_5, split_90_5_5_sql
 from hadoop_common_spark.operators.sort import global_row_number
 from hadoop_common_spark.operators.textstats import (
     mixture_keep,
@@ -76,16 +77,11 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPLIT_ORACLE = """
+_SPLIT_ORACLE = f"""
 SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM (
-  SELECT lang, n_chars,
-         CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
-  FROM (
-    SELECT lang, n_chars,
-           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
-    FROM documents
-  )
+  SELECT lang, n_chars, {split_90_5_5_sql('doc_id')} AS split
+  FROM documents
 )
 GROUP BY split, lang
 """
@@ -98,16 +94,9 @@ def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     across runs, engines, and repartitionings — no RNG state, no
     sampling drift when the corpus grows. A narrow map; no shuffle
     beyond the final count."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint") % 100
-    )
-    split = (
-        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
-    )
     return (
         spark.table("documents")
-        .select(split.alias("split"), "lang", "n_chars")
+        .select(split_90_5_5(F.col("doc_id")).alias("split"), "lang", "n_chars")
         .groupBy("split", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
