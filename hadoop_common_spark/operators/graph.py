@@ -174,8 +174,28 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     Three equi-joins, all shuffle-partitioned on node keys.
 
     Input may list edges in any direction/with duplicates; self-loops
-    are dropped. Returns one row: (n_nodes, n_edges, n_triangles)."""
-    # canonical undirected edge set, u < v, deduped, no self-loops
+    are dropped. Returns one row: (n_nodes, n_edges, n_triangles).
+
+    Derived from :func:`triangle_participation` (one wedge pipeline in
+    the codebase): Σdeg = 2·|E| (handshake) and each triangle credits
+    its three vertices, so Σ per-node triangles = 3·T — both divisions
+    exact integer arithmetic."""
+    tp = triangle_participation(edges, src, dst)
+    return tp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.coalesce(F.expr("sum(deg) div 2"), F.lit(0)).cast("bigint").alias("n_edges"),
+        F.coalesce(F.expr("sum(n_triangles) div 3"), F.lit(0)).cast("bigint").alias("n_triangles"),
+    )
+
+
+def triangle_participation(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient
+    (2T / deg(deg-1)) — same degree-ordered wedge pipeline as
+    :func:`triangle_count`, but each closed triangle credits all three
+    vertices (explode) before a per-node rollup. Nodes in no triangle
+    appear with zero; degree-1 nodes have coefficient 0 by convention
+    (the 0/0 case). The division is two exact integers -> one double op,
+    so coefficients are engine-exact."""
     u = F.least(F.col(src), F.col(dst))
     v = F.greatest(F.col(src), F.col(dst))
     e = (
@@ -187,29 +207,39 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     ed = e.join(du, "u").join(dv, "v")
-    # orient low (deg, id) -> high (deg, id); e already has u < v, so
-    # du <= dv alone implements the id tie-break
-    lower_first = F.col("du") <= F.col("dv")
+    lower_first = F.col("du") <= F.col("dv")  # e has u < v: id tie-break free
     oriented = ed.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("d"),
     )
     a = oriented.select(F.col("s"), F.col("d").alias("d1"))
     b = oriented.select(F.col("s"), F.col("d").alias("d2"))
-    # d1 < d2 makes (d1, d2) the canonical (u < v) form of the closing
-    # edge, so the closure is a plain two-column equi-join against e
     wedges = a.join(b, "s").filter(F.col("d1") < F.col("d2"))
-    closed = wedges.join(
-        e, (F.col("d1") == F.col("u")) & (F.col("d2") == F.col("v"))
+    closed = wedges.join(e, (F.col("d1") == F.col("u")) & (F.col("d2") == F.col("v")))
+    per_node = (
+        closed.select(
+            F.explode(F.array(F.col("s"), F.col("d1"), F.col("d2"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
     return (
-        closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
-        .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))))
-        .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))))
-        .select("n_nodes", "n_edges", "n_triangles")
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                (2.0 * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double"))
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
     )

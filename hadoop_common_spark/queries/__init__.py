@@ -135,6 +135,7 @@ PRIORITY_WINDOW: list[str] = [
     "events_value_percentiles_sampled",  # deterministic-sample quantiles
     "graph_triangle_count",  # degree-ordered triangle counting
     "corpus_split_leakage",  # train/eval near-dup leakage audit
+    "graph_clustering_coefficient",  # per-node triangles / local coefficient
 ]
 
 # ---- ~50-entry checked-window boundary ----

@@ -116,3 +116,67 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.w1").alias("src"), F.col("p.w2").alias("dst"))
     )
     return triangle_count(edges, "src", "dst")
+
+
+_CLUSTERING_ORACLE = r"""
+WITH bg AS (
+  SELECT doc_id, t AS toks
+  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        FROM documents)
+),
+raw AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> [toks[i], toks[i + 1]])) AS pr
+  FROM bg
+),
+e AS (
+  SELECT DISTINCT least(pr[1], pr[2]) AS u, greatest(pr[1], pr[2]) AS v
+  FROM raw WHERE pr[1] <> pr[2]
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY node
+),
+tri AS (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM e a JOIN e b ON b.u = a.v JOIN e c ON c.u = a.u AND c.v = b.v
+),
+per_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+  GROUP BY node
+)
+SELECT deg.node, deg.deg,
+       CAST(COALESCE(per_node.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.deg >= 2
+            THEN (2.0 * CAST(COALESCE(per_node.n_triangles, 0) AS DOUBLE))
+                 / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
+            ELSE 0.0 END AS clustering_coeff
+FROM deg LEFT JOIN per_node USING (node)
+"""
+
+
+@query("graph_clustering_coefficient", oracle=_CLUSTERING_ORACLE)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient of the word co-occurrence
+    graph (2T / deg(deg-1)) — the node-level companion of
+    graph_triangle_count, same degree-ordered wedge pipeline with each
+    closed triangle crediting its three vertices. Integer counts + one
+    final double division keep coefficients engine-exact."""
+    from hadoop_common_spark.operators.graph import triangle_participation
+
+    docs = spark.table("documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    prs = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    edges = (
+        docs.select(F.explode(prs).alias("p"))
+        .select(F.col("p.w1").alias("src"), F.col("p.w2").alias("dst"))
+    )
+    return triangle_participation(edges, "src", "dst")
