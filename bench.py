@@ -80,6 +80,7 @@ HEADLINE = [
     "pentomino_count",              # exact-cover compute fan-out
     "text_bm25_topk",               # BM25 retrieval scoring (r3)
     "corpus_bigram_familiarity",    # bigram-LM perplexity proxy (r3)
+    "graph_triangle_count",         # degree-ordered wedge pipeline (r3)
 ]
 
 
