@@ -158,6 +158,7 @@ def cosine_verify_pairs(
     threshold: float,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    max_broadcast_rows: int = 500_000,
 ) -> DataFrame:
     """Candidate-pair cosine verify ≥ threshold: broadcast kernel while
     the vector table is side-data-sized, join + Arrow dot kernel past
@@ -165,7 +166,8 @@ def cosine_verify_pairs(
     share identical semantics. Returns (id_a, id_b, cos)."""
     try:
         scored = cosine_verify_pairs_broadcast(
-            pairs, vectors, id_col, vec_col, id_a=id_a, id_b=id_b
+            pairs, vectors, id_col, vec_col, id_a=id_a, id_b=id_b,
+            max_broadcast_rows=max_broadcast_rows,
         )
     except BroadcastGateExceeded:
         dot = dot_exact_udf()

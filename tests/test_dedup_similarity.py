@@ -624,3 +624,27 @@ def test_triangle_count_known_graphs(spark):
     star = [(9, i) for i in range(5)]
     r3 = triangle_count(spark.createDataFrame(star, ["src", "dst"])).collect()[0]
     assert (r3.n_nodes, r3.n_edges, r3.n_triangles) == (6, 5, 0)
+
+
+def test_cosine_verify_pairs_both_paths_agree(spark):
+    """The broadcast kernel and the join fallback (the actual 100 TB
+    path, forced via a tiny gate) must produce IDENTICAL rows — same
+    pairs, bit-equal cosines — including dropping pairs that reference
+    a NULL vector."""
+    from hadoop_common_spark.operators.similarity import cosine_verify_pairs
+
+    vecs = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)]) for i in range(30)]
+    vecs.append((30, None))  # NULL vector: its pairs must drop on BOTH paths
+    vectors = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(31) for b in range(a + 1, 31)], ["id_a", "id_b"]
+    )
+    bc = cosine_verify_pairs(pairs, vectors, "vec_id", "embedding", threshold=0.2)
+    jn = cosine_verify_pairs(
+        pairs, vectors, "vec_id", "embedding", threshold=0.2, max_broadcast_rows=5
+    )
+    got_bc = sorted((r.id_a, r.id_b, r.cos) for r in bc.collect())
+    got_jn = sorted((r.id_a, r.id_b, r.cos) for r in jn.collect())
+    assert len(got_bc) > 0
+    assert got_bc == got_jn  # bit-equal cosines, identical pair set
+    assert not any(30 in (a, b) for a, b, _ in got_bc)
