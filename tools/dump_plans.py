@@ -127,6 +127,15 @@ REPRESENTATIVE = {
         "joins are equi hash joins on the bigram/prefix keys — linear in "
         "tokens, no all-pairs"
     ),
+    "graph_triangle_count": (
+        "degree-ordered wedge pipeline: three equi-joins on node keys, wedge "
+        "fan-out bounded by the orientation's out-degree — no hub blow-up, "
+        "no cartesian"
+    ),
+    "corpus_split_leakage": (
+        "banded MinHash candidate join (never all-pairs) + split-assignment "
+        "joins; the audit reuses the pipeline's shared split definition"
+    ),
 }
 
 
