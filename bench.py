@@ -191,6 +191,38 @@ def build_scale_dir(spark, sf_dir: str, replicas: int = SCALE_REPLICAS) -> str:
     return out
 
 
+def bench_dfsio(spark, n_rows: int) -> dict:
+    """TestDFSIO-equivalent: sequential write then read of synthetic
+    100-byte records through the parquet file format (the reference
+    measures raw HDFS streams; the engine's unit of IO is the columnar
+    container). Reports seconds and MB/s for each direction."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    out = "/tmp/hcs_bench_dfsio"
+    shutil.rmtree(out, ignore_errors=True)
+    recs = spark.range(n_rows).select(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 10).alias("key"),
+        F.rpad(F.md5((F.col("id") + 1).cast("string")), 90, "x").alias("payload"),
+    )
+    mb = n_rows * 100 / 1e6
+    t0 = time.time()
+    recs.write.mode("overwrite").parquet(out)
+    w = time.time() - t0
+    t0 = time.time()
+    n = spark.read.parquet(out).count()
+    r = time.time() - t0
+    assert n == n_rows
+    shutil.rmtree(out, ignore_errors=True)
+    return {
+        "write_sec": round(w, 3),
+        "read_sec": round(r, 3),
+        "write_mb_s": round(mb / w, 1),
+        "read_mb_s": round(mb / r, 1),
+    }
+
+
 def bench_terasort(spark, n_rows: int) -> None:
     """TeraSort-equivalent: total-order sort of synthetic 100-byte-ish
     records (10-char key / 90-char payload), à la TeraGen→TeraSort."""
@@ -243,6 +275,12 @@ def main() -> None:
     except Exception as e:
         print(f"# bench error terasort: {type(e).__name__}: {e}", file=sys.stderr)
         timings["terasort_equivalent"] = -1.0
+
+    try:
+        dfsio = bench_dfsio(spark, n_rows=int(2_000_000 * max(sf, 0.001) / 0.1))
+    except Exception as e:
+        print(f"# bench error dfsio: {type(e).__name__}: {e}", file=sys.stderr)
+        dfsio = {}
 
     # De-noise: single-shot timings on a shared host can spike 2-10x from
     # CPU contention (measured: same query 4.9s and 51s across two runs).
@@ -310,6 +348,7 @@ def main() -> None:
                 "scale_replicas": SCALE_REPLICAS,
                 "scale_queries": scale_timings,
                 "scale_total": round(sum(v for v in scale_timings.values() if v >= 0), 3),
+                "dfsio": dfsio,
                 "vs_prev": _vs_prev(timings, sf),
             }
         )
