@@ -238,3 +238,14 @@ def read_multires_rollup(spark: SparkSession, out_path: str) -> DataFrame:
             F.max("max_value").alias("max_value"),
         )
     )
+
+
+def enrich_stream_static(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join — the remaining cell of the join
+    matrix (stream-stream lives in view_click_attribution_stream). The
+    static side re-reads per micro-batch (so a dimension refresh is
+    picked up between batches) and Spark plans it as a broadcast hash
+    join under the size threshold — the streaming form of the
+    DistributedCache map-side join. No watermark needed: a static side
+    can never be late."""
+    return events.join(F.broadcast(dim), on, "left")

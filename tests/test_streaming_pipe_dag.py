@@ -371,3 +371,34 @@ def test_typed_bytes_null_roundtrip():
     buf.seek(0)
     got = [tb_decode(buf) for _ in range(5)]
     assert got == [None, "x", 3, [None, 1.5], {"k": None}]
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    """Stream-static broadcast enrichment == its batch twin: per-type
+    dimension attributes attached to every event, aggregated per
+    attribute to compare compactly."""
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.streaming.jobs import (
+        enrich_stream_static,
+        read_events_stream,
+        run_to_memory,
+    )
+    from hadoop_common_spark.tables import load_tables
+
+    dim = spark.createDataFrame(
+        [("view", 1), ("click", 5), ("purchase", 50), ("signup", 20), ("logout", 0)],
+        ["event_type", "weight"],
+    )
+    stream = read_events_stream(spark, sf_dir)
+    enriched = enrich_stream_static(stream, dim, "event_type").groupBy("weight").count()
+    got = {
+        (r.weight, r["count"])
+        for r in run_to_memory(enriched, "enrich_test").collect()
+    }
+    ev = load_tables(spark, sf_dir)["events"]
+    want = {
+        (r.weight, r["count"])
+        for r in ev.join(dim, "event_type", "left").groupBy("weight").count().collect()
+    }
+    assert got == want and len(got) >= 3
