@@ -136,6 +136,7 @@ PRIORITY_WINDOW: list[str] = [
     "graph_triangle_count",  # degree-ordered triangle counting
     "corpus_split_leakage",  # train/eval near-dup leakage audit
     "graph_clustering_coefficient",  # per-node triangles / local coefficient
+    "corpus_chunk_overlap",  # RAG sliding-window chunking (50% overlap)
 ]
 
 # ---- ~50-entry checked-window boundary ----

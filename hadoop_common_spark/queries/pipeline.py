@@ -619,3 +619,55 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ranked.filter(F.col("rk") <= 20).select("lang", "doc_id", "rk")
+
+
+_CHUNK_W, _CHUNK_S = 16, 8  # window tokens, stride (50% overlap)
+
+_CHUNK_OVERLAP_ORACLE = rf"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS a
+  FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(a), {_CHUNK_S})) AS start,
+         a
+  FROM arr WHERE len(a) > 0
+)
+SELECT doc_id,
+       CAST((start - 1) / {_CHUNK_S} AS INT) AS chunk_idx,
+       CAST(len(a[start : least(start + {_CHUNK_W} - 1, len(a))]) AS BIGINT) AS n_tokens,
+       a[start] AS first_token
+FROM ch
+"""
+
+
+@query("corpus_chunk_overlap", oracle=_CHUNK_OVERLAP_ORACLE)
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking ({_CHUNK_W}-token windows,
+    stride {_CHUNK_S} = 50% overlap) — the RAG-corpus chunking idiom
+    (corpus_pack_sequences is the disjoint training-packing form; RAG
+    retrieval wants overlap so no answer span straddles a boundary).
+    Pure narrow map: tokenize once, explode window starts, slice — no
+    shuffle at all; chunk identity is a pure function of (doc_id,
+    start), reproducible at any scale or partitioning."""
+    docs = spark.table("documents")
+    arr = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    n = F.size(arr)
+    withk = docs.select("doc_id", arr.alias("a")).filter(F.size("a") > 0)
+    starts = F.explode(F.sequence(F.lit(1), F.size("a"), F.lit(_CHUNK_S)))
+    ch = withk.select("doc_id", "a", starts.alias("start"))
+    chunk = F.slice(
+        F.col("a"),
+        F.col("start"),
+        F.least(F.lit(_CHUNK_W), F.size("a") - F.col("start") + 1),
+    )
+    return ch.select(
+        "doc_id",
+        (((F.col("start") - 1) / _CHUNK_S).cast("int")).alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.element_at(F.col("a"), F.col("start")).alias("first_token"),
+    )
