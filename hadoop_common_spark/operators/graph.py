@@ -55,7 +55,7 @@ def connected_components(
     )
     sym = sym.localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
+    for i in range(max_iter):
         # neighbor-min: smallest label in the closed neighborhood
         nbr = (
             sym.join(labels, sym["v"] == labels["node"])
@@ -81,13 +81,19 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("a")
-            .join(labels.alias("b"), "node")
-            .filter(F.col("a.label") != F.col("b.label"))
-            .limit(1)
-            .count()
-        )
+        # round 0 always changes (labels start as identity) — skip the
+        # convergence job there; one count() per later round on the
+        # already-checkpointed frame
+        if i > 0:
+            changed = (
+                jumped.alias("a")
+                .join(labels.alias("b"), "node")
+                .filter(F.col("a.label") != F.col("b.label"))
+                .limit(1)
+                .count()
+            )
+        else:
+            changed = 1
         labels = jumped
         if changed == 0:
             break
