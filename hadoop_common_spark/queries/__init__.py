@@ -137,6 +137,8 @@ PRIORITY_WINDOW: list[str] = [
     "corpus_split_leakage",  # train/eval near-dup leakage audit
     "graph_clustering_coefficient",  # per-node triangles / local coefficient
     "corpus_chunk_overlap",  # RAG sliding-window chunking (50% overlap)
+    "lineitem_unpivot_measures",  # native unpivot/melt (inverse of pivot)
+    "dedup_exact_normalized",  # casefold+whitespace-normalized exact dedup
 ]
 
 # ---- ~50-entry checked-window boundary ----

@@ -345,3 +345,38 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("split_a") == "train") != (F.col("split_b") == "train"))
         .select("id_a", "id_b", "jaccard", "split_a", "split_b")
     )
+
+
+_NORM_EXACT_ORACLE = r"""
+SELECT content_md5, keep_id, n_copies FROM (
+  SELECT md5(norm) AS content_md5,
+         MIN(doc_id) AS keep_id,
+         COUNT(*) AS n_copies
+  FROM (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents
+  )
+  GROUP BY md5(norm)
+)
+"""
+
+
+@query("dedup_exact_normalized", oracle=_NORM_EXACT_ORACLE)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on NORMALIZED content (casefold + whitespace
+    collapse) — the form production pipelines actually run first: raw
+    byte-equality misses trivial variants (trailing newline, double
+    spaces, case), which are the most common exact-dup class in web
+    corpora. Same keep-min-id provenance contract as dedup_exact; the
+    normalization is a narrow map, the grouping one hash shuffle."""
+    docs = spark.table("documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        docs.select(F.md5(norm).alias("content_md5"), "doc_id")
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

@@ -116,3 +116,38 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0)
     )
+
+
+_UNPIVOT_ORACLE = """
+SELECT measure,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM (
+  UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
+  ON l_quantity, l_extendedprice, l_discount, l_tax
+  INTO NAME measure VALUE value
+)
+GROUP BY measure
+"""
+
+
+@query("lineitem_unpivot_measures", oracle=_UNPIVOT_ORACLE)
+def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native unpivot/melt (wide→long, the inverse of pivot_status_
+    priority): four lineitem measure columns stacked into (measure,
+    value) rows, then per-measure stats. One scan; the stack is a
+    narrow 4× row fan-out, no shuffle before the final aggregation.
+    Exact decimal sums (dsum) keep totals bit-stable vs DuckDB."""
+    li = spark.table("lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = li.unpivot(
+        ids=[], values=measures, variableColumnName="measure", valueColumnName="value"
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum("value").alias("total"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
