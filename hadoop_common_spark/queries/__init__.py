@@ -139,6 +139,7 @@ PRIORITY_WINDOW: list[str] = [
     "corpus_chunk_overlap",  # RAG sliding-window chunking (50% overlap)
     "lineitem_unpivot_measures",  # native unpivot/melt (inverse of pivot)
     "dedup_exact_normalized",  # casefold+whitespace-normalized exact dedup
+    "events_transition_matrix",  # Markov session-flow transition counts
 ]
 
 # ---- ~50-entry checked-window boundary ----

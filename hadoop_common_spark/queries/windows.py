@@ -735,3 +735,43 @@ def events_value_percentiles_sampled(spark: SparkSession, sf_dir: str) -> DataFr
         pick(0.9, "p90"),
         pick(0.99, "p99"),
     )
+
+
+_TRANSITION_ORACLE = """
+SELECT prev_type, event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) AS prev_type
+  FROM events
+)
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+@query("events_transition_matrix", oracle=_TRANSITION_ORACLE)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences (the session-flow / funnel-discovery primitive): lag()
+    within (user, time) order pairs each event with its predecessor, one
+    shuffle on user_id, then a transition rollup. event_id tiebreak
+    makes simultaneous events order-deterministic; each user's first
+    event has no predecessor and drops out (same in the oracle)."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = spark.table("events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
