@@ -140,6 +140,7 @@ PRIORITY_WINDOW: list[str] = [
     "lineitem_unpivot_measures",  # native unpivot/melt (inverse of pivot)
     "dedup_exact_normalized",  # casefold+whitespace-normalized exact dedup
     "events_transition_matrix",  # Markov session-flow transition counts
+    "hybrid_search_rerank",  # BM25 recall -> embedding rerank (RAG search)
 ]
 
 # ---- ~50-entry checked-window boundary ----

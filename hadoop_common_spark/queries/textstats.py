@@ -557,8 +557,7 @@ _BM25_PARTS_SQL = " + ".join(
     for i in range(len(_BM25_Q))
 )
 
-_BM25_ORACLE = rf"""
-WITH toks AS (
+_BM25_CTES = rf"""toks AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
   FROM documents
 ),
@@ -582,7 +581,10 @@ dfreq AS (
 scored AS (
   SELECT tf.doc_id, ({_BM25_PARTS_SQL}) AS score
   FROM tf JOIN dl USING (doc_id), corpus, dfreq
-)
+)"""
+
+_BM25_ORACLE = f"""
+WITH {_BM25_CTES}
 SELECT doc_id, score, rank FROM (
   SELECT doc_id, score,
          CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
@@ -591,14 +593,9 @@ SELECT doc_id, score, rank FROM (
 """
 
 
-@query("text_bm25_topk", oracle=_BM25_ORACLE)
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-10 documents for a fixed query-term set — the
-    retrieval primitive of RAG-corpus curation, as a pure relational
-    plan: tokenize once, per-doc lengths + per-term tfs in ONE
-    conditional aggregation, corpus stats (N, avgdl, per-term df) reduced
-    to a single broadcast row, then a take-ordered top-10 (never a global
-    sort). Rarity weight is the log-free N/df (see module comment)."""
+def _bm25_scored(spark: SparkSession) -> DataFrame:
+    """(doc_id, score) BM25 frame shared by text_bm25_topk and
+    hybrid_search_rerank — one definition of the scoring plan."""
     docs = spark.table("documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
@@ -628,11 +625,22 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         parts = term_part if parts is None else parts + term_part
-    scored = per_doc.crossJoin(F.broadcast(corpus)).select(
+    return per_doc.crossJoin(F.broadcast(corpus)).select(
         "doc_id", parts.alias("score")
     )
+
+
+@query("text_bm25_topk", oracle=_BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents for a fixed query-term set — the
+    retrieval primitive of RAG-corpus curation, as a pure relational
+    plan: tokenize once, per-doc lengths + per-term tfs in ONE
+    conditional aggregation, corpus stats (N, avgdl, per-term df) reduced
+    to a single broadcast row, then a take-ordered top-10 (never a global
+    sort). Rarity weight is the log-free N/df (see module comment)."""
     from pyspark.sql import Window
 
+    scored = _bm25_scored(spark)
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     # rank window runs on the 10 surviving rows only (post take-ordered)
@@ -708,4 +716,75 @@ def corpus_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "familiarity",
             F.col("sum_bigram").cast("double") / F.col("sum_prefix").cast("double"),
         )
+    )
+
+
+# ---- hybrid retrieval: BM25 recall -> embedding rerank ------------------
+def _hybrid_oracle() -> str:
+    from hadoop_common_spark.operators.similarity import cosine_sql
+
+    return f"""
+WITH {_BM25_CTES},
+bmtop AS (
+  SELECT doc_id, score AS bm25 FROM (
+    SELECT doc_id, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= 20
+),
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+rer AS (
+  SELECT b.doc_id, b.bm25,
+         {cosine_sql('e.embedding', 'qv.q')} AS cos
+  FROM bmtop b JOIN embeddings e ON b.doc_id = e.vec_id, qv
+)
+SELECT doc_id, bm25, cos, rank FROM (
+  SELECT doc_id, bm25, cos,
+         CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC) AS INT) AS rank
+  FROM rer
+) WHERE rank <= 10
+"""
+
+
+@query("hybrid_search_rerank", oracle=_hybrid_oracle())
+def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, the modern RAG search pipeline END-TO-END:
+    BM25 lexical recall (top-20 candidates — cheap, high-recall) ->
+    embedding rerank by exact cosine to a query vector (vec_id 0's
+    embedding; documents and embeddings align on doc_id == vec_id) ->
+    final top-10 carrying both scores. The candidate set is take-ordered
+    (no global sort), the embedding join touches 20 rows, and the query
+    vector broadcasts — at 100 TB only the BM25 recall stage scans the
+    corpus; the rerank cost is per-candidate."""
+    from pyspark.sql import Window
+
+    from hadoop_common_spark.operators.similarity import dot_exact
+
+    scored = _bm25_scored(spark)
+    bmtop = (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", F.col("score").alias("bm25"))
+    )
+    emb = spark.table("embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    normed = emb.select(
+        F.col("vec_id"), vd.alias("e"), F.sqrt(dot_exact(vd, vd)).alias("nrm")
+    )
+    qv = normed.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("q"), F.col("nrm").alias("qn")
+    )
+    rer = (
+        bmtop.join(normed, bmtop["doc_id"] == normed["vec_id"])
+        .crossJoin(F.broadcast(qv))
+        .withColumn(
+            "cos", dot_exact(F.col("e"), F.col("q")) / (F.col("nrm") * F.col("qn"))
+        )
+        .select("doc_id", "bm25", "cos")
+    )
+    w = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    return (
+        rer.orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w))
     )
