@@ -112,6 +112,12 @@ SCALE_QUERIES = [
     "events_multires_rollup",
     "window_user_analytics",
     "corpus_bigram_familiarity",
+    # r4 (VERDICT r3 #8): iterative + join-heavy tiers where 10x bites
+    # differently than on the scan-bound queries above
+    "graph_pagerank",
+    "graph_triangle_count",
+    "events_funnel",
+    "similarity_lsh_multiprobe_topk",
 ]
 
 
@@ -337,31 +343,72 @@ def main() -> None:
             print(f"# bench error scale tier: {type(e).__name__}: {e}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "scale_replicas": SCALE_REPLICAS,
-                "scale_queries": scale_timings,
-                "scale_total": round(sum(v for v in scale_timings.values() if v >= 0), 3),
-                "dfsio": dfsio,
-                "vs_prev": _vs_prev(timings, sf),
-            }
-        )
-    )
+    vs_prev = _vs_prev(timings, sf)
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "scale_replicas": SCALE_REPLICAS,
+        "scale_queries": scale_timings,
+        "scale_total": round(sum(v for v in scale_timings.values() if v >= 0), 3),
+        "dfsio": dfsio,
+        "vs_prev": vs_prev,
+    }
+    # Full per-query timings go to a repo file; the stdout line must stay
+    # well under the driver's 2,000-char tail capture (r03's grew past it
+    # and the round lost its parsed bench record — VERDICT r3 finding 3).
+    with open(os.path.join(REPO_DIR, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": sum(1 for v in timings.values() if v >= 0),
+        "n_errors": sum(1 for v in timings.values() if v < 0),
+        "scale_total": detail["scale_total"],
+        "scale_replicas": SCALE_REPLICAS,
+        "n_scale": sum(1 for v in scale_timings.values() if v >= 0),
+        "dfsio": dfsio,
+        "regressions": {
+            k: v["ratio"] for k, v in list(vs_prev.get("regressions", {}).items())[:8]
+        },
+        "queries": {"detail": "BENCH_DETAIL.json"},
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: never exceed the tail capture
+        compact.pop("regressions", None)
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 
 def _vs_prev(timings: dict[str, float], sf: float) -> dict:
     """Round-over-round regression signal: diff per-query timings against
-    the newest BENCH_r{N}.json in the repo (same sf only) and flag
-    queries slower than 1.3× the previous round."""
+    the previous run's BENCH_DETAIL.json (the committed per-query record —
+    the driver-facing stdout line no longer carries per-query timings),
+    falling back to the newest BENCH_r{N}.json; flag queries slower than
+    1.3× the previous round."""
     import glob
     import re
+
+    detail_path = os.path.join(REPO_DIR, "BENCH_DETAIL.json")
+    try:
+        with open(detail_path) as f:
+            prev = json.load(f)
+        if prev.get("queries") and prev.get("sf") in (None, sf):
+            regressions = {}
+            for name, cur in timings.items():
+                old = prev["queries"].get(name)
+                if old is not None and old > 0 and cur > 0 and cur > 1.3 * old:
+                    regressions[name] = {
+                        "prev": old, "now": cur, "ratio": round(cur / old, 2)
+                    }
+            return {"prev_round": "BENCH_DETAIL.json", "regressions": regressions}
+    except (OSError, json.JSONDecodeError, ValueError, AttributeError):
+        pass
 
     # keep only files whose name actually carries a round number — a
     # stray BENCH_rerun.json would make the sort key crash the bench

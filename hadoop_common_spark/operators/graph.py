@@ -249,3 +249,42 @@ def triangle_participation(edges: DataFrame, src: str = "src", dst: str = "dst")
             .alias("clustering_coeff"),
         )
     )
+
+
+def min_label_rounds(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """FIXED-round min-label propagation: label(u) after round r is the
+    minimum node id within r hops — the snapshot form of label
+    propagation (community seeds, partial CC frontier). Unlike
+    :func:`connected_components` (pointer-jumped to convergence, a
+    driver-side loop with count() actions), the round count here is a
+    constant, so the whole computation is ONE declarative plan an
+    external oracle can replay exactly — and each round is a single
+    neighbor-min shuffle (edges both directions + groupBy min), the
+    textbook BSP step. Returns (node, label)."""
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).distinct()
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        nbr_min = (
+            und.join(labels, und["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+    return labels

@@ -116,6 +116,15 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    reserved = {"_ts", "_side", "_m", "_tie"}
+    held = reserved.intersection(left.columns).union(reserved.intersection(right_value_cols))
+    if held:
+        # a left column named _tie would be matched by unionByName and
+        # then silently dropped at the end (and _ts/_side would be
+        # overwritten) — refuse rather than corrupt
+        raise ValueError(
+            f"asof_join reserves column names {sorted(reserved)}; rename {sorted(held)}"
+        )
     if right_tie_col is not None and right_tie_col not in right.columns:
         # without this check the tie expression would resolve against the
         # unioned frame — binding to a same-named LEFT column (NULL for

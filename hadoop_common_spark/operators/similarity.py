@@ -65,13 +65,28 @@ class BroadcastGateExceeded(Exception):
     """The vector table is past the side-data gate — use the join verify."""
 
 
-# digest -> pyspark Broadcast. Bounded FIFO: repeated queries over the
-# same table (bench loops, notebooks) REUSE one broadcast instead of
-# accruing a fresh ~10s-of-MB copy per call; evicted entries just lose
-# our reference so Spark's ContextCleaner reclaims them once no pending
-# query closure holds them.
-_BC_CACHE: dict[str, object] = {}
+# plan-key -> (spark_app_id, pyspark Broadcast). Bounded FIFO: repeated
+# queries over the same table (bench loops, notebooks) REUSE one broadcast
+# instead of accruing a fresh ~10s-of-MB copy per call; evicted entries
+# just lose our reference so Spark's ContextCleaner reclaims them once no
+# pending query closure holds them. The key is derived from the ANALYZED
+# PLAN (semanticHash), not the data: a hit skips the driver collect
+# entirely (the whole point of caching — collecting 500k×512-byte vectors
+# per call to compute a data digest would cost more than the re-broadcast
+# it saves). Entries record the owning application id so a broadcast never
+# outlives its SparkContext (a stale Broadcast after a restart would fail
+# on access). Caveat: files rewritten in place under an identical plan are
+# not detected — acceptable for intra-session reuse.
+_BC_CACHE: dict[str, tuple[str, object]] = {}
 _BC_CACHE_MAX = 8
+
+
+def _plan_key(df: DataFrame) -> str:
+    """Stable key for a DataFrame's analyzed logical plan."""
+    try:
+        return str(df.semanticHash())
+    except Exception:
+        return str(df._jdf.queryExecution().analyzed().semanticHash())
 
 
 def cosine_verify_pairs_broadcast(
@@ -99,34 +114,42 @@ def cosine_verify_pairs_broadcast(
     100 TB; callers fall back to the join + dot_exact_udf form beyond
     it. NULL vectors are excluded like the join form excludes them
     (their pairs drop out); gate + fetch is ONE bounded collect, not a
-    count job followed by an unbounded collect."""
-    import hashlib
-
-    rows = (
-        vectors.filter(F.col(vec_col).isNotNull())
-        .select(id_col, vec_col)
-        .limit(max_broadcast_rows + 1)
-        .collect()
-    )
-    if len(rows) > max_broadcast_rows:
-        raise BroadcastGateExceeded(
-            f"vector table exceeds max_broadcast_rows={max_broadcast_rows}"
+    count job followed by an unbounded collect — and a plan-key cache
+    hit skips the collect too (see _BC_CACHE)."""
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            f"cosine_verify_pairs_broadcast requires an integral id column; "
+            f"{id_col!r} is {id_type} — use the join + dot_exact_udf form"
         )
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    V = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    # norm via the same cumsum left fold the oracle's SQRT(dot(a,a)) uses
-    norms = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
-    idx = {int(i): k for k, i in enumerate(ids)}
 
-    digest = hashlib.md5(ids.tobytes() + V.tobytes()).hexdigest()
-    bc = _BC_CACHE.get(digest)
-    if bc is None:
-        bc = pairs.sparkSession.sparkContext.broadcast((idx, V, norms))
+    src = vectors.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    sc = pairs.sparkSession.sparkContext
+    app_id = sc.applicationId
+    key = f"{_plan_key(src)}:{max_broadcast_rows}"
+    hit = _BC_CACHE.get(key)
+    if hit is not None and hit[0] == app_id:
+        bc = hit[1]
+    else:
+        rows = src.limit(max_broadcast_rows + 1).collect()
+        if len(rows) > max_broadcast_rows:
+            raise BroadcastGateExceeded(
+                f"vector table exceeds max_broadcast_rows={max_broadcast_rows}"
+            )
+        # id-sorted before array building: collect order varies with
+        # partitioning, the broadcast payload must not
+        rows.sort(key=lambda r: r[0])
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        V = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        # norm via the same cumsum left fold the oracle's SQRT(dot(a,a)) uses
+        norms = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+        idx = {int(i): k for k, i in enumerate(ids)}
+        bc = sc.broadcast((idx, V, norms))
         while len(_BC_CACHE) >= _BC_CACHE_MAX:
             _BC_CACHE.pop(next(iter(_BC_CACHE)))
-        _BC_CACHE[digest] = bc
+        _BC_CACHE[key] = (app_id, bc)
 
-    out_schema = f"{id_a} long, {id_b} long, cos double"
+    out_schema = f"{id_a} {id_type}, {id_b} {id_type}, cos double"
 
     def verify(batches):
         idx_m, Vm, Nm = bc.value

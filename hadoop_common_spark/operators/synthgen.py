@@ -54,11 +54,19 @@ FROM generate_series(0, {max_i}) t(i)
 def teragen_checksum(df: DataFrame, key_col: str = "key", payload_col: str = "payload") -> DataFrame:
     """TeraValidate's checksum-sum (TeraGen.java:203-223 counter → compared
     by TeraValidate): order-independent sum of per-record hashes.
-    Decimal(38,0) accumulator — no bigint overflow at petabyte row counts."""
+    Decimal(38,0) accumulator — no bigint overflow at petabyte row counts.
+
+    The checksum is EMITTED as a zero-padded decimal string: a 5.8e22
+    magnitude survives DECIMAL(38,0) on both engines but not every
+    client's fetch path (pandas collapses DuckDB DECIMAL(38,0) to
+    float64, which is exact only below 2^53). A fixed-width string is
+    representation-proof end-to-end and stays order-independent."""
     rec_hash = hash60(F.concat(F.col(key_col), F.col(payload_col)))
     return df.agg(
         F.count(F.lit(1)).alias("n_records"),
-        F.sum(rec_hash.cast("decimal(38,0)")).alias("checksum"),
+        F.lpad(
+            F.sum(rec_hash.cast("decimal(38,0)")).cast("string"), 30, "0"
+        ).alias("checksum"),
     )
 
 
@@ -102,6 +110,8 @@ def montecarlo_pi(spark: SparkSession, n_samples: int) -> DataFrame:
     return spark.range(n_samples).agg(
         F.count(F.lit(1)).alias("n_samples"),
         F.sum(inside).alias("n_inside"),
+        # 4.0 (double) * bigint / bigint — double arithmetic throughout;
+        # the oracle mirrors the exact operation order for bit-identity.
         (F.lit(4.0) * F.sum(inside) / F.count(F.lit(1))).alias("pi_estimate"),
     )
 
@@ -115,7 +125,7 @@ def montecarlo_pi_sql(n_samples: int) -> str:
     inside = f"CAST(({x} * {x} + {y} * {y}) <= {scale * scale} AS BIGINT)"
     return f"""
     SELECT COUNT(*) AS n_samples,
-           SUM({inside}) AS n_inside,
-           4.0 * SUM({inside}) / COUNT(*) AS pi_estimate
+           CAST(SUM({inside}) AS BIGINT) AS n_inside,
+           CAST(4.0 AS DOUBLE) * CAST(SUM({inside}) AS BIGINT) / COUNT(*) AS pi_estimate
     FROM generate_series(0, {n_samples - 1}) t(i)
     """

@@ -154,6 +154,11 @@ def pipe_raw_bytes(
     Same fork-per-partition / concurrent feed-drain shape as
     :func:`pipe_typed_bytes`."""
     spark = df.sparkSession
+    if not (key_col and value_col) and len(df.columns) < 2:
+        raise ValueError(
+            f"pipe_raw_bytes needs a key and a value column; the DataFrame "
+            f"has only {df.columns} — pass key_col/value_col explicitly"
+        )
     kc = key_col or df.columns[0]
     vc = value_col or df.columns[1]
 
@@ -206,6 +211,10 @@ def pipe_raw_bytes(
             if len(hdr) < 4:
                 raise EOFError(f"truncated rawbytes length prefix: {hdr!r}")
             (n,) = struct.unpack(">i", hdr)
+            if n < 0:
+                # a corrupt/negative length would make read(n<0) slurp the
+                # rest of the stream into one garbage blob — fail loudly
+                raise ValueError(f"invalid rawbytes length prefix: {n}")
             blob = out.read(n)
             if len(blob) < n:
                 raise EOFError(f"truncated rawbytes blob: want {n}, got {len(blob)}")

@@ -78,16 +78,75 @@ _QUERY_MODULES = [
 
 # Driver-facing iteration order. The external correctness harness walks the
 # registry in dict order and has a bounded budget (~50 rows/round), so the
-# order is part of the evidence strategy. Round-3 rotation (VERDICT r2 "Next
-# round" #1): the 32 queries that have NO driver CORRECTNESS row from any
-# round go first, then the two whose hard-signal status changed this round
-# (pivot oracle CAST fix; embedding-dedup re-blocked on LSH bands), then
-# newcomers, then the r02-green 48 and r01-green tail (rows already exist).
-# Names not in this list (e.g. future additions that forget to update it)
-# are slotted right after the priority block, BEFORE the known-green tail,
-# so a new query is never silently pushed out of the checked window.
+# order is part of the evidence strategy. Round-4 rotation (VERDICT r3 "Next
+# round" #1/#3): the two r03 hash-FAILs (now fixed at the representation
+# layer) go first for immediate re-green, then the 45 of 47 queries whose
+# only driver row is r01 — two rounds of code churn ago — freshest-churn
+# first (dedup/similarity/window cores were re-kernelized in r3; TPC-H
+# shapes are untouched but still rotate). intersect/except_nations (trivial,
+# untouched) defer to the overflow head for r05. Names not in either list
+# are slotted right after the window block, BEFORE the overflow, so a new
+# query is never silently pushed out of the checked window.
 PRIORITY_WINDOW: list[str] = [
-    # -- never driver-checked in r01/r02 (the last gap to 130/130) --
+    # -- r03 hash-FAILs, representation-fixed this round: re-check first --
+    "teragen_checksum",  # checksum now zero-padded STRING on both engines
+    "montecarlo_pi",  # oracle now does double (not DECIMAL) arithmetic
+    # -- r01-only evidence, implementation churned since (highest risk) --
+    "asof_join_last_purchase",  # r3 tie-col binding fix touched asof_join
+    "window_tumbling_hourly",
+    "secondary_sort_window",
+    "secondary_sort_collected",
+    "top_k_events",
+    "top_k_per_group",
+    "total_order_sort_head",
+    "keyspec_sort_head",  # r3 end-char-0 KeyFieldHelper fix
+    "grep_count",
+    "wordcount",
+    "word_length_stats",
+    "multi_source_wordcount",
+    "aggregate_framework",
+    "uniq_value_count",
+    "value_histogram",
+    "events_basic_stats",
+    "field_selection",
+    "inverse_map",
+    "json_field_extract",
+    "percent_sampled_scan",
+    "regex_filtered_scan",
+    "join_inner_pairs",
+    "join_full_outer",
+    "join_override",
+    "theta_join_acctbal",
+    "union_distinct_nations",
+    "distinct_user_event_pairs",
+    # -- r01-only evidence, untouched TPC-H shapes (lowest risk, still due) --
+    "pricing_summary",
+    "top_unshipped_orders",
+    "order_priority_count",
+    "nation_trade_volume",
+    "top_returning_customers",
+    "customer_order_distribution",
+    "brand_part_stats",
+    "promo_revenue_share",
+    "market_share_by_year",
+    "nation_profit_by_year",
+    "top_supplier_by_revenue",
+    "quantity_band_revenue",
+    "small_quantity_revenue",
+    "large_volume_orders",
+    "inactive_rich_customers",
+    "disjunctive_bracket_revenue",
+    "supplier_diversity_by_part",
+    "bulk_suppliers_of_brand",
+]
+
+# ---- ~50-entry checked-window boundary ----
+# Deferred r01-only pair first (r05 head), then r03-green, then r02-green.
+PRIORITY_OVERFLOW: list[str] = [
+    # -- r01-only evidence deferred one round (trivial set ops, untouched) --
+    "intersect_nations",
+    "except_nations",
+    # -- r03-green (checked last round) --
     "similarity_ivfpq_topk",
     "dedup_winnow_pairs",
     "events_weekday_heatmap",
@@ -103,15 +162,11 @@ PRIORITY_WINDOW: list[str] = [
     "events_multires_rollup",
     "events_rolling_1h_stats",
     "events_value_percentiles",
-    # -- synthetic generators / compute demos --
-    "teragen_checksum",
     "terasort_head",
-    "montecarlo_pi",
     "random_text_wordcount",
     "bbp_pi_digits",
     "sudoku_distributed",
     "pentomino_count",
-    # -- subquery shapes (standard Catalyst decorrelation) --
     "above_avg_balance",
     "above_nation_avg_balance",
     "customers_without_urgent_orders",
@@ -122,37 +177,25 @@ PRIORITY_WINDOW: list[str] = [
     "min_cost_supplier",
     "multimodal_audio_features",
     "multimodal_resize_plan",
-    # -- status changed in r03: re-check --
-    "pivot_status_priority",  # oracle CAST(SUM AS BIGINT) fix (r02 hash-FAIL)
-    "dedup_embedding_cosine",  # re-blocked on banded sign-LSH (scale fix)
-    # -- new in r03 --
-    "text_bm25_topk",  # BM25 retrieval scoring (log-free weights)
-    "corpus_bigram_familiarity",  # bigram-LM perplexity-proxy filtering
-    "corpus_stratified_sample",  # exact per-stratum allocation sampling
-    "events_value_ntile_deciles",  # ntile/percent_rank ranked-window surface
-    "embedding_quantize_int8",  # symmetric int8 vector compression
-    "similarity_lsh_multiprobe_topk",  # multiprobe LSH ANN (recall knob)
-    "events_value_percentiles_sampled",  # deterministic-sample quantiles
-    "graph_triangle_count",  # degree-ordered triangle counting
-    "corpus_split_leakage",  # train/eval near-dup leakage audit
-    "graph_clustering_coefficient",  # per-node triangles / local coefficient
-    "corpus_chunk_overlap",  # RAG sliding-window chunking (50% overlap)
-    "lineitem_unpivot_measures",  # native unpivot/melt (inverse of pivot)
-    "dedup_exact_normalized",  # casefold+whitespace-normalized exact dedup
-    "events_transition_matrix",  # Markov session-flow transition counts
-    "hybrid_search_rerank",  # BM25 recall -> embedding rerank (RAG search)
-]
-
-# ---- ~50-entry checked-window boundary ----
-# r02-green block (rows exist in CORRECTNESS_r02.json) after the window and
-# any unlisted newcomers; r01-green tail last.
-PRIORITY_OVERFLOW: list[str] = [
-    # -- one representative per r01-green family --
+    "pivot_status_priority",
+    "dedup_embedding_cosine",
+    "text_bm25_topk",
+    "corpus_bigram_familiarity",
+    "corpus_stratified_sample",
+    "events_value_ntile_deciles",
+    "embedding_quantize_int8",
+    "similarity_lsh_multiprobe_topk",
+    "events_value_percentiles_sampled",
+    "graph_triangle_count",
+    "corpus_split_leakage",
+    "graph_clustering_coefficient",
+    "corpus_chunk_overlap",
+    "lineitem_unpivot_measures",
+    "dedup_exact_normalized",
+    "events_transition_matrix",
+    "hybrid_search_rerank",
     "flagship_revenue_by_nation",
-    "wordcount",
-    "asof_join_last_purchase",
-    "window_tumbling_hourly",
-    # -- r02-green (checked last round) --
+    # -- r02-green --
     "returnflag_priority_pivot",
     "join_semi_anti",
     "dedup_exact",

@@ -180,3 +180,61 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.w1").alias("src"), F.col("p.w2").alias("dst"))
     )
     return triangle_participation(edges, "src", "dst")
+
+_LP_ROUNDS = 3
+
+# bipartite purchase graph with disjoint id namespaces (2*custkey vs
+# 2*suppkey+1 — custkeys and suppkeys overlap as raw ints). The
+# small-quantity filter sparsifies the otherwise near-complete bipartite
+# graph so 3 rounds leave real structure (18 labels over ~1.2k nodes at
+# sf0.01 instead of total collapse) — and it's a pushed-down scan
+# predicate, not a post-join filter.
+_LP_EDGES_SQL = """
+e0 AS (SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE l_quantity <= 2)
+"""
+
+
+def _label_prop_oracle() -> str:
+    ctes = [
+        _LP_EDGES_SQL.strip(),
+        "und AS (SELECT src AS u, dst AS v FROM e0 UNION SELECT dst, src FROM e0)",
+        "l0 AS (SELECT DISTINCT u AS node, u AS label FROM und)",
+    ]
+    for i in range(_LP_ROUNDS):
+        ctes.append(
+            f"l{i + 1} AS (SELECT l.node, least(l.label, COALESCE(m.nl, l.label)) AS label "
+            f"FROM l{i} l LEFT JOIN (SELECT und.u, MIN(p.label) AS nl "
+            f"FROM und JOIN l{i} p ON und.v = p.node GROUP BY und.u) m ON l.node = m.u)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM l{_LP_ROUNDS} GROUP BY label"
+    )
+
+
+@query("graph_label_propagation", oracle=_label_prop_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round min-label propagation over the bipartite
+    customer–supplier purchase graph (3 BSP rounds, one neighbor-min
+    shuffle each — see operators/graph.min_label_rounds): the label
+    histogram shows the component structure forming. A constant round
+    count keeps the whole computation one declarative, oracle-replayable
+    plan; run-to-convergence CC (pointer jumping, O(log n) rounds) is
+    the operators/graph.connected_components path checked via
+    dedup_cluster_resolution."""
+    from hadoop_common_spark.operators.graph import min_label_rounds
+
+    edges = (
+        spark.table("orders")
+        .join(spark.table("lineitem"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_quantity") <= 2)
+        .select(
+            (2 * F.col("o_custkey")).alias("src"),
+            (2 * F.col("l_suppkey") + 1).alias("dst"),
+        )
+    )
+    labels = min_label_rounds(edges, rounds=_LP_ROUNDS)
+    return labels.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))

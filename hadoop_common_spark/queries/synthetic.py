@@ -24,7 +24,7 @@ N_TEXT = 20_000
 _CHECKSUM_ORACLE = f"""
 WITH g AS ({TERAGEN_SQL.format(max_i=N_TERA - 1)})
 SELECT COUNT(*) AS n_records,
-       CAST(SUM(('0x' || substr(md5(key || payload), 1, 15))::BIGINT) AS DECIMAL(38,0)) AS checksum
+       lpad(CAST(CAST(SUM(('0x' || substr(md5(key || payload), 1, 15))::BIGINT) AS DECIMAL(38,0)) AS VARCHAR), 30, '0') AS checksum
 FROM g
 """
 

@@ -551,8 +551,11 @@ def text_fuzzy_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_Q = ["spark", "vector", "merge"]
 _BM25_K1, _BM25_B = 1.5, 0.75
 
+# greatest(df, 1): a query term absent from the corpus (df=0) must score
+# 0 for every doc (tf=0 numerator), not NULL (Spark x/0) vs inf*0=NaN
+# (DuckDB float division) — guarded IDENTICALLY on both engines.
 _BM25_PARTS_SQL = " + ".join(
-    f"(CAST(n_docs AS DOUBLE) / df_{i}) * "
+    f"(CAST(n_docs AS DOUBLE) / greatest(df_{i}, 1.0)) * "
     f"(tf_{i} / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)))"
     for i in range(len(_BM25_Q))
 )
@@ -617,7 +620,11 @@ def _bm25_scored(spark: SparkSession) -> DataFrame:
     )
     parts = None
     for i in range(len(_BM25_Q)):
-        term_part = (F.col("n_docs").cast("double") / F.col(f"df_{i}")) * (
+        # greatest(df,1): zero-df query terms score 0, not NULL (see the
+        # identical guard in _BM25_PARTS_SQL)
+        term_part = (
+            F.col("n_docs").cast("double") / F.greatest(F.col(f"df_{i}"), F.lit(1.0))
+        ) * (
             F.col(f"tf_{i}")
             / (
                 F.col(f"tf_{i}")

@@ -775,3 +775,33 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+_ENRICH_ORACLE = f"""
+SELECT e.event_type, c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       {dsum_sql('e.value')} AS sum_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY e.event_type, segment
+"""
+
+
+@query("events_enrich_segment", oracle=_ENRICH_ORACLE)
+def events_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.jobs.enrich_stream_static (stream-static
+    broadcast enrichment, the DistributedCache map-side join of the join
+    matrix) — runs the SAME operator function on the batch frames, then
+    rolls up per (event_type, segment). Unmatched users keep their
+    events with a NULL segment (left join semantics — the streaming form
+    must never drop facts on a dimension miss). Dim side is explicitly
+    broadcast; the rollup is one map-side-combined shuffle."""
+    from hadoop_common_spark.streaming.jobs import enrich_stream_static
+
+    dim = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = enrich_stream_static(spark.table("events"), dim, "user_id")
+    return enriched.groupBy("event_type", "segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )

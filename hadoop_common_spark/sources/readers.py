@@ -167,6 +167,10 @@ def read_auto(spark: SparkSession, path: str, **options: str) -> DataFrame:
     magic = bytes(first[0].magic)
     if magic[:3] == b"SEQ":
         return read_sequence_file(spark, path)
+    if magic == b"\xd1\x11\xd3\x68":  # BCFile/TFile header magic
+        from hadoop_common_spark.sources.tfile import read_tfile
+
+        return read_tfile(spark, path)
     if magic == b"PAR1":
         return spark.read.options(**options).parquet(path)
     if magic[:3] == b"ORC":

@@ -1,0 +1,348 @@
+"""TFile / BCFile container bridge — the last reference K/V container
+family with no read path (SURVEY §1.3; VERDICT r3 "What's missing" #2).
+
+Format parity (pure Python re-implementation FROM THE SPEC, no JVM
+dependency — the byte layout below is transcribed from the reference's
+public sources):
+
+- BCFile (HC/io/file/tfile/BCFile.java): 16-byte magic header; compressed
+  data blocks; compressed meta blocks; MetaIndex (name → algorithm +
+  BlockRegion); tail = [int64 offsetOfMetaIndex][version u16.u16]
+  [16-byte magic]. BlockRegion = VLong offset / compressedSize / rawSize.
+- TFile (HC/io/file/tfile/TFile.java): records live in BCFile data
+  blocks as [VInt keyLen][key][value chunks]; values are chunk-encoded
+  (HC/io/file/tfile/Chunk.java: VInt n ≥ 0 → final chunk of n bytes,
+  n < 0 → −n bytes then more chunks). Meta blocks ``TFile.meta``
+  (version, VLong recordCount, comparator string — always uncompressed)
+  and ``TFile.index`` (first key + per-block [VInt keyLen][key]
+  [VLong kvEntries]).
+- VInt/VLong (HC/io/file/tfile/Utils.java:95-250): Hadoop's *tfile*
+  variable-length integer — NOT WritableUtils' zigzag form. One byte for
+  [-32,128); otherwise a length-tagged big-endian negative first byte.
+- Compression (HC/io/file/tfile/Compression.java): ``none`` and ``gz``
+  (DefaultCodec = raw zlib stream → Python ``zlib``). ``lzo`` needs an
+  external codec in the reference too — rejected with a clear error.
+
+Scale: one task per FILE (binaryFile source + ``mapInPandas``) — TFiles
+are a legacy-migration format; the per-file unit matches how archives
+arrive (many files), and everything downstream is a DataFrame. The
+reference's finer block-level splits only matter for single huge TFiles,
+which a migration rewrites into parquet on first touch anyway
+(``read_tfile(...).write.parquet(...)``).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+from collections.abc import Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+BCFILE_MAGIC = bytes(
+    [0xD1, 0x11, 0xD3, 0x68, 0x91, 0xB5, 0xD7, 0xB6,
+     0x39, 0xDF, 0x41, 0x40, 0x92, 0xBA, 0xE1, 0x50]
+)
+
+
+# ---- tfile VInt/VLong codec (Utils.java:95 write / :199 read) ------------
+
+def write_vlong(out: io.BytesIO, n: int) -> None:
+    if -32 <= n < 128:
+        out.write(struct.pack(">b", n))
+        return
+    un = ~n if n < 0 else n
+    nbytes = (un.bit_length()) // 8 + 1  # bytes incl. sign bit
+    first = n >> ((nbytes - 1) * 8)
+    # the reference's fall-through ladder, written out explicitly
+    if nbytes == 1:
+        first >>= 8  # == 0 or -1
+        nbytes = 2
+    if nbytes == 2 and -20 <= first < 20:
+        out.write(struct.pack(">b", first - 52))
+        out.write(struct.pack(">B", n & 0xFF))
+        return
+    if nbytes == 2:
+        first >>= 8
+        nbytes = 3
+    if nbytes == 3 and -16 <= first < 16:
+        out.write(struct.pack(">b", first - 88))
+        out.write(struct.pack(">H", n & 0xFFFF))
+        return
+    if nbytes == 3:
+        first >>= 8
+        nbytes = 4
+    if nbytes == 4 and -8 <= first < 8:
+        out.write(struct.pack(">b", first - 112))
+        out.write(struct.pack(">H", (n >> 8) & 0xFFFF))
+        out.write(struct.pack(">B", n & 0xFF))
+        return
+    # length-tagged big-endian body: tag = len - 129 in [-125, -121]
+    nbytes = max(nbytes, 4)
+    out.write(struct.pack(">b", nbytes - 129))
+    body = n & ((1 << (nbytes * 8)) - 1)
+    out.write(body.to_bytes(nbytes, "big"))
+
+
+def read_vlong(inp: io.BytesIO) -> int:
+    b = inp.read(1)
+    if not b:
+        raise EOFError("EOF reading VLong")
+    first = struct.unpack(">b", b)[0]
+    if first >= -32:
+        return first
+    group = (first + 128) // 8
+    if 7 <= group <= 11:
+        return ((first + 52) << 8) | inp.read(1)[0]
+    if 3 <= group <= 6:
+        return ((first + 88) << 16) | struct.unpack(">H", inp.read(2))[0]
+    if 1 <= group <= 2:
+        return (
+            ((first + 112) << 24)
+            | (struct.unpack(">H", inp.read(2))[0] << 8)
+            | inp.read(1)[0]
+        )
+    nbytes = first + 129
+    if not 4 <= nbytes <= 8:
+        raise ValueError(f"corrupted VLong encoding: first byte {first}")
+    raw = inp.read(nbytes)
+    if len(raw) < nbytes:
+        raise EOFError("EOF inside VLong body")
+    return int.from_bytes(raw, "big", signed=True)
+
+
+def _read_vint(inp: io.BytesIO) -> int:
+    n = read_vlong(inp)
+    if not -(1 << 31) <= n < (1 << 31):
+        raise ValueError(f"VInt out of range: {n}")
+    return n
+
+
+def _read_string(inp: io.BytesIO) -> str | None:
+    n = _read_vint(inp)
+    if n == -1:
+        return None
+    return inp.read(n).decode("utf-8")
+
+
+def _write_string(out: io.BytesIO, s: str) -> None:
+    b = s.encode("utf-8")
+    write_vlong(out, len(b))
+    out.write(b)
+
+
+# ---- codecs ---------------------------------------------------------------
+
+def _decompress(name: str, data: bytes, raw_size: int) -> bytes:
+    if name == "none":
+        return data
+    if name == "gz":
+        out = zlib.decompress(data)
+        if len(out) != raw_size:
+            raise ValueError(f"gz block rawSize mismatch: {len(out)} != {raw_size}")
+        return out
+    raise NotImplementedError(
+        f"TFile compression {name!r} not supported (reference needs an "
+        f"external codec for it too — recompress as none/gz)"
+    )
+
+
+def _compress(name: str, data: bytes) -> bytes:
+    if name == "none":
+        return data
+    if name == "gz":
+        return zlib.compress(data)
+    raise NotImplementedError(f"TFile compression {name!r} not supported")
+
+
+# ---- reader ---------------------------------------------------------------
+
+def parse_tfile(blob: bytes) -> Iterator[tuple[bytes, bytes]]:
+    """Iterate (key, value) records of one in-memory TFile."""
+    if blob[:16] != BCFILE_MAGIC or blob[-16:] != BCFILE_MAGIC:
+        raise ValueError("not a BCFile/TFile (bad magic)")
+    off_meta, vmaj, vmin = struct.unpack(">qHH", blob[-28:-16])
+    if (vmaj, vmin) != (1, 0):
+        raise ValueError(f"incompatible BCFile version {vmaj}.{vmin}")
+
+    meta = io.BytesIO(blob[off_meta:])
+    metas: dict[str, tuple[str, int, int, int]] = {}
+    for _ in range(_read_vint(meta)):
+        full = _read_string(meta)
+        if not full or not full.startswith("data:"):
+            raise ValueError("corrupted Meta region index")
+        algo = _read_string(meta) or "none"
+        o, cs, rs = read_vlong(meta), read_vlong(meta), read_vlong(meta)
+        metas[full[5:]] = (algo, o, cs, rs)
+
+    def meta_block(name: str) -> io.BytesIO:
+        algo, o, cs, rs = metas[name]
+        return io.BytesIO(_decompress(algo, blob[o : o + cs], rs))
+
+    # data block index (written as the last meta block, BCFile.java:617)
+    dix = meta_block("BCFile.index")
+    default_algo = _read_string(dix) or "none"
+    regions = [
+        (read_vlong(dix), read_vlong(dix), read_vlong(dix))
+        for _ in range(_read_vint(dix))
+    ]
+
+    # TFile.meta: version, recordCount, comparator — validates the walk
+    tm = meta_block("TFile.meta")
+    tmaj, tmin = struct.unpack(">HH", tm.read(4))
+    if (tmaj, tmin) != (1, 0):
+        raise ValueError(f"incompatible TFile version {tmaj}.{tmin}")
+    record_count = read_vlong(tm)
+
+    seen = 0
+    for o, cs, rs in regions:
+        buf = io.BytesIO(_decompress(default_algo, blob[o : o + cs], rs))
+        end = rs
+        while buf.tell() < end:
+            klen = _read_vint(buf)
+            key = buf.read(klen)
+            chunks = []
+            while True:  # Chunk.java: ≥0 final, <0 more follow
+                n = _read_vint(buf)
+                chunks.append(buf.read(n if n >= 0 else -n))
+                if n >= 0:
+                    break
+            yield key, b"".join(chunks)
+            seen += 1
+    if seen != record_count:
+        raise ValueError(f"TFile.meta recordCount {record_count} != {seen} read")
+
+
+def read_tfile(
+    spark: SparkSession, path: str, key_col: str = "key", value_col: str = "value"
+) -> DataFrame:
+    """TFile read bridge → DataFrame(key binary, value binary), one task
+    per file (binaryFile source; Arrow-batched output). The DataFrame
+    twin of readers.read_sequence_file for the TFile container family."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["content"]:
+                recs = list(parse_tfile(bytes(blob)))
+                yield pd.DataFrame(
+                    {
+                        key_col: [k for k, _ in recs],
+                        value_col: [v for _, v in recs],
+                    }
+                )
+
+    return files.mapInPandas(gen, f"{key_col} binary, {value_col} binary")
+
+
+# ---- writer ---------------------------------------------------------------
+
+def write_tfile(
+    path: str,
+    records: Iterable[tuple[bytes, bytes]],
+    compression: str = "gz",
+    block_size: int = 256 * 1024,
+) -> int:
+    """Minimal spec-conformant TFile writer (single local file): the
+    write half of the bridge for handing data back to a legacy TFile
+    consumer, and the round-trip fixture for :func:`parse_tfile`.
+    Unsorted mode (comparator "" — TFile.java:2072 makeComparator
+    returns None for the empty string), known-length values (one final
+    chunk each, Chunk.java SingleChunkEncoder). Returns record count."""
+    out = io.BytesIO()
+    out.write(BCFILE_MAGIC)
+
+    regions: list[tuple[int, int, int]] = []  # offset, csize, rawsize
+    # per-block index key is the block's LAST key (TFile.java Writer
+    # finishDataBlock -> TFileIndexEntry(lastKey...): lowerBound() seeks
+    # "first block whose last key >= probe")
+    block_entries: list[tuple[bytes, int]] = []  # lastKey, kvEntries
+    first_key: bytes | None = None
+
+    cur = io.BytesIO()
+    cur_last: bytes | None = None
+    cur_n = 0
+    n_records = 0
+
+    def flush_block() -> None:
+        nonlocal cur, cur_last, cur_n
+        if cur_n == 0:
+            return
+        raw = cur.getvalue()
+        comp = _compress(compression, raw)
+        regions.append((out.tell(), len(comp), len(raw)))
+        out.write(comp)
+        block_entries.append((cur_last, cur_n))
+        cur, cur_last, cur_n = io.BytesIO(), None, 0
+
+    for k, v in records:
+        cur_last = k
+        if first_key is None:
+            first_key = k
+        write_vlong(cur, len(k))
+        cur.write(k)
+        write_vlong(cur, len(v))  # single final chunk
+        cur.write(v)
+        cur_n += 1
+        n_records += 1
+        if cur.tell() >= block_size:
+            flush_block()
+    flush_block()
+
+    metas: list[tuple[str, str, int, int, int]] = []
+
+    def put_meta(name: str, payload: bytes, algo: str) -> None:
+        comp = _compress(algo, payload)
+        metas.append((name, algo, out.tell(), len(comp), len(payload)))
+        out.write(comp)
+
+    tm = io.BytesIO()
+    tm.write(struct.pack(">HH", 1, 0))
+    write_vlong(tm, n_records)
+    _write_string(tm, "")  # unsorted
+    put_meta("TFile.meta", tm.getvalue(), "none")
+
+    tix = io.BytesIO()
+    if first_key is None:
+        write_vlong(tix, 0)
+    else:
+        fk = io.BytesIO()
+        write_vlong(fk, len(first_key))
+        fk.write(first_key)
+        write_vlong(tix, fk.tell())
+        tix.write(fk.getvalue())
+        for bk, n in block_entries:
+            e = io.BytesIO()
+            write_vlong(e, len(bk))
+            e.write(bk)
+            write_vlong(e, n)
+            write_vlong(tix, e.tell())
+            tix.write(e.getvalue())
+    put_meta("TFile.index", tix.getvalue(), compression)
+
+    dix = io.BytesIO()
+    _write_string(dix, compression)
+    write_vlong(dix, len(regions))
+    for o, cs, rs in regions:
+        write_vlong(dix, o)
+        write_vlong(dix, cs)
+        write_vlong(dix, rs)
+    put_meta("BCFile.index", dix.getvalue(), compression)
+
+    off_meta_index = out.tell()
+    write_vlong(out, len(metas))
+    for name, algo, o, cs, rs in sorted(metas):  # MetaIndex is a TreeMap
+        _write_string(out, "data:" + name)
+        _write_string(out, algo)
+        write_vlong(out, o)
+        write_vlong(out, cs)
+        write_vlong(out, rs)
+    out.write(struct.pack(">qHH", off_meta_index, 1, 0))
+    out.write(BCFILE_MAGIC)
+
+    with open(path, "wb") as f:
+        f.write(out.getvalue())
+    return n_records

@@ -123,12 +123,54 @@ def test_decode_image_fake_matches_formula(spark):
     assert out[0] == (1 + int(h[:15], 16) % 1920, 1 + int(h[15:30], 16) % 1080, len(BASE))
 
 
-def test_decode_image_real_is_stubbed(spark):
-    import pytest
+def _png(w, h):
+    # a real, fully-valid PNG: signature + IHDR + IDAT (one row-filtered
+    # grayscale scanline set) + IEND, correct CRCs throughout
+    import struct
+    import zlib
 
-    media = as_media_table(_docs(spark), "doc_id", "text")
-    with pytest.raises(NotImplementedError):
-        decode_image(media, fake=False)
+    def chunk(typ, data):
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(w) for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _jpeg(w, h):
+    # SOI + APP0(JFIF) + SOF0 carrying the dimensions (enough of a real
+    # stream for any header-walking dimension decoder)
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_decode_image_real_headers(spark):
+    """fake=False REALLY decodes: PNG/GIF/BMP/JPEG dims from the actual
+    container bytes — same plumbing, different kernel (the design claim)."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    payloads = [
+        (0, _png(640, 480), 640, 480),
+        (1, b"GIF89a" + struct.pack("<HH", 320, 200) + bytes(100), 320, 200),
+        (2, b"BM" + bytes(16) + struct.pack("<ii", 800, -600) + bytes(100), 800, 600),
+        (3, _jpeg(1024, 768), 1024, 768),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, _, _ in payloads], "doc_id long, content binary"
+    ).withColumn("byte_len", F.length("content").cast("bigint"))
+    out = {r.doc_id: (r.width, r.height) for r in decode_image(df, fake=False).collect()}
+    assert out == {i: (w, h) for i, _, w, h in payloads}
 
 
 def _clustered_vectors(spark, n_clusters=4, per_cluster=12, dim=8):
@@ -248,14 +290,31 @@ def test_audio_features_fake_matches_formula(spark):
     assert out[0] == (rate, (len(BASE) * 500) // rate, (int(h[15:30], 16) % 10000) / 10000.0)
 
 
-def test_audio_features_real_is_stubbed(spark):
-    import pytest
+def test_audio_features_real_wav(spark):
+    """fake=False REALLY decodes WAV via the stdlib wave module: rate,
+    duration and rms match a direct numpy computation on the samples."""
+    import io
+    import wave
+
+    import numpy as np
 
     from hadoop_common_spark.operators.multimodal import audio_features
 
-    media = as_media_table(_docs(spark), "doc_id", "text")
-    with pytest.raises(NotImplementedError):
-        audio_features(media, fake=False)
+    rng = np.random.default_rng(42)
+    samples = (rng.standard_normal(16000) * 8000).clip(-32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(samples.tobytes())
+    wav = buf.getvalue()
+    df = spark.createDataFrame([(7, bytearray(wav))], "doc_id long, content binary")
+    row = audio_features(df, fake=False).collect()[0]
+    want_rms = float(np.sqrt(np.mean((samples.astype(np.float64) / 32768.0) ** 2)))
+    assert row.sample_rate == 16000
+    assert row.duration_ms == 1000
+    assert abs(row.rms - want_rms) < 1e-12
 
 
 def test_resize_fits_box_and_preserves_aspect(spark):

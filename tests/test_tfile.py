@@ -1,0 +1,145 @@
+"""TFile/BCFile container bridge tests (SURVEY §1.3 last format family).
+
+The strongest evidence here is CROSS-parity with the real Hadoop
+implementation shipped on Spark's classpath: files written by
+org.apache.hadoop.io.file.tfile.TFile.Writer parse byte-exactly with our
+pure-Python reader, and files written by our writer read back through
+TFile.Reader — both directions, so the byte layout is the reference's,
+not merely self-consistent.
+"""
+
+from __future__ import annotations
+
+import io
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hadoop_common_spark.sources.tfile import (
+    parse_tfile,
+    read_tfile,
+    read_vlong,
+    write_tfile,
+    write_vlong,
+)
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=300, deadline=None)
+def test_vlong_roundtrip_property(n):
+    buf = io.BytesIO()
+    write_vlong(buf, n)
+    buf.seek(0)
+    assert read_vlong(buf) == n
+    assert buf.read() == b""  # no trailing bytes
+
+
+def test_vlong_boundary_values():
+    # every encoding-length boundary from Utils.java:60-85's spec table
+    bounds = [
+        -32, 127, 128, -33, 20 * 256 - 1, -20 * 256, 16 * 65536 - 1,
+        -16 * 65536, 8 * (1 << 24) - 1, -8 * (1 << 24), 2**31 - 1, -(2**31),
+        2**39 - 1, -(2**39), 2**47 - 1, -(2**47), 2**55 - 1, -(2**55),
+        2**63 - 1, -(2**63),
+    ]
+    for n in bounds + [b + d for b in bounds for d in (-1, 1) if abs(b + d) < 2**63]:
+        buf = io.BytesIO()
+        write_vlong(buf, n)
+        buf.seek(0)
+        assert read_vlong(buf) == n, n
+
+
+def _mkrecs(n, seed=11):
+    rng = random.Random(seed)
+    return [
+        (
+            f"k{i:06d}".encode(),
+            bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200))),
+        )
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("compression", ["none", "gz"])
+def test_python_roundtrip(tmp_path, compression):
+    recs = _mkrecs(3000)
+    p = str(tmp_path / "t.tfile")
+    assert write_tfile(p, recs, compression=compression, block_size=16 << 10) == 3000
+    with open(p, "rb") as f:
+        assert list(parse_tfile(f.read())) == recs
+
+
+def test_empty_tfile_roundtrip(tmp_path):
+    p = str(tmp_path / "empty.tfile")
+    assert write_tfile(p, []) == 0
+    with open(p, "rb") as f:
+        assert list(parse_tfile(f.read())) == []
+
+
+def test_jvm_writer_python_reader_parity(spark, tmp_path):
+    """Hadoop TFile.Writer (gz, multi-block) -> parse_tfile byte parity."""
+    jvm = spark._jvm
+    conf = jvm.org.apache.hadoop.conf.Configuration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = jvm.org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    p = str(tmp_path / "jvm.tfile")
+    fout = fs.create(Path("file://" + p), True)
+    w = jvm.org.apache.hadoop.io.file.tfile.TFile.Writer(
+        fout, 64 * 1024, "gz", None, conf
+    )
+    recs = _mkrecs(2000, seed=3)
+    for k, v in recs:
+        w.append(bytearray(k), bytearray(v))
+    w.close()
+    fout.close()
+    with open(p, "rb") as f:
+        assert list(parse_tfile(f.read())) == recs
+
+
+def test_python_writer_jvm_reader_parity(spark, tmp_path):
+    """write_tfile -> Hadoop TFile.Reader scanner reads every record."""
+    jvm = spark._jvm
+    conf = jvm.org.apache.hadoop.conf.Configuration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = jvm.org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    recs = _mkrecs(2000, seed=5)
+    p = str(tmp_path / "py.tfile")
+    write_tfile(p, recs, compression="gz", block_size=64 << 10)
+    fin = fs.open(Path("file://" + p))
+    flen = fs.getFileStatus(Path("file://" + p)).getLen()
+    r = jvm.org.apache.hadoop.io.file.tfile.TFile.Reader(fin, flen, conf)
+    assert r.getEntryCount() == 2000
+    scanner = r.createScanner()
+    out = []
+    while not scanner.atEnd():
+        # fresh writables per record: TFile.Reader.Entry.get() does not
+        # truncate a reused BytesWritable for 0-length values (verified
+        # on files written by the JVM writer itself), so reuse would
+        # resurface the previous record's value bytes
+        kw = jvm.org.apache.hadoop.io.BytesWritable()
+        vw = jvm.org.apache.hadoop.io.BytesWritable()
+        scanner.entry().get(kw, vw)
+        out.append((bytes(kw.copyBytes()), bytes(vw.copyBytes())))
+        scanner.advance()
+    r.close()
+    fin.close()
+    assert out == recs
+
+
+def test_read_tfile_dataframe_and_auto_sniff(spark, tmp_path):
+    """Distributed read: several files under one dir -> one DataFrame;
+    read_auto dispatches on the BCFile header magic."""
+    from hadoop_common_spark.sources.readers import read_auto
+
+    all_recs = []
+    for i in range(3):
+        recs = [(f"f{i}k{j}".encode(), f"v{j}".encode()) for j in range(50)]
+        write_tfile(str(tmp_path / f"part-{i}.tfile"), recs, compression="gz")
+        all_recs += recs
+    df = read_tfile(spark, str(tmp_path))
+    got = sorted((bytes(r.key), bytes(r.value)) for r in df.collect())
+    assert got == sorted(all_recs)
+    auto = read_auto(spark, str(tmp_path))
+    assert auto.count() == 150 and set(auto.columns) == {"key", "value"}

@@ -3,7 +3,15 @@ its oracle SQL on DuckDB over the same parquet, compare row count, column
 names, and (rounded) values. A stricter local stand-in for the driver's
 CORRECTNESS gate — run before committing new queries.
 
-Usage: python tools/verify_local.py [sf_dir] [name_filter...]
+Usage: python tools/verify_local.py [--strict] [sf_dir] [name_filter...]
+
+--strict renders values the way the external driver hashes them: the
+DuckDB side is fetched through pandas (fetchdf — the path that collapses
+DECIMAL(38,0) to float64), floats are full-precision repr (no 9-sig-digit
+rounding), and Decimal is NOT normalized to float. Representation-level
+divergence (DECIMAL-vs-DOUBLE, HUGEINT widening) fails here before it
+fails at the driver. Default mode keeps the forgiving comparison for
+semantic debugging.
 """
 
 from __future__ import annotations
@@ -37,14 +45,74 @@ def _norm(v):
     return v
 
 
-def _rowset(cols, rows):
+def _norm_strict(v):
+    """Driver-style rendering: no 9-sig-digit rounding, no decimal→float
+    forgiveness — a DECIMAL on one engine vs a float64 on the other is a
+    mismatch (the class of the r03 teragen_checksum FAIL). Two observed
+    driver tolerances ARE reproduced, because driver-green rounds prove
+    them: SQL NULL fetched through pandas arrives as NaN (NULL == NaN
+    here), and a bigint column with NULLs arrives as float64 (an
+    integral float compares as its exact integer)."""
+    import decimal
+
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "\0NULL"  # pandas renders SQL NULL as NaN
+        if v.is_integer() and abs(v) < 2**53:
+            return f"i:{int(v)}"  # pandas widens nullable bigint to float64
+        return f"f:{v!r}"
+    if isinstance(v, decimal.Decimal):
+        if v == v.to_integral_value() and abs(v) < 2**53:
+            return f"i:{int(v)}"  # exactly float64-representable either way
+        return f"d:{v}"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if v != v:  # pandas NaT (datetime NULL); NaN float handled above
+        return "\0NULL"
+    if hasattr(v, "isoformat"):
+        # pandas widens DATE to midnight datetime64 — driver-green rounds
+        # show DATE vs midnight-timestamp hash equal, so fold them here
+        t = getattr(v, "time", None)
+        if t is not None and getattr(v, "tzinfo", None) is None and not any(
+            (v.hour, v.minute, v.second, v.microsecond)
+        ):
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_strict(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _rowset(cols, rows, norm=_norm):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+    return sorted(tuple(norm(r[i]) for i in idx) for r in rows)
+
+
+def _duck_rows_pandas(res):
+    """Fetch DuckDB results the way the driver does — through pandas —
+    so DECIMAL→float64 collapse and numpy widening are reproduced, then
+    unbox numpy scalars to Python natives."""
+    pdf = res.fetchdf()
+    out = []
+    for tup in pdf.itertuples(index=False, name=None):
+        out.append(tuple(x.item() if hasattr(x, "item") else x for x in tup))
+    return out
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    filters = sys.argv[2:]
+    argv = [a for a in sys.argv[1:]]
+    strict = "--strict" in argv
+    if strict:
+        argv.remove("--strict")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    filters = argv[1:]
+    norm = _norm_strict if strict else _norm
 
     from hadoop_common_spark.queries import load_all
     from hadoop_common_spark.session import get_spark
@@ -79,7 +147,7 @@ def main():
         try:
             res = con.execute(qd.oracle)
             dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            drows = _duck_rows_pandas(res) if strict else res.fetchall()
         except Exception as e:
             n_fail += 1
             failures.append(name)
@@ -93,7 +161,7 @@ def main():
             ok = False
             print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(drows)}")
         else:
-            s, d = _rowset(scols, srows), _rowset(dcols, drows)
+            s, d = _rowset(scols, srows, norm), _rowset(dcols, drows, norm)
             if s != d:
                 ok = False
                 diff = [(a, b) for a, b in zip(s, d) if a != b][:3]
