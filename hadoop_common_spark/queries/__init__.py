@@ -136,14 +136,17 @@ PRIORITY_WINDOW: list[str] = [
     "large_volume_orders",
     "inactive_rich_customers",
     "disjunctive_bracket_revenue",
-    "supplier_diversity_by_part",
-    "bulk_suppliers_of_brand",
 ]
 
 # ---- ~50-entry checked-window boundary ----
-# Deferred r01-only pair first (r05 head), then r03-green, then r02-green.
+# (window holds 45 stale entries; r4's newcomers auto-slot right after
+# it, so 45 + newcomers stays inside the ~50-row driver budget)
+# Deferred r01-only entries first (r05 head), then r03-green, then
+# r02-green.
 PRIORITY_OVERFLOW: list[str] = [
-    # -- r01-only evidence deferred one round (trivial set ops, untouched) --
+    # -- r01-only evidence deferred one round (trivial/untouched shapes) --
+    "supplier_diversity_by_part",
+    "bulk_suppliers_of_brand",
     "intersect_nations",
     "except_nations",
     # -- r03-green (checked last round) --

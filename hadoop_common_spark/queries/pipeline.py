@@ -671,3 +671,75 @@ def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("n_tokens"),
         F.element_at(F.col("a"), F.col("start")).alias("first_token"),
     )
+
+
+# ---- boilerplate segment strip (C4-style line dedup, r4) -----------------
+# The C4/RefinedWeb cleaning step the scan/count queries don't cover:
+# REMOVE text spans that repeat across documents (nav bars, footers,
+# licenses). "Lines" in this corpus are 3-word non-overlapping segments
+# (the synthetic text has no newlines); a segment is boilerplate when its
+# exact text occurs in >= 3 distinct docs. Two shuffles total: segment ->
+# distinct-doc counts, then a join back + per-doc rollup — the same shape
+# at 100 TB (segment-hash partitioning, no all-pairs anywhere).
+_SEG_W = 3
+_BOILER_K = 3
+
+_BOILER_STRIP_ORACLE = rf"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0, greatest(CAST(ceil(len(toks) / {_SEG_W}.0) AS BIGINT), 1) - 1),
+           i -> array_to_string(list_slice(toks, i * {_SEG_W} + 1, i * {_SEG_W} + {_SEG_W}), ' '))) AS seg
+  FROM tk
+),
+sd AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY seg)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN sd.nd >= {_BOILER_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       CAST(SUM(CASE WHEN sd.nd < {_BOILER_K} THEN len(string_split(s.seg, ' ')) ELSE 0 END) AS BIGINT) AS n_kept_words
+FROM segs s JOIN sd USING (seg)
+GROUP BY s.doc_id
+"""
+
+
+@query("corpus_boilerplate_strip", oracle=_BOILER_STRIP_ORACLE)
+def corpus_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span removal (the C4-style 'line dedup'
+    cleaning pass; complements text_boilerplate_ngrams, which only
+    REPORTS frequent n-grams): per doc, how many 3-word segments
+    survive after dropping segments whose exact text appears in >= 3
+    distinct documents. Segments are built with higher-order array
+    functions (no explode of raw tokens), counted with one hash-
+    partitioned aggregation, and joined back by segment text — both
+    shuffles key on the segment, so skew is bounded by segment
+    frequency, never corpus size."""
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    nseg = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(_SEG_W))).cast("bigint"), F.lit(1).cast("bigint")
+    )
+    segs = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), nseg - 1),
+        lambda i: F.array_join(
+            F.slice(toks, (i * _SEG_W + 1).cast("int"), _SEG_W), " "
+        ),
+    )
+    seg_rows = spark.table("documents").select(
+        "doc_id", F.explode(segs).alias("seg")
+    )
+    sd = seg_rows.groupBy("seg").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        seg_rows.join(sd, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum((F.col("nd") >= _BOILER_K).cast("int")).cast("bigint").alias("n_boiler"),
+            F.sum(
+                F.when(F.col("nd") < _BOILER_K, F.size(F.split(F.col("seg"), " "))).otherwise(0)
+            ).cast("bigint").alias("n_kept_words"),
+        )
+    )

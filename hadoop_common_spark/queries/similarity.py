@@ -539,3 +539,104 @@ def similarity_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+# ---- ANN recall evaluation (r4) ------------------------------------------
+# The tuning loop every ANN deployment runs: measure bucketed-search
+# recall against brute-force ground truth. Kept fully relational and
+# integer-exact (hit counts, exact cosine ties broken by neighbor id) so
+# the evaluation itself is oracle-checkable — sign_lsh_band_recall gives
+# the closed-form PREDICTION, this query measures the actual.
+
+_RECALL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+),
+d AS (
+  SELECT vec_id AS neighbor_id, embedding AS d_vec FROM embeddings
+),
+gt AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {cosine_sql('q_vec', 'd_vec')} DESC, neighbor_id ASC) AS rank
+    FROM d, q WHERE neighbor_id <> query_id
+  ) WHERE rank <= 5
+),
+bq AS (
+  SELECT query_id, q_vec, {sign_lsh_bucket_sql('q_vec', DIM, PLANES)} AS bucket FROM q
+),
+bd AS (
+  SELECT neighbor_id, d_vec, {sign_lsh_bucket_sql('d_vec', DIM, PLANES)} AS bucket FROM d
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT bq.query_id, bd.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY bq.query_id
+                              ORDER BY {cosine_sql('bq.q_vec', 'bd.d_vec')} DESC, bd.neighbor_id ASC) AS rank
+    FROM bq JOIN bd USING (bucket)
+    WHERE bd.neighbor_id <> bq.query_id
+  ) WHERE rank <= 5
+)
+SELECT gt.query_id,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(5.0 AS DOUBLE) AS recall
+FROM gt LEFT JOIN approx a
+  ON gt.query_id = a.query_id AND gt.neighbor_id = a.neighbor_id
+GROUP BY gt.query_id
+"""
+
+
+@query("similarity_lsh_recall_eval", oracle=_RECALL_ORACLE)
+def similarity_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of single-bucket sign-LSH search vs brute-force
+    ground truth, per query vector — the evaluation operator that closes
+    the ANN tuning loop (operators/similarity.sign_lsh_band_recall is
+    the closed-form twin). Ground truth reuses the exact
+    cosine_topk_bruteforce plan; the approx side joins on the LSH bucket
+    (the scale path: bucket equi-join, no cross product) and ranks the
+    SAME exact cosine, so a hit/miss is purely a bucketing outcome, and
+    the output is integer-exact."""
+    emb = spark.table("embeddings")
+    truth = cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    ).select("query_id", "neighbor_id")
+
+    bucket = sign_lsh_bucket_udf(DIM, PLANES)
+    b = emb.select(
+        F.col("vec_id"), F.col("embedding"), bucket(F.col("embedding")).alias("bucket")
+    )
+    q = b.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        "bucket",
+    )
+    from pyspark.sql import Window
+
+    cand = (
+        b.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("q_vec"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    approx = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.lit(5.0).cast("double")
+            ).alias("recall"),
+        )
+    )

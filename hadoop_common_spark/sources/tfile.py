@@ -238,6 +238,77 @@ def read_tfile(
     return files.mapInPandas(gen, f"{key_col} binary, {value_col} binary")
 
 
+def tfile_seek(blob: bytes, probe: bytes) -> bytes | None:
+    """Point lookup in a SORTED TFile (the reader's seekTo/createScannerByKey
+    semantics, TFile.java Reader.Location + TFileIndex.lowerBound): binary-
+    search the block index for the first block whose LAST key >= probe,
+    decompress only that block, scan to the first record with key >= probe,
+    return its value if the key matches exactly, else None. Requires the
+    memcmp comparator (raises on unsorted files, like the reference's
+    "Cannot search in unsorted TFile"). Touches ONE block — the MapFile
+    ``get()`` analog for TFile consumers."""
+    if blob[:16] != BCFILE_MAGIC or blob[-16:] != BCFILE_MAGIC:
+        raise ValueError("not a BCFile/TFile (bad magic)")
+    off_meta, _, _ = struct.unpack(">qHH", blob[-28:-16])
+    meta = io.BytesIO(blob[off_meta:])
+    metas: dict[str, tuple[str, int, int, int]] = {}
+    for _ in range(_read_vint(meta)):
+        full = _read_string(meta)
+        algo = _read_string(meta) or "none"
+        o, cs, rs = read_vlong(meta), read_vlong(meta), read_vlong(meta)
+        metas[full[5:]] = (algo, o, cs, rs)
+
+    def meta_block(name: str) -> io.BytesIO:
+        algo, o, cs, rs = metas[name]
+        return io.BytesIO(_decompress(algo, blob[o : o + cs], rs))
+
+    tm = meta_block("TFile.meta")
+    tm.read(4)
+    read_vlong(tm)  # record count
+    comparator = _read_string(tm)
+    if comparator != "memcmp":
+        raise ValueError(f"cannot seek in unsorted TFile (comparator {comparator!r})")
+
+    dix = meta_block("BCFile.index")
+    default_algo = _read_string(dix) or "none"
+    regions = [
+        (read_vlong(dix), read_vlong(dix), read_vlong(dix))
+        for _ in range(_read_vint(dix))
+    ]
+
+    tix = meta_block("TFile.index")
+    fk_size = _read_vint(tix)
+    if fk_size == 0:
+        return None  # empty file
+    tix.read(fk_size)
+    last_keys = []
+    for _ in regions:
+        esz = _read_vint(tix)
+        e = io.BytesIO(tix.read(esz))
+        klen = _read_vint(e)
+        last_keys.append(e.read(klen))
+
+    import bisect
+
+    bi = bisect.bisect_left(last_keys, probe)
+    if bi == len(regions):
+        return None  # probe beyond the last key
+    o, cs, rs = regions[bi]
+    buf = io.BytesIO(_decompress(default_algo, blob[o : o + cs], rs))
+    while buf.tell() < rs:
+        klen = _read_vint(buf)
+        key = buf.read(klen)
+        chunks = []
+        while True:
+            n = _read_vint(buf)
+            chunks.append(buf.read(n if n >= 0 else -n))
+            if n >= 0:
+                break
+        if key >= probe:
+            return b"".join(chunks) if key == probe else None
+    return None
+
+
 # ---- writer ---------------------------------------------------------------
 
 def write_tfile(
@@ -245,13 +316,19 @@ def write_tfile(
     records: Iterable[tuple[bytes, bytes]],
     compression: str = "gz",
     block_size: int = 256 * 1024,
+    sorted_keys: bool = False,
 ) -> int:
     """Minimal spec-conformant TFile writer (single local file): the
     write half of the bridge for handing data back to a legacy TFile
     consumer, and the round-trip fixture for :func:`parse_tfile`.
-    Unsorted mode (comparator "" — TFile.java:2072 makeComparator
-    returns None for the empty string), known-length values (one final
-    chunk each, Chunk.java SingleChunkEncoder). Returns record count."""
+    Known-length values (one final chunk each, Chunk.java
+    SingleChunkEncoder). ``sorted_keys=True`` records the ``memcmp``
+    comparator (TFile.java COMPARATOR_MEMCMP — unsigned lexicographic,
+    exactly Python ``bytes`` ordering) and enforces key order, which is
+    what makes :func:`tfile_seek` (and the JVM reader's
+    ``createScannerByKey``) legal on the file; the default "" comparator
+    means unsorted (TFile.java:2072 makeComparator → None). Returns
+    record count."""
     out = io.BytesIO()
     out.write(BCFILE_MAGIC)
 
@@ -278,7 +355,13 @@ def write_tfile(
         block_entries.append((cur_last, cur_n))
         cur, cur_last, cur_n = io.BytesIO(), None, 0
 
+    prev_key: bytes | None = None
     for k, v in records:
+        if sorted_keys and prev_key is not None and k < prev_key:
+            raise ValueError(
+                f"sorted_keys=True but {k!r} < previous key {prev_key!r}"
+            )
+        prev_key = k
         cur_last = k
         if first_key is None:
             first_key = k
@@ -302,7 +385,7 @@ def write_tfile(
     tm = io.BytesIO()
     tm.write(struct.pack(">HH", 1, 0))
     write_vlong(tm, n_records)
-    _write_string(tm, "")  # unsorted
+    _write_string(tm, "memcmp" if sorted_keys else "")
     put_meta("TFile.meta", tm.getvalue(), "none")
 
     tix = io.BytesIO()

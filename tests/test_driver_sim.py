@@ -70,3 +70,31 @@ def test_driver_sim_hostile_session_sample():
         env=env,
     )
     assert proc.returncode == 0, f"driver_sim failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}"
+
+
+def test_strict_norm_catches_representation_splits():
+    """tools/verify_local --strict must distinguish the representation
+    classes that broke r03 at the driver (Decimal(38,0) beyond float64's
+    exact range vs its float64 collapse), while folding the tolerances
+    driver-green rounds proved (NULL==NaN, DATE==midnight ts, integral
+    float == int)."""
+    import datetime
+    import decimal
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "verify_local",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tools", "verify_local.py"),
+    )
+    vl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vl)
+    n = vl._norm_strict
+    big = decimal.Decimal("57583116164155407018497697")  # > 2^53
+    assert n(big) != n(float(big))  # the r03 teragen class: must differ
+    assert n(decimal.Decimal("42")) == n(42) == n(42.0)  # small ints fold
+    assert n(float("nan")) == n(None)  # pandas NULL->NaN folds
+    assert n(datetime.datetime(2024, 1, 1)) == n(datetime.date(2024, 1, 1))
+    assert n(datetime.datetime(2024, 1, 1, 0, 0, 1)) != n(datetime.date(2024, 1, 1))
+    assert n(0.1) != n(decimal.Decimal("0.1"))  # fractional repr split

@@ -115,6 +115,18 @@ class TestJoins:
         with pytest.raises(ValueError, match="right_tie_col"):
             asof_join(left, right, "k", "t", "t", ["val"], right_tie_col="nope")
 
+    def test_asof_reserved_column_collision_raises(self, spark):
+        # a left column named _tie used to be matched by unionByName and
+        # silently dropped from the output — now refused up front
+        left = spark.createDataFrame([(1, 10, "keepme")], ["k", "t", "_tie"])
+        right = spark.createDataFrame([(1, 5, 1.0)], ["k", "t", "val"])
+        with pytest.raises(ValueError, match="reserves column names"):
+            asof_join(left, right, "k", "t", "t", ["val"])
+        left2 = spark.createDataFrame([(1, 10)], ["k", "t"])
+        right2 = spark.createDataFrame([(1, 5, 1.0, 2.0)], ["k", "t", "val", "_m"])
+        with pytest.raises(ValueError, match="reserves column names"):
+            asof_join(left2, right2, "k", "t", "t", ["val", "_m"])
+
 
 class TestTotalOrderSort:
     def test_global_order_across_partitions(self, spark):

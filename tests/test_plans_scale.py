@@ -355,3 +355,43 @@ def test_domain_caps_single_exchange(spark, sf_dir, registry):
     df = registry["corpus_domain_caps"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_boilerplate_strip_no_cartesian_two_seg_shuffles(spark, sf_dir, registry):
+    """corpus_boilerplate_strip: both heavy steps key on the segment text
+    (hash-partitioned agg + equi-join back); nothing plans a cartesian
+    product or a broadcast of the full segment set."""
+    df = registry["corpus_boilerplate_strip"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_recall_eval_joins_on_bucket(spark, sf_dir, registry):
+    """similarity_lsh_recall_eval: the approx side must reach candidates
+    through the LSH-bucket equi-join (queries broadcast), never an
+    unkeyed cross product against the vector table."""
+    df = registry["similarity_lsh_recall_eval"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # 10 bucketed query rows broadcast
+    # the only nested-loop allowed is the brute-force ground truth's
+    # deliberate 10-query cross join (broadcast side = the 10 queries)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_label_propagation_hash_joins_only(spark, sf_dir, registry):
+    """graph_label_propagation: every BSP round is an equi-join + agg —
+    shuffle or broadcast hash joins only, no nested loops (a loop here
+    is quadratic in nodes at 100 TB)."""
+    df = registry["graph_label_propagation"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_enrich_segment_broadcasts_dim(spark, sf_dir, registry):
+    """events_enrich_segment: the customer dim must broadcast (the
+    stream-static form re-reads it per micro-batch; a shuffle join here
+    would re-shuffle the fact stream every batch)."""
+    df = registry["events_enrich_segment"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

@@ -236,6 +236,38 @@ def test_pipe_raw_bytes_identity_binary_safe(spark):
     assert got == sorted((bytes(k), bytes(v)) for k, v in rows)
 
 
+def test_pipe_raw_bytes_one_column_raises(spark):
+    """A 1-column frame without explicit key/value columns is a clear
+    error up front, not an IndexError mid-plan."""
+    import pytest
+
+    from hadoop_common_spark.operators.typedbytes import pipe_raw_bytes
+
+    df = spark.createDataFrame([(bytearray(b"only"),)], "key binary")
+    with pytest.raises(ValueError, match="key and a value column"):
+        pipe_raw_bytes(df, ["cat"])
+
+
+def test_pipe_raw_bytes_corrupt_length_prefix_fails_loudly(spark):
+    """A child emitting a negative length prefix is a framing error, not
+    a silent rest-of-stream slurp into one garbage record."""
+    import sys
+
+    import pytest
+
+    from hadoop_common_spark.operators.typedbytes import pipe_raw_bytes
+
+    df = spark.createDataFrame([(bytearray(b"k"), bytearray(b"v"))], "key binary, value binary")
+    # child ignores stdin and emits a corrupt (negative) length prefix
+    evil = (
+        "import sys,struct;sys.stdin.buffer.read();"
+        "sys.stdout.buffer.write(struct.pack('>i',-5)+b'xxxxx')"
+    )
+    out = pipe_raw_bytes(df, [sys.executable, "-c", evil])
+    with pytest.raises(Exception, match="invalid rawbytes length|ValueError"):
+        out.collect()
+
+
 def test_pipe_raw_bytes_external_transform(spark, tmp_path):
     """A real child speaking rawbytes (RawBytesInputWriter framing:
     4-byte big-endian length + raw bytes, key then value): reverses each

@@ -143,3 +143,69 @@ def test_read_tfile_dataframe_and_auto_sniff(spark, tmp_path):
     assert got == sorted(all_recs)
     auto = read_auto(spark, str(tmp_path))
     assert auto.count() == 150 and set(auto.columns) == {"key", "value"}
+
+
+def test_sorted_write_and_seek(tmp_path):
+    """sorted_keys=True records the memcmp comparator; tfile_seek touches
+    one block and resolves hits, misses-between-keys, and out-of-range
+    probes; unsorted files refuse to seek (reference behavior)."""
+    from hadoop_common_spark.sources.tfile import tfile_seek
+
+    recs = [(f"k{i:06d}".encode(), f"v{i}".encode()) for i in range(0, 5000, 2)]
+    p = str(tmp_path / "sorted.tfile")
+    write_tfile(p, recs, compression="gz", block_size=8 << 10, sorted_keys=True)
+    with open(p, "rb") as f:
+        blob = f.read()
+    assert tfile_seek(blob, b"k000000") == b"v0"
+    assert tfile_seek(blob, b"k002468") == b"v2468"
+    assert tfile_seek(blob, b"k004998") == b"v4998"
+    assert tfile_seek(blob, b"k000001") is None  # between keys
+    assert tfile_seek(blob, b"k999999") is None  # past the end
+    assert tfile_seek(blob, b"") is None  # before the start
+
+    # order violation rejected
+    with pytest.raises(ValueError, match="sorted_keys"):
+        write_tfile(str(tmp_path / "bad.tfile"), [(b"b", b""), (b"a", b"")], sorted_keys=True)
+
+    # unsorted file refuses to seek
+    pu = str(tmp_path / "uns.tfile")
+    write_tfile(pu, [(b"b", b"1"), (b"a", b"2")])
+    with open(pu, "rb") as f:
+        with pytest.raises(ValueError, match="unsorted"):
+            tfile_seek(f.read(), b"a")
+
+
+def test_sorted_tfile_jvm_seek_parity(spark, tmp_path):
+    """A sorted file from write_tfile must satisfy the JVM reader's
+    key-seek API too (createScannerByKey on the memcmp comparator)."""
+    jvm = spark._jvm
+    conf = jvm.org.apache.hadoop.conf.Configuration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = jvm.org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    recs = [(f"k{i:04d}".encode(), f"v{i}".encode()) for i in range(0, 1000, 2)]
+    p = str(tmp_path / "sorted.tfile")
+    write_tfile(p, recs, compression="gz", block_size=4 << 10, sorted_keys=True)
+    fin = fs.open(Path("file://" + p))
+    flen = fs.getFileStatus(Path("file://" + p)).getLen()
+    r = jvm.org.apache.hadoop.io.file.tfile.TFile.Reader(fin, flen, conf)
+    # exact-key seek
+    s = r.createScannerByKey(bytearray(b"k0500"), None)
+    kw = jvm.org.apache.hadoop.io.BytesWritable()
+    vw = jvm.org.apache.hadoop.io.BytesWritable()
+    s.entry().get(kw, vw)
+    assert bytes(kw.copyBytes()) == b"k0500" and bytes(vw.copyBytes()) == b"v500"
+    # between-keys seek lands on the next greater key
+    s2 = r.createScannerByKey(bytearray(b"k0501"), None)
+    kw2 = jvm.org.apache.hadoop.io.BytesWritable()
+    vw2 = jvm.org.apache.hadoop.io.BytesWritable()
+    s2.entry().get(kw2, vw2)
+    assert bytes(kw2.copyBytes()) == b"k0502" and bytes(vw2.copyBytes()) == b"v502"
+    # and our own seek agrees with the JVM's on the same file
+    from hadoop_common_spark.sources.tfile import tfile_seek
+
+    with open(p, "rb") as f:
+        blob = f.read()
+    assert tfile_seek(blob, b"k0500") == b"v500"
+    assert tfile_seek(blob, b"k0501") is None
+    r.close()
+    fin.close()
