@@ -78,78 +78,80 @@ _QUERY_MODULES = [
 
 # Driver-facing iteration order. The external correctness harness walks the
 # registry in dict order and has a bounded budget (~50 rows/round), so the
-# order is part of the evidence strategy. Round-4 rotation (VERDICT r3 "Next
-# round" #1/#3): the two r03 hash-FAILs (now fixed at the representation
-# layer) go first for immediate re-green, then the 45 of 47 queries whose
-# only driver row is r01 — two rounds of code churn ago — freshest-churn
-# first (dedup/similarity/window cores were re-kernelized in r3; TPC-H
-# shapes are untouched but still rotate). intersect/except_nations (trivial,
-# untouched) defer to the overflow head for r05. Names not in either list
-# are slotted right after the window block, BEFORE the overflow, so a new
-# query is never silently pushed out of the checked window.
+# order is part of the evidence strategy. Round-5 rotation (VERDICT r4 "Next
+# round" #3/#4): first the last four queries whose ONLY driver row is r01
+# (trivial shapes, deferred from r4 by design), then the 48-query r02-green
+# block — two-plus rounds of code churn old, ordered most-churned-module
+# first (dedup/similarity/graph/windows/corpus cores were re-kernelized in
+# r3/r4; pivot/rollup shapes untouched, so they sit at the boundary where a
+# budget cut costs least). Names not in either list are slotted right after
+# the window block, BEFORE the overflow, so a new query is never silently
+# pushed out of the checked window.
 PRIORITY_WINDOW: list[str] = [
-    # -- r03 hash-FAILs, representation-fixed this round: re-check first --
-    "teragen_checksum",  # checksum now zero-padded STRING on both engines
-    "montecarlo_pi",  # oracle now does double (not DECIMAL) arithmetic
-    # -- r01-only evidence, implementation churned since (highest risk) --
-    "asof_join_last_purchase",  # r3 tie-col binding fix touched asof_join
-    "window_tumbling_hourly",
-    "secondary_sort_window",
-    "secondary_sort_collected",
-    "top_k_events",
-    "top_k_per_group",
-    "total_order_sort_head",
-    "keyspec_sort_head",  # r3 end-char-0 KeyFieldHelper fix
-    "grep_count",
-    "wordcount",
-    "word_length_stats",
-    "multi_source_wordcount",
-    "aggregate_framework",
-    "uniq_value_count",
-    "value_histogram",
-    "events_basic_stats",
-    "field_selection",
-    "inverse_map",
-    "json_field_extract",
-    "percent_sampled_scan",
-    "regex_filtered_scan",
-    "join_inner_pairs",
-    "join_full_outer",
-    "join_override",
-    "theta_join_acctbal",
-    "union_distinct_nations",
-    "distinct_user_event_pairs",
-    # -- r01-only evidence, untouched TPC-H shapes (lowest risk, still due) --
-    "pricing_summary",
-    "top_unshipped_orders",
-    "order_priority_count",
-    "nation_trade_volume",
-    "top_returning_customers",
-    "customer_order_distribution",
-    "brand_part_stats",
-    "promo_revenue_share",
-    "market_share_by_year",
-    "nation_profit_by_year",
-    "top_supplier_by_revenue",
-    "quantity_band_revenue",
-    "small_quantity_revenue",
-    "large_volume_orders",
-    "inactive_rich_customers",
-    "disjunctive_bracket_revenue",
-]
-
-# ---- ~50-entry checked-window boundary ----
-# (window holds 45 stale entries; r4's newcomers auto-slot right after
-# it, so 45 + newcomers stays inside the ~50-row driver budget)
-# Deferred r01-only entries first (r05 head), then r03-green, then
-# r02-green.
-PRIORITY_OVERFLOW: list[str] = [
-    # -- r01-only evidence deferred one round (trivial/untouched shapes) --
+    # -- r01-only evidence (last four; closes VERDICT r4 missing #1) --
     "supplier_diversity_by_part",
     "bulk_suppliers_of_brand",
     "intersect_nations",
     "except_nations",
-    # -- r03-green (checked last round) --
+    # -- r02-green, implementation churned since (highest risk first) --
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_resolution",
+    "similarity_cosine_topk",
+    "similarity_lsh_buckets",
+    "similarity_ivf_topk",
+    "similarity_pq_topk",
+    "corpus_semantic_dedup",
+    "graph_pagerank",
+    "window_sliding_10m_5m",
+    "window_sessionize",
+    "view_click_attribution",
+    "window_user_running_total",
+    "window_user_analytics",
+    "asof_join_next_purchase",
+    "corpus_tfidf_topterms",
+    "pipeline_clean_corpus",
+    "corpus_split_counts",
+    "corpus_token_shards",
+    "corpus_decontamination",
+    "corpus_mixture_sample",
+    "corpus_profile",
+    "corpus_incremental_ingest",
+    "corpus_domain_caps",
+    "corpus_global_shuffle",
+    "corpus_quality_bins",
+    "corpus_contamination_scores",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_token_stats",
+    "text_fingerprints",
+    "text_bpe_token_stats",
+    "text_bpe_merge_pairs",
+    "text_winnow_fingerprint",
+    "text_repetition_stats",
+    "text_pii_scan",
+    "multimodal_metadata",
+    "multimodal_fake_decode",
+    "multimodal_frame_sample",
+    "zorder_layout_keys",
+    # -- r02-green, untouched modules (lowest risk — budget-cut boundary) --
+    "join_semi_anti",
+    "returnflag_priority_pivot",
+    "rollup_region_nation_revenue",
+    "cube_status_priority",
+    "grouping_sets_events",
+]
+
+# ---- ~50-entry checked-window boundary ----
+# (window holds 52 stale entries; r5 newcomers auto-slot right after it —
+# a tail entry or two slipping to r6 costs least where placed)
+# r03-green first (next-oldest evidence, r6 window candidates), then
+# r04-green (freshest hard rows).
+PRIORITY_OVERFLOW: list[str] = [
+    # -- r03-green (checked two rounds ago; r6 rotation head) --
     "similarity_ivfpq_topk",
     "dedup_winnow_pairs",
     "events_weekday_heatmap",
@@ -198,55 +200,57 @@ PRIORITY_OVERFLOW: list[str] = [
     "events_transition_matrix",
     "hybrid_search_rerank",
     "flagship_revenue_by_nation",
-    # -- r02-green --
-    "returnflag_priority_pivot",
-    "join_semi_anti",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_resolution",
-    "similarity_cosine_topk",
-    "similarity_lsh_buckets",
-    "similarity_ivf_topk",
-    "similarity_pq_topk",
-    "text_lang_id",
-    "text_quality_scores",
-    "text_token_stats",
-    "text_fingerprints",
-    "text_bpe_token_stats",
-    "text_bpe_merge_pairs",
-    "text_winnow_fingerprint",
-    "text_repetition_stats",
-    "text_pii_scan",
-    "corpus_tfidf_topterms",
-    "pipeline_clean_corpus",
-    "corpus_split_counts",
-    "corpus_token_shards",
-    "corpus_decontamination",
-    "corpus_mixture_sample",
-    "corpus_semantic_dedup",
-    "graph_pagerank",
-    "corpus_profile",
-    "corpus_incremental_ingest",
-    "corpus_domain_caps",
-    "corpus_global_shuffle",
-    "corpus_quality_bins",
-    "corpus_contamination_scores",
-    "zorder_layout_keys",
-    "multimodal_metadata",
-    "multimodal_fake_decode",
-    "multimodal_frame_sample",
-    "window_sliding_10m_5m",
-    "window_sessionize",
-    "view_click_attribution",
-    "window_user_running_total",
-    "window_user_analytics",
-    "rollup_region_nation_revenue",
-    "cube_status_priority",
-    "grouping_sets_events",
-    "asof_join_next_purchase",
+    # -- r04-green (checked last round) --
+    "teragen_checksum",
+    "montecarlo_pi",
+    "asof_join_last_purchase",
+    "window_tumbling_hourly",
+    "secondary_sort_window",
+    "secondary_sort_collected",
+    "top_k_events",
+    "top_k_per_group",
+    "total_order_sort_head",
+    "keyspec_sort_head",
+    "grep_count",
+    "wordcount",
+    "word_length_stats",
+    "multi_source_wordcount",
+    "aggregate_framework",
+    "uniq_value_count",
+    "value_histogram",
+    "events_basic_stats",
+    "field_selection",
+    "inverse_map",
+    "json_field_extract",
+    "percent_sampled_scan",
+    "regex_filtered_scan",
+    "join_inner_pairs",
+    "join_full_outer",
+    "join_override",
+    "theta_join_acctbal",
+    "union_distinct_nations",
+    "distinct_user_event_pairs",
+    "pricing_summary",
+    "top_unshipped_orders",
+    "order_priority_count",
+    "nation_trade_volume",
+    "top_returning_customers",
+    "customer_order_distribution",
+    "brand_part_stats",
+    "promo_revenue_share",
+    "market_share_by_year",
+    "nation_profit_by_year",
+    "top_supplier_by_revenue",
+    "quantity_band_revenue",
+    "small_quantity_revenue",
+    "large_volume_orders",
+    "inactive_rich_customers",
+    "disjunctive_bracket_revenue",
+    # -- r04-green newcomers (oracle-backed, landed in r4) --
+    "similarity_lsh_recall_eval",
+    "corpus_boilerplate_strip",
+    "graph_label_propagation",
+    "events_enrich_segment",
 ]
 
 
