@@ -48,6 +48,16 @@ BCFILE_MAGIC = bytes(
 
 # ---- tfile VInt/VLong codec (Utils.java:95 write / :199 read) ------------
 
+def _read_exact(inp: io.BytesIO, n: int) -> bytes:
+    """Read exactly n bytes or raise EOFError — every multi-byte decode
+    branch goes through this so a truncated file always surfaces as the
+    EOFError contract, never IndexError/struct.error (ADVICE r4)."""
+    b = inp.read(n)
+    if len(b) < n:
+        raise EOFError(f"EOF: wanted {n} bytes, got {len(b)}")
+    return b
+
+
 def write_vlong(out: io.BytesIO, n: int) -> None:
     if -32 <= n < 128:
         out.write(struct.pack(">b", n))
@@ -86,30 +96,24 @@ def write_vlong(out: io.BytesIO, n: int) -> None:
 
 
 def read_vlong(inp: io.BytesIO) -> int:
-    b = inp.read(1)
-    if not b:
-        raise EOFError("EOF reading VLong")
-    first = struct.unpack(">b", b)[0]
+    first = struct.unpack(">b", _read_exact(inp, 1))[0]
     if first >= -32:
         return first
     group = (first + 128) // 8
     if 7 <= group <= 11:
-        return ((first + 52) << 8) | inp.read(1)[0]
+        return ((first + 52) << 8) | _read_exact(inp, 1)[0]
     if 3 <= group <= 6:
-        return ((first + 88) << 16) | struct.unpack(">H", inp.read(2))[0]
+        return ((first + 88) << 16) | struct.unpack(">H", _read_exact(inp, 2))[0]
     if 1 <= group <= 2:
         return (
             ((first + 112) << 24)
-            | (struct.unpack(">H", inp.read(2))[0] << 8)
-            | inp.read(1)[0]
+            | (struct.unpack(">H", _read_exact(inp, 2))[0] << 8)
+            | _read_exact(inp, 1)[0]
         )
     nbytes = first + 129
     if not 4 <= nbytes <= 8:
         raise ValueError(f"corrupted VLong encoding: first byte {first}")
-    raw = inp.read(nbytes)
-    if len(raw) < nbytes:
-        raise EOFError("EOF inside VLong body")
-    return int.from_bytes(raw, "big", signed=True)
+    return int.from_bytes(_read_exact(inp, nbytes), "big", signed=True)
 
 
 def _read_vint(inp: io.BytesIO) -> int:
@@ -123,7 +127,7 @@ def _read_string(inp: io.BytesIO) -> str | None:
     n = _read_vint(inp)
     if n == -1:
         return None
-    return inp.read(n).decode("utf-8")
+    return _read_exact(inp, n).decode("utf-8")
 
 
 def _write_string(out: io.BytesIO, s: str) -> None:
