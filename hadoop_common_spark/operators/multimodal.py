@@ -84,9 +84,20 @@ def _real_dims(b: bytes) -> tuple[int, int]:
     if b[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", b[6:10])
         return w, h
-    if b[:2] == b"BM":  # BITMAPINFOHEADER
-        w, h = struct.unpack("<ii", b[18:26])
-        return w, abs(h)
+    if b[:2] == b"BM":
+        # DIB header size at offset 14 distinguishes the families: 12 =
+        # OS/2 BITMAPCOREHEADER (16-bit fields), 40+ = BITMAPINFOHEADER
+        # and its V4/V5 extensions (32-bit fields). Anything else is not
+        # a layout we can parse — raise like other undecodable inputs
+        # rather than reading garbage (ADVICE r4).
+        dib = struct.unpack("<I", b[14:18])[0]
+        if dib == 12:
+            w, h = struct.unpack("<HH", b[18:22])
+            return w, h
+        if dib in (40, 52, 56, 64, 108, 124):
+            w, h = struct.unpack("<ii", b[18:26])
+            return w, abs(h)
+        raise ValueError(f"unsupported BMP DIB header size {dib}")
     if b[:2] == b"\xff\xd8":  # JPEG: walk markers to a SOF segment
         i = 2
         while i + 9 < len(b):

@@ -149,7 +149,12 @@ def cosine_verify_pairs_broadcast(
             _BC_CACHE.pop(next(iter(_BC_CACHE)))
         _BC_CACHE[key] = (app_id, bc)
 
-    out_schema = f"{id_a} {id_type}, {id_b} {id_type}, cos double"
+    # output id types come from the PAIRS frame (the values pass through
+    # from it); typing them from the vectors table would let Arrow
+    # down-cast wider pair ids (ADVICE r4)
+    ta = pairs.schema[id_a].dataType.simpleString()
+    tb = pairs.schema[id_b].dataType.simpleString()
+    out_schema = f"{id_a} {ta}, {id_b} {tb}, cos double"
 
     def verify(batches):
         idx_m, Vm, Nm = bc.value

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hadoop_common_spark.operators.dedup import (
@@ -163,7 +164,10 @@ def test_decode_image_real_headers(spark):
     payloads = [
         (0, _png(640, 480), 640, 480),
         (1, b"GIF89a" + struct.pack("<HH", 320, 200) + bytes(100), 320, 200),
-        (2, b"BM" + bytes(16) + struct.pack("<ii", 800, -600) + bytes(100), 800, 600),
+        # well-formed BITMAPINFOHEADER: DIB size 40 at offset 14, then w/h
+        (2, b"BM" + bytes(12) + struct.pack("<Iii", 40, 800, -600) + bytes(100), 800, 600),
+        # OS/2 BITMAPCOREHEADER: DIB size 12, 16-bit w/h fields
+        (4, b"BM" + bytes(12) + struct.pack("<IHH", 12, 160, 120) + bytes(100), 160, 120),
         (3, _jpeg(1024, 768), 1024, 768),
     ]
     df = spark.createDataFrame(
@@ -171,6 +175,12 @@ def test_decode_image_real_headers(spark):
     ).withColumn("byte_len", F.length("content").cast("bigint"))
     out = {r.doc_id: (r.width, r.height) for r in decode_image(df, fake=False).collect()}
     assert out == {i: (w, h) for i, _, w, h in payloads}
+
+    # an unknown DIB header size raises instead of parsing garbage (ADVICE r4)
+    from hadoop_common_spark.operators.multimodal import _real_dims
+
+    with pytest.raises(ValueError, match="DIB"):
+        _real_dims(b"BM" + bytes(12) + struct.pack("<Iii", 99, 1, 1) + bytes(40))
 
 
 def _clustered_vectors(spark, n_clusters=4, per_cluster=12, dim=8):

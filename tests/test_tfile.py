@@ -145,6 +145,44 @@ def test_read_tfile_dataframe_and_auto_sniff(spark, tmp_path):
     assert auto.count() == 150 and set(auto.columns) == {"key", "value"}
 
 
+def test_block_split_read_of_single_large_file(spark, tmp_path):
+    """A single multi-block TFile above split_threshold decodes via the
+    BLOCK-split plan: one task spec per BCFile data block (the reference
+    reader's split unit), identical records, and a footer-only plan
+    (tfile_split_plan never touches the data region)."""
+    from hadoop_common_spark.sources.tfile import tfile_split_plan
+
+    recs = _mkrecs(4000, seed=7)
+    p = str(tmp_path / "big.tfile")
+    write_tfile(p, recs, compression="gz", block_size=16 << 10)
+
+    plan = tfile_split_plan(p)
+    assert len(plan) > 4  # genuinely multi-block => parallel decode units
+    # split_threshold=1 forces the block path for this file
+    df = read_tfile(spark, p, split_threshold=1)
+    got = sorted((bytes(r.key), bytes(r.value)) for r in df.collect())
+    assert got == sorted(recs)
+
+    # mixed corpus: one big (block path) + one small (per-file path)
+    small = [(b"s%d" % i, b"x%d" % i) for i in range(20)]
+    write_tfile(str(tmp_path / "small.tfile"), small, compression="none")
+    df2 = read_tfile(spark, str(tmp_path), split_threshold=2000)
+    assert df2.count() == 4020
+
+
+def test_truncated_tfile_raises_eoferror(tmp_path):
+    """The _read_exact contract: any truncation inside the record walk or
+    footer surfaces as EOFError/ValueError, never IndexError (ADVICE r4)."""
+    recs = _mkrecs(200, seed=9)
+    p = str(tmp_path / "t.tfile")
+    write_tfile(p, recs, compression="none", block_size=4 << 10)
+    with open(p, "rb") as f:
+        blob = f.read()
+    for cut in (len(blob) - 1, len(blob) // 2, 40):
+        with pytest.raises((EOFError, ValueError)):
+            list(parse_tfile(blob[:cut]))
+
+
 def test_sorted_write_and_seek(tmp_path):
     """sorted_keys=True records the memcmp comparator; tfile_seek touches
     one block and resolves hits, misses-between-keys, and out-of-range
