@@ -154,7 +154,15 @@ def read_auto(spark: SparkSession, path: str, **options: str) -> DataFrame:
     dispatch. The reference distinguishes SequenceFile vs text by magic
     bytes; we sniff SequenceFile ('SEQ'), Parquet ('PAR1'), ORC, JSON
     ('{'/'['), else delimited/text — from the first file's header only
-    (one tiny driver-side read)."""
+    (one tiny driver-side read). A (Bloom)MapFile DIRECTORY (data +
+    index [+ bloom] members) dispatches to the bloommap bridge before
+    any file sniff — its members are SequenceFiles, so the magic alone
+    would mis-route it to a flat scan of data AND index."""
+    from hadoop_common_spark.sources.bloommap import is_bloom_map_dir, read_bloom_map
+
+    local = _distcp_local_path(path)
+    if is_bloom_map_dir(local):
+        return read_bloom_map(spark, local)
     first = (
         spark.read.format("binaryFile")
         .load(path)
