@@ -468,6 +468,51 @@ def main() -> None:
         except Exception as e:
             print(f"# bench error scale tier: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # Fresh-session confirmation pass (r5): flags that survive the
+    # in-session re-time get re-measured in a NEW SparkSession before the
+    # gate reports them. Measured on identical code: a long bench session
+    # accumulates per-job slowness (GC / python-worker churn after ~75
+    # jobs) — similarity_lsh_buckets re-timed 4.08s inside the bench
+    # session but 1.61s in a fresh session; corpus_global_shuffle 2.62s
+    # vs 1.25s. A "regression" that vanishes in a fresh session is
+    # session-state noise, not a plan regression; only ones that
+    # reproduce here reach the compact line. Two runs each (the first
+    # pays python-worker/Arrow first-touch), keep-min overall.
+    flagged = set(_regressions(timings, prev_q, host_slowdown))
+    scale_flagged = (
+        set(_regressions(scale_timings, prev_scale, host_slowdown))
+        if scale_timings
+        else set()
+    )
+    if flagged or scale_flagged:
+        spark.stop()
+        spark = get_spark("bench-confirm")
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+        for name in sorted(flagged):
+            for _ in range(2):
+                t0 = time.time()
+                try:
+                    if name == "terasort_equivalent":
+                        bench_terasort(
+                            spark, n_rows=int(2_000_000 * max(sf, 0.001) / 0.1)
+                        )
+                    else:
+                        _run_noop(registry[name].fn(spark, sf_dir))
+                    timings[name] = min(timings[name], round(time.time() - t0, 3))
+                except Exception:
+                    break
+        for name in sorted(scale_flagged):
+            for _ in range(2):
+                t0 = time.time()
+                try:
+                    _run_noop(registry[name].fn(spark, scale_dir))
+                    scale_timings[name] = min(
+                        scale_timings[name], round(time.time() - t0, 3)
+                    )
+                except Exception:
+                    break
+
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     scale_total = round(sum(v for v in scale_timings.values() if v >= 0), 3)
     vs_prev = {
