@@ -141,16 +141,17 @@ PRIORITY_WINDOW: list[str] = [
     "join_semi_anti",
     "returnflag_priority_pivot",
     "rollup_region_nation_revenue",
-    "cube_status_priority",
-    "grouping_sets_events",
 ]
 
-# ---- ~50-entry checked-window boundary ----
-# (window holds 52 stale entries; r5 newcomers auto-slot right after it —
-# a tail entry or two slipping to r6 costs least where placed)
-# r03-green first (next-oldest evidence, r6 window candidates), then
-# r04-green (freshest hard rows).
+# ---- 50-entry checked-window boundary ----
+# (the driver checks ~50 rows/round — the window must fit; r5 newcomers
+# auto-slot right after it, BEFORE the overflow)
+# Two lowest-risk r02 OLAP shapes lead the overflow (they spilled out of
+# the 50-cap), then r03-green (next-oldest evidence, r6 rotation head),
+# then r04-green (freshest hard rows).
 PRIORITY_OVERFLOW: list[str] = [
+    "cube_status_priority",
+    "grouping_sets_events",
     # -- r03-green (checked two rounds ago; r6 rotation head) --
     "similarity_ivfpq_topk",
     "dedup_winnow_pairs",
