@@ -208,6 +208,92 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Recall evaluation of the MinHash CANDIDATE stage (the banding) against
+# exact-Jaccard ground truth, binned by true similarity. Ground truth is
+# exact for within-lang pairs without any all-pairs scan: a pair with
+# J ≥ 0.2 > 0 shares ≥1 shingle, so the shared-shingle sparse join is a
+# LOSSLESS blocking (same argument as ngram_jaccard_pairs); lang blocks
+# bound hot-shingle fan-out. The S-curve P[candidate] = 1-(1-s^r)^b is
+# the theory; this query MEASURES it on the actual corpus — the dedup
+# twin of similarity_lsh_recall_eval, closing the (bands, rows) tuning
+# loop with an oracle-checked number instead of a formula.
+_MINHASH_RECALL_ORACLE = f"""
+WITH {_MINHASH_CTES},
+docsh AS (
+  SELECT lang, doc_id, {_SHINGLES} AS sset
+  FROM (SELECT lang, doc_id, string_split_regex(text, '\\s+') AS t FROM documents)
+),
+shx AS (
+  SELECT lang, doc_id, unnest(sset) AS s FROM docsh
+),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c
+  FROM shx x JOIN shx y ON x.lang = y.lang AND x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(sset) AS n FROM docsh),
+gt AS (
+  SELECT id_a, id_b, jaccard FROM (
+    SELECT id_a, id_b,
+           CAST(c AS DOUBLE) /
+           (CAST(sa.n + sb.n AS DOUBLE) - CAST(c AS DOUBLE)) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id
+  ) WHERE jaccard >= 0.2
+)
+SELECT bin, n_true, n_hit,
+       CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+FROM (
+  SELECT FLOOR(g.jaccard * 10) / 10 AS bin,
+         COUNT(*) AS n_true,
+         CAST(SUM(CASE WHEN c2.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM gt g LEFT JOIN cand c2 ON g.id_a = c2.id_a AND g.id_b = c2.id_b
+  GROUP BY 1
+)
+"""
+
+
+@query("dedup_minhash_recall_eval", oracle=_MINHASH_RECALL_ORACLE)
+def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the MinHash banding stage (16 hashes, 4 bands)
+    per true-Jaccard bin: which fraction of EXACT near-dup pairs
+    (J ≥ 0.2, within-lang shared-shingle ground truth — lossless blocking
+    for any threshold > 0) surface as band-bucket candidates. Both sides
+    are shuffle-bounded: ground truth is the sparse shingle join, the
+    candidate stage is the banded bucket join — no all-pairs anywhere, so
+    the evaluation runs at corpus scale, not just sample scale."""
+    from hadoop_common_spark.operators.dedup import lsh_band_keys, minhash_signature
+
+    docs = spark.table("documents")
+    gt = ngram_jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.2)
+
+    sig = minhash_signature(docs, "doc_id", "text", num_hashes=NUM_HASHES)
+    bk = lsh_band_keys(sig, "doc_id", BANDS, ROWS)
+    a = bk.select(F.col("doc_id").alias("id_a"), "band", "band_key")
+    b = bk.select(F.col("doc_id").alias("id_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        gt.withColumn("bin", F.floor(F.col("jaccard") * 10) / F.lit(10.0))
+        .join(cand, ["id_a", "id_b"], "left")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+        .withColumn(
+            "recall",
+            F.col("n_hit").cast("double") / F.col("n_true").cast("double"),
+        )
+    )
+
+
 _CC_ORACLE = f"""
 WITH RECURSIVE {_MINHASH_CTES},
 pairs AS (

@@ -395,3 +395,15 @@ def test_enrich_segment_broadcasts_dim(spark, sf_dir, registry):
     df = registry["events_enrich_segment"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_minhash_recall_eval_no_cartesian(spark, sf_dir, registry):
+    """dedup_minhash_recall_eval: both legs must be keyed joins — ground
+    truth through the (lang, shingle) sparse join, candidates through the
+    (band, band_key) bucket join. Any nested-loop/cartesian here is an
+    all-pairs scan that dies at corpus scale."""
+    df = registry["dedup_minhash_recall_eval"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_key" in plan  # candidate leg really joins on the band key
