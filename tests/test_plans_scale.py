@@ -407,3 +407,18 @@ def test_minhash_recall_eval_no_cartesian(spark, sf_dir, registry):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "band_key" in plan  # candidate leg really joins on the band key
+
+
+def test_fleet_wide_plan_audit_clean(spark, sf_dir):
+    """EVERY registry query passes the global anti-pattern audit
+    (tools/plan_audit.py): no cartesian/nested-loop join, no row-wise
+    BatchEvalPython, no single-partition funnel over data rows — outside
+    the justified whitelist. A new query or a Catalyst behavior change
+    cannot silently regress the fleet into a shape that dies at 100 TB."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from plan_audit import audit
+
+    violations = audit(sf_dir)
+    assert violations == {}, violations
