@@ -44,6 +44,13 @@ def main(argv: list[str] | None = None) -> int:
     tfp.add_argument("path", help="TFile file or directory")
     tfp.add_argument("--output", help="convert to parquet here instead of dumping")
     tfp.add_argument("--show", type=int, default=20, help="records to dump (default 20)")
+    bmf = sub.add_parser(
+        "bloommap", help="scan/convert/probe BloomMapFile directories"
+    )
+    bmf.add_argument("path", help="(Bloom)MapFile directory")
+    bmf.add_argument("--get", help="point-lookup one key (bloom-gated)")
+    bmf.add_argument("--output", help="convert data to parquet here instead of dumping")
+    bmf.add_argument("--show", type=int, default=20, help="records to dump (default 20)")
     args = p.parse_args(argv)
 
     if args.cmd == "tfile":
@@ -51,6 +58,27 @@ def main(argv: list[str] | None = None) -> int:
         from hadoop_common_spark.sources.tfile import read_tfile
 
         df = read_tfile(get_spark("cli-tfile"), args.path)
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+            print(f"wrote {args.output}")
+        else:
+            df.show(args.show, truncate=False)
+        return 0
+
+    if args.cmd == "bloommap":
+        if args.get is not None:
+            # bloom-gated point lookup: no Spark session needed (the
+            # reference's `hadoop fs -text`-style local path)
+            from hadoop_common_spark.sources.bloommap import BloomMapReader
+
+            r = BloomMapReader(args.path)
+            v = r.get(args.get)
+            print(v if v is not None else "(not found)")
+            return 0 if v is not None else 1
+        from hadoop_common_spark.session import get_spark
+        from hadoop_common_spark.sources.bloommap import read_bloom_map
+
+        df = read_bloom_map(get_spark("cli-bloommap"), args.path)
         if args.output:
             df.write.mode("overwrite").parquet(args.output)
             print(f"wrote {args.output}")

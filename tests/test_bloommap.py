@@ -183,3 +183,16 @@ def test_dataframe_scan_and_auto_sniff(spark, tmp_path):
     assert sorted((r.key, r.value) for r in df.collect()) == recs
     auto = read_auto(spark, d)
     assert auto.count() == len(recs) and set(auto.columns) == {"key", "value"}
+
+
+def test_cli_bloommap_get_and_dump(tmp_path, capsys):
+    """CLI parity with the tfile subcommand: bloom-gated point lookup
+    (exit 0 hit / 1 miss) without a Spark session."""
+    from hadoop_common_spark.cli import main
+
+    d = str(tmp_path / "cli_bmf")
+    write_bloom_map_file(d, [("alpha", "1"), ("beta", "2")])
+    assert main(["bloommap", d, "--get", "beta"]) == 0
+    assert capsys.readouterr().out.strip() == "2"
+    assert main(["bloommap", d, "--get", "nope"]) == 1
+    assert capsys.readouterr().out.strip() == "(not found)"
