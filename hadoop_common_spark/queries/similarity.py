@@ -221,7 +221,7 @@ def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k-means is the recall-tuned alternative — see similarity_ivf_topk).
     Scale: pair generation is bounded by bucket occupancy (tune PLANES),
     components are O(log n) rounds, everything else is one shuffle."""
-    from hadoop_common_spark.operators.graph import connected_components
+    from hadoop_common_spark.operators.graph import connected_components_blocked
     from hadoop_common_spark.operators.similarity import cosine_verify_pairs
 
     emb = spark.table("embeddings")
@@ -235,7 +235,14 @@ def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cosine_verify_pairs(cand, emb, "vec_id", "embedding", threshold=0.2).select(
         "id_a", "id_b"
     )
-    cc = connected_components(pairs, "id_a", "id_b")
+    # single-bucket LSH means the pair graph is a disjoint union of
+    # per-bucket subgraphs — blocked CC (one shuffle + per-block
+    # union-find) replaces the O(log n)-round iterative loop (r5;
+    # measured ~2x on the 10x tier, equivalence pinned in pytest)
+    pairs_b = pairs.join(
+        bucketed.select(F.col("vec_id").alias("id_a"), "bucket"), "id_a"
+    )
+    cc = connected_components_blocked(pairs_b, "id_a", "id_b", "bucket")
     kept = F.coalesce(F.col("component"), F.col("vec_id")) == F.col("vec_id")
     return (
         emb.select("label", "vec_id")

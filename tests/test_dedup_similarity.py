@@ -717,3 +717,36 @@ def test_cosine_verify_pairs_both_paths_agree(spark):
     assert len(got_bc) > 0
     assert got_bc == got_jn  # bit-equal cosines, identical pair set
     assert not any(30 in (a, b) for a, b, _ in got_bc)
+
+
+def test_blocked_cc_equals_generic_cc(spark):
+    """connected_components_blocked must agree exactly with the iterative
+    connected_components on any block-partitioned edge set (its
+    precondition) — including multi-edge chains within a block and
+    blocks with a single pair."""
+    from hadoop_common_spark.operators.graph import (
+        connected_components,
+        connected_components_blocked,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            # block A: chain 1-2-3 plus separate pair 7-8
+            ("a", 1, 2), ("a", 2, 3), ("a", 7, 8),
+            # block B: triangle with redundant edge
+            ("b", 10, 11), ("b", 11, 12), ("b", 10, 12),
+            # block C: single pair, reversed id order
+            ("c", 21, 20),
+        ],
+        "blk string, id_a long, id_b long",
+    )
+    blocked = {
+        (r.node, r.component)
+        for r in connected_components_blocked(edges, "id_a", "id_b", "blk").collect()
+    }
+    generic = {
+        (r.node, r.component)
+        for r in connected_components(edges, "id_a", "id_b").collect()
+    }
+    assert blocked == generic
+    assert (20, 20) in blocked and (21, 20) in blocked
