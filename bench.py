@@ -125,6 +125,11 @@ SCALE_QUERIES = [
     "graph_triangle_count",
     "events_funnel",
     "similarity_lsh_multiprobe_topk",
+    # r5: the measured-recall evals — both sides (ground truth + approx)
+    # must stay shuffle-bounded as the corpus grows, which only the 10x
+    # tier can demonstrate
+    "dedup_minhash_recall_eval",
+    "similarity_lsh_recall_eval",
 ]
 
 

@@ -154,6 +154,33 @@ def minhash_signature(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signature_mapside(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature computed entirely MAP-SIDE (array fold, zero
+    shuffles): identical h0..h{n-1} values to :func:`minhash_signature`
+    (pinned in pytest), as ``array_min`` folds over the hashed shingle
+    array instead of an explode + groupBy.
+
+    This is the STREAMING form: a per-doc groupBy on an unbounded stream
+    would need stateful aggregation, while this is a stateless
+    projection any micro-batch can run. The batch pipeline deliberately
+    uses the explode+groupBy form instead — Catalyst's projection
+    collapse re-runs the shingling per signature column here (measured
+    ~1.7× slower at rest, minhash_signature's docstring) — but on a
+    stream that cost buys shuffle-freedom and zero state, which is the
+    right trade. Docs with no shingles (shorter than ``shingle_n``
+    words) are dropped, matching the groupBy form where they produce no
+    rows."""
+    hashed = F.transform(word_shingles(text_col, shingle_n), lambda s: hash32(s))
+    out = df.withColumn("_hashes", hashed).filter(F.size("_hashes") > 0)
+    sig_cols = [
+        F.array_min(F.transform(F.col("_hashes"), lambda h: minhash_j(h, j))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return out.select(F.col(id_col), *sig_cols)
+
+
 def lsh_band_keys(sig_df: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
     """Explode a signature into (id, band, band_key) rows; docs sharing a
     band_key are candidates (AND within band, OR across bands)."""

@@ -466,3 +466,71 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+# Incoming-shard near-dup flagging — the oracle-backed BATCH TWIN of
+# streaming/jobs.neardup_candidates_stream: the src0 slice plays the
+# arriving micro-batch, every other source is the historical corpus whose
+# band index is precomputed. The Spark side deliberately signs the
+# incoming slice with minhash_signature_mapside (the stateless streaming
+# kernel — proven h-identical to the groupBy form in pytest), so the
+# driver row covers the exact code path the stream runs.
+_INCOMING_ORACLE = f"""
+WITH sh_all AS (
+  SELECT source, doc_id, unnest({_SHINGLES}) AS s
+  FROM (SELECT source, doc_id, string_split_regex(text, '\\s+') AS t FROM documents)
+),
+sig_all AS (
+  SELECT source, doc_id,
+         {_SIG_MINS}
+  FROM sh_all
+  GROUP BY source, doc_id
+),
+bands_all AS (
+  SELECT source, doc_id, b.band,
+    CASE b.band
+      {_BAND_CASES}
+    END AS band_key
+  FROM sig_all, (VALUES (0),(1),(2),(3)) b(band)
+)
+SELECT stream_id, corpus_id, n_bands FROM (
+  SELECT i.doc_id AS stream_id, c.doc_id AS corpus_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bands
+  FROM bands_all i
+  JOIN bands_all c ON i.band = c.band AND i.band_key = c.band_key
+  WHERE i.source = 'src0' AND c.source <> 'src0'
+  GROUP BY 1, 2
+)
+"""
+
+
+@query("dedup_incoming_flag", oracle=_INCOMING_ORACLE)
+def dedup_incoming_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which incoming documents (source='src0', standing in for an
+    arriving stream micro-batch) are near-dup candidates of the held
+    corpus (every other source)? Map-side MinHash signing of the
+    incoming slice + band-bucket join against the corpus band index,
+    n_bands = how many bands agree (confidence). This is the
+    stream-ingest dedup gate as a batch-checkable query; the streaming
+    form (stateless projection + stream-static join, identical band
+    keys) is neardup_candidates_stream, equivalence-tested in pytest."""
+    from hadoop_common_spark.operators.dedup import (
+        lsh_band_keys,
+        minhash_signature,
+        minhash_signature_mapside,
+    )
+
+    docs = spark.table("documents")
+    incoming = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    bk_in = lsh_band_keys(
+        minhash_signature_mapside(incoming, "doc_id", "text"), "doc_id", BANDS, ROWS
+    ).withColumnRenamed("doc_id", "stream_id")
+    bk_corp = lsh_band_keys(
+        minhash_signature(corpus, "doc_id", "text"), "doc_id", BANDS, ROWS
+    ).withColumnRenamed("doc_id", "corpus_id")
+    return (
+        bk_in.join(bk_corp, ["band", "band_key"])
+        .groupBy("stream_id", "corpus_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands"))
+    )

@@ -249,3 +249,43 @@ def enrich_stream_static(events: DataFrame, dim: DataFrame, on: str) -> DataFram
     DistributedCache map-side join. No watermark needed: a static side
     can never be late."""
     return events.join(F.broadcast(dim), on, "left")
+
+
+def neardup_candidates_stream(
+    docs: DataFrame,
+    corpus_band_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Streaming near-duplicate candidate flagging: arriving documents
+    are MinHash-signed MAP-SIDE (minhash_signature_mapside — stateless,
+    no shuffle, identical band keys to the batch pipeline), exploded
+    into band keys, and stream-static joined against a precomputed
+    corpus band index (``lsh_band_keys`` over the historical corpus).
+    The streaming face of the dedup tier: "is this incoming document a
+    near-dup of anything we already hold?" answered per micro-batch
+    without stateful aggregation — the only state is the static index,
+    refreshed between batches like any stream-static dim.
+
+    Output: one row PER MATCHING BAND (stream_id, band, band_key,
+    corpus_id) — multiplicity = how many bands agree (a useful
+    confidence signal); consumers wanting one row per (stream, corpus)
+    pair distinct per micro-batch in their sink, where the volume is
+    bounded by the batch, not the stream history. Exact-cosine/Jaccard
+    verification stays a batch concern downstream."""
+    from hadoop_common_spark.operators.dedup import (
+        lsh_band_keys,
+        minhash_signature_mapside,
+    )
+
+    rows = num_hashes // bands
+    sig = minhash_signature_mapside(docs, id_col, text_col, num_hashes)
+    bk = lsh_band_keys(sig, id_col, bands, rows).withColumnRenamed(
+        id_col, "stream_id"
+    )
+    idx = corpus_band_index.withColumnRenamed(id_col, "corpus_id")
+    return bk.join(idx, ["band", "band_key"]).filter(
+        F.col("stream_id") != F.col("corpus_id")
+    )

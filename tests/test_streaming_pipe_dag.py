@@ -434,3 +434,58 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir):
         for r in ev.join(dim, "event_type", "left").groupBy("weight").count().collect()
     }
     assert got == want and len(got) >= 3
+
+
+def test_mapside_minhash_signature_equals_groupby_form(spark, sf_dir):
+    """minhash_signature_mapside must produce IDENTICAL h0..h15 to the
+    explode+groupBy form — the band keys of the streaming path and the
+    batch corpus index only join correctly if the signatures agree
+    bit-for-bit."""
+    from hadoop_common_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signature_mapside,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    a = {tuple(r) for r in minhash_signature(docs, "doc_id", "text").collect()}
+    b = {tuple(r) for r in minhash_signature_mapside(docs, "doc_id", "text").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_streaming_neardup_candidates_match_batch(spark, sf_dir, tmp_path):
+    """neardup_candidates_stream over a document stream equals the same
+    pipeline applied in batch: stateless map-side signing + stream-static
+    band-index join, drained with availableNow (append mode — no
+    aggregation state anywhere)."""
+    from hadoop_common_spark.operators.dedup import lsh_band_keys, minhash_signature
+    from hadoop_common_spark.streaming.jobs import neardup_candidates_stream
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index = lsh_band_keys(
+        minhash_signature(corpus, "doc_id", "text"), "doc_id", 4, 4
+    ).localCheckpoint(eager=True)
+
+    batch_schema = corpus.schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = neardup_candidates_stream(stream, index)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_neardup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_neardup").collect()
+    got = {tuple(r) for r in rows}
+
+    twin = {tuple(r) for r in neardup_candidates_stream(corpus, index).collect()}
+    assert got == twin
+    # self-matches are excluded; the synthetic corpus has real near-dups
+    assert len(got) > 0
+    assert all(r["stream_id"] != r["corpus_id"] for r in rows)
