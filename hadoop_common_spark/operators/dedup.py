@@ -355,6 +355,7 @@ def ngram_jaccard_pairs(
     block_col: str,
     shingle_n: int = 3,
     threshold: float = 0.1,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """N-gram Jaccard pairs within a blocking column (lang, source,
     length band...), as a **sparse similarity join**: explode distinct
@@ -366,8 +367,18 @@ def ngram_jaccard_pairs(
     scales: the all-pairs cross join computes |block|²/2 array
     intersections (measured 8× slower at sf0.1 and quadratic-blowup-dead
     at 100 TB), while this shuffles each shingle once and fans out only
-    where documents actually overlap. Hot shingles (stopword grams) are
-    the skew knob: raise shingle_n or drop top-frequency grams."""
+    where documents actually overlap.
+
+    Hot shingles (stopword grams) are the skew knob: a gram shared by
+    d documents fans out d²/2 rows in the self-join. ``max_shingle_df``
+    implements the frequency cap: grams whose per-block document
+    frequency exceeds it are excluded from CANDIDATE DISCOVERY only —
+    surviving pairs are then re-verified with an exact array
+    intersection over the FULL shingle sets, so every emitted jaccard is
+    exact; the only loss is pairs whose shared shingles are ALL hot
+    (high union, hot-only overlap — far below any practical threshold).
+    Join fan-out becomes bounded by max_shingle_df²/2 per gram
+    regardless of corpus size. None (default) = exact single-pass form."""
     # Doc-level shingle arrays materialized ONCE (localCheckpoint): the
     # shingling pass would otherwise run 3× (two join sides + the sizes
     # branch), and set sizes become a zero-shuffle F.size map instead of
@@ -379,6 +390,38 @@ def ngram_jaccard_pairs(
         word_shingles(text_col, shingle_n).alias("_shs"),
     ).localCheckpoint(eager=False)
     sh = docsh.select("_blk", id_col, F.explode("_shs").alias("_sh"))
+
+    if max_shingle_df is not None:
+        # candidate discovery over COLD shingles only (one extra agg on
+        # the exploded frame — map-side combined, same shuffle key)
+        cold = (
+            sh.groupBy("_blk", "_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("_blk", "_sh")
+        )
+        sh_cold = sh.join(cold, ["_blk", "_sh"])
+        a = sh_cold.select(F.col("_blk"), F.col(id_col).alias("id_a"), "_sh")
+        b = sh_cold.select(F.col("_blk"), F.col(id_col).alias("id_b"), "_sh")
+        cand = (
+            a.join(b, ["_blk", "_sh"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # exact verify over the full sets: capped discovery, uncapped score
+        xa = docsh.select(F.col(id_col).alias("id_a"), F.col("_shs").alias("_sa"))
+        xb = docsh.select(F.col(id_col).alias("id_b"), F.col("_shs").alias("_sb"))
+        inter_sz = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+        union_sz = (F.size("_sa") + F.size("_sb")).cast("double") - inter_sz
+        return (
+            cand.join(xa, "id_a")
+            .join(xb, "id_b")
+            .withColumn("jaccard", inter_sz / union_sz)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
     sizes = docsh.select(F.col(id_col), F.size("_shs").alias("_n"))
     a = sh.select(F.col("_blk"), F.col(id_col).alias("id_a"), "_sh")
     b = sh.select(F.col("_blk"), F.col(id_col).alias("id_b"), "_sh")

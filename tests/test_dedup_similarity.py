@@ -750,3 +750,43 @@ def test_blocked_cc_equals_generic_cc(spark):
     }
     assert blocked == generic
     assert (20, 20) in blocked and (21, 20) in blocked
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """max_shingle_df: capped discovery, uncapped (exact) scores. A gram
+    shared by every doc is excluded from candidate generation, so a pair
+    whose ONLY overlap is the hot gram disappears — but genuine near-dups
+    still surface through their cold shared shingles, with jaccard
+    computed over the FULL sets, identical to the uncapped value."""
+    hot = "the end of line"  # 4 words -> two 3-gram shingles, in every doc
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon " + hot),
+            (1, "alpha beta gamma delta zeta " + hot),   # near-dup of 0
+            (2, "one two three four five " + hot),        # hot-only overlap
+        ],
+        ["doc_id", "text"],
+    ).withColumn("blk", F.lit("all"))
+
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", "blk", threshold=0.01).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", "blk", threshold=0.01, max_shingle_df=2
+        ).collect()
+    }
+    # near-dup pair survives the cap with the EXACT uncapped score
+    assert (0, 1) in capped and capped[(0, 1)] == uncapped[(0, 1)]
+    # hot-only pairs existed uncapped but drop out of capped discovery
+    assert (0, 2) in uncapped and (0, 2) not in capped
+    # a cap no gram exceeds reproduces the uncapped result exactly
+    wide = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", "blk", threshold=0.01, max_shingle_df=10**6
+        ).collect()
+    }
+    assert wide == uncapped
