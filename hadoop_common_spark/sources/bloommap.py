@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 TEXT = "org.apache.hadoop.io.Text"
 LONG_WRITABLE = "org.apache.hadoop.io.LongWritable"
+NULL_WRITABLE = "org.apache.hadoop.io.NullWritable"
 HASH_COUNT = 5  # BloomMapFile.java:52
 MURMUR_HASH = 1  # util/hash/Hash.java:36 (the conf default)
 JENKINS_HASH = 0
@@ -476,7 +477,9 @@ class BloomMapReader:
                 continue
             key_len = struct.unpack(">i", inp.read(4))[0]
             k = text_deser(inp.read(key_len))
-            v = text_deser(inp.read(rec_len - key_len))
+            vb = inp.read(rec_len - key_len)
+            # zero-length value = NullWritable (SetFile members)
+            v = text_deser(vb) if vb else ""
             yield k, v, inp.tell()
 
     def get(self, key: str) -> str | None:
@@ -496,6 +499,124 @@ class BloomMapReader:
     def items(self) -> Iterator[tuple[str, str]]:
         for k, v, _ in self._scan_from(self._hdr.body_start):
             yield k, v
+
+
+# ---- ArrayFile / SetFile (the remaining MapFile specializations) ----------
+#
+# ArrayFile (HC/io/ArrayFile.java): a MapFile whose key is an
+# auto-incremented LongWritable — a persistent array with positional get.
+# SetFile (HC/io/SetFile.java): a MapFile with NullWritable values — a
+# persistent sorted set with membership seek. Both reuse the exact MapFile
+# directory layout (data + block-compressed-or-not index), so the bridges
+# below are the Writable-type specializations of the machinery above.
+
+
+def write_array_file(
+    dir_path: str, values: Iterable[str], index_interval: int = 128
+) -> int:
+    """Write an ArrayFile directory (LongWritable→Text) the JVM's
+    ArrayFile.Reader accepts; returns the element count."""
+    os.makedirs(dir_path, exist_ok=True)
+    data = _SeqWriter(os.path.join(dir_path, "data"), LONG_WRITABLE, TEXT)
+    index = _SeqWriter(os.path.join(dir_path, "index"), LONG_WRITABLE, LONG_WRITABLE)
+    n = 0
+    last_index_pos = -1
+    last_index_count = None
+    for v in values:
+        kser = struct.pack(">q", n)
+        pos = data.tell()
+        if (last_index_count is None or n >= last_index_count + index_interval) \
+                and pos > last_index_pos:
+            index.append(kser, struct.pack(">q", pos))
+            last_index_pos, last_index_count = pos, n
+        data.append(kser, text_ser(v))
+        n += 1
+    data.close()
+    index.close()
+    return n
+
+
+def read_array_file(path: str) -> list[str]:
+    """Full ordered read of an ArrayFile directory; validates the
+    0..n-1 LongWritable key sequence ArrayFile.Writer guarantees."""
+    _, _, recs = read_seqfile_raw(os.path.join(path, "data"))
+    out = []
+    for i, (k, v) in enumerate(recs):
+        if struct.unpack(">q", k)[0] != i:
+            raise ValueError(f"ArrayFile key {struct.unpack('>q', k)[0]} != position {i}")
+        out.append(text_deser(v))
+    return out
+
+
+def array_file_get(path: str, n: int) -> str | None:
+    """Positional get: index bisect + one bounded scan from the nearest
+    indexed position (the Reader.get(n) analog)."""
+    _, _, idx = read_seqfile_raw(os.path.join(path, "index"))
+    keys = [struct.unpack(">q", k)[0] for k, _ in idx]
+    poss = [struct.unpack(">q", v)[0] for _, v in idx]
+    i = bisect_right(keys, n) - 1
+    if i < 0:
+        return None
+    with open(os.path.join(path, "data"), "rb") as f:
+        blob = f.read()
+    inp = io.BytesIO(blob)
+    inp.seek(poss[i])
+    while inp.tell() < len(blob):
+        rec_len = struct.unpack(">i", inp.read(4))[0]
+        if rec_len == -1:
+            inp.read(16)
+            continue
+        key_len = struct.unpack(">i", inp.read(4))[0]
+        k = struct.unpack(">q", inp.read(key_len))[0]
+        vb = inp.read(rec_len - key_len)
+        if k == n:
+            return text_deser(vb)
+        if k > n:
+            return None
+    return None
+
+
+def write_set_file(
+    dir_path: str, keys: Iterable[str], index_interval: int = 128
+) -> int:
+    """Write a SetFile directory (sorted Text keys, NullWritable values)
+    the JVM's SetFile.Reader accepts; enforces strict key order like
+    SetFile.Writer.append."""
+    os.makedirs(dir_path, exist_ok=True)
+    data = _SeqWriter(os.path.join(dir_path, "data"), TEXT, NULL_WRITABLE)
+    index = _SeqWriter(os.path.join(dir_path, "index"), TEXT, LONG_WRITABLE)
+    n = 0
+    last_index_pos = -1
+    last_index_count = None
+    prev: bytes | None = None
+    for k in keys:
+        kb = k.encode("utf-8")
+        if prev is not None and kb <= prev:
+            raise ValueError(f"set key out of order: {k!r} after {prev.decode()!r}")
+        prev = kb
+        kser = text_ser(k)
+        pos = data.tell()
+        if (last_index_count is None or n >= last_index_count + index_interval) \
+                and pos > last_index_pos:
+            index.append(kser, struct.pack(">q", pos))
+            last_index_pos, last_index_count = pos, n
+        data.append(kser, b"")  # NullWritable serializes to zero bytes
+        n += 1
+    data.close()
+    index.close()
+    return n
+
+
+def read_set_file(path: str) -> list[str]:
+    """Ordered members of a SetFile directory."""
+    _, _, recs = read_seqfile_raw(os.path.join(path, "data"))
+    return [text_deser(k) for k, _ in recs]
+
+
+def set_file_contains(path: str, key: str) -> bool:
+    """Membership probe via the MapFile index machinery (no bloom file —
+    a SetFile is a plain MapFile underneath)."""
+    return BloomMapReader(path).get(key) is not None
 
 
 def is_bloom_map_dir(path: str) -> bool:

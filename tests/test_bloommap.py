@@ -196,3 +196,110 @@ def test_cli_bloommap_get_and_dump(tmp_path, capsys):
     assert capsys.readouterr().out.strip() == "2"
     assert main(["bloommap", d, "--get", "nope"]) == 1
     assert capsys.readouterr().out.strip() == "(not found)"
+
+
+def test_array_file_python_roundtrip_and_get(tmp_path):
+    vals = [f"value-{i}" for i in range(500)]
+    d = str(tmp_path / "af")
+    from hadoop_common_spark.sources.bloommap import (
+        array_file_get,
+        read_array_file,
+        write_array_file,
+    )
+
+    assert write_array_file(d, vals, index_interval=64) == 500
+    assert read_array_file(d) == vals
+    for n in (0, 63, 64, 250, 499):
+        assert array_file_get(d, n) == f"value-{n}"
+    assert array_file_get(d, 500) is None
+
+
+def test_array_file_jvm_parity_both_directions(spark, tmp_path):
+    """ArrayFile: our dir reads through ArrayFile.Reader (positional get
+    + sequential next), and a JVM-written dir reads through our parser."""
+    from hadoop_common_spark.sources.bloommap import (
+        read_array_file,
+        write_array_file,
+    )
+
+    jvm = spark._jvm
+    conf = jvm.org.apache.hadoop.conf.Configuration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    vals = [f"av{i:04d}" for i in range(300)]
+
+    # ours -> JVM
+    d1 = str(tmp_path / "py_af")
+    write_array_file(d1, vals)
+    jr = jvm.org.apache.hadoop.io.ArrayFile.Reader(fs, d1, conf)
+    t = jvm.org.apache.hadoop.io.Text()
+    assert jr.get(137, t) is not None and t.toString() == "av0137"
+    # seek(n) consumes the matched entry (MapFile getClosest semantics):
+    # next() after seek(137) yields element 138
+    jr.seek(137)
+    assert jr.next(jvm.org.apache.hadoop.io.LongWritable(), t) and t.toString() == "av0138"
+    out, k = [], jvm.org.apache.hadoop.io.LongWritable()
+    jr.reset()  # back before the first entry for the full walk
+    while jr.next(k, t):
+        out.append(t.toString())
+    assert out == vals
+    jr.close()
+
+    # JVM -> ours
+    d2 = str(tmp_path / "jvm_af")
+    Text = jvm.java.lang.Class.forName("org.apache.hadoop.io.Text")
+    none = jvm.org.apache.hadoop.io.SequenceFile.CompressionType.valueOf("NONE")
+    w = jvm.org.apache.hadoop.io.ArrayFile.Writer(conf, fs, d2, Text, none, None)
+    for v in vals:
+        w.append(jvm.org.apache.hadoop.io.Text(v))
+    w.close()
+    assert read_array_file(d2) == vals
+
+
+def test_set_file_python_roundtrip_and_contains(tmp_path):
+    from hadoop_common_spark.sources.bloommap import (
+        read_set_file,
+        set_file_contains,
+        write_set_file,
+    )
+
+    keys = sorted({f"k{i:05d}" for i in range(0, 4000, 3)})
+    d = str(tmp_path / "sf")
+    assert write_set_file(d, keys, index_interval=100) == len(keys)
+    assert read_set_file(d) == keys
+    assert set_file_contains(d, "k00003") and set_file_contains(d, keys[-1])
+    assert not set_file_contains(d, "k00001") and not set_file_contains(d, "zzz")
+    with pytest.raises(ValueError, match="out of order"):
+        write_set_file(str(tmp_path / "bad"), ["b", "a"])
+
+
+def test_set_file_jvm_parity_both_directions(spark, tmp_path):
+    from hadoop_common_spark.sources.bloommap import read_set_file, write_set_file
+
+    jvm = spark._jvm
+    conf = jvm.org.apache.hadoop.conf.Configuration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    keys = [f"m{i:04d}" for i in range(0, 600, 2)]
+
+    # ours -> JVM: membership seek + full iteration
+    d1 = str(tmp_path / "py_sf")
+    write_set_file(d1, keys)
+    jr = jvm.org.apache.hadoop.io.SetFile.Reader(fs, d1, conf)
+    assert jr.seek(jvm.org.apache.hadoop.io.Text("m0100"))
+    assert not jr.seek(jvm.org.apache.hadoop.io.Text("m0101"))
+    out, t = [], jvm.org.apache.hadoop.io.Text()
+    jr.close()
+    jr = jvm.org.apache.hadoop.io.SetFile.Reader(fs, d1, conf)
+    while jr.next(t):
+        out.append(t.toString())
+    assert out == keys
+    jr.close()
+
+    # JVM -> ours
+    d2 = str(tmp_path / "jvm_sf")
+    Text = jvm.java.lang.Class.forName("org.apache.hadoop.io.Text")
+    none = jvm.org.apache.hadoop.io.SequenceFile.CompressionType.valueOf("NONE")
+    w = jvm.org.apache.hadoop.io.SetFile.Writer(conf, fs, d2, Text, none)
+    for kx in keys:
+        w.append(jvm.org.apache.hadoop.io.Text(kx))
+    w.close()
+    assert read_set_file(d2) == keys
