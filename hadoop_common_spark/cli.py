@@ -44,6 +44,10 @@ def main(argv: list[str] | None = None) -> int:
     tfp.add_argument("path", help="TFile file or directory")
     tfp.add_argument("--output", help="convert to parquet here instead of dumping")
     tfp.add_argument("--show", type=int, default=20, help="records to dump (default 20)")
+    har = sub.add_parser("har", help="list/extract Hadoop Archives (har analog)")
+    har.add_argument("path", help=".har directory")
+    har.add_argument("--cat", help="print one archived file's bytes to stdout")
+    har.add_argument("--output", help="convert to parquet(path, content) here")
     bmf = sub.add_parser(
         "bloommap", help="scan/convert/probe BloomMapFile directories"
     )
@@ -63,6 +67,27 @@ def main(argv: list[str] | None = None) -> int:
             print(f"wrote {args.output}")
         else:
             df.show(args.show, truncate=False)
+        return 0
+
+    if args.cmd == "har":
+        if args.cat is not None:
+            from hadoop_common_spark.sources.har import har_open
+
+            sys.stdout.buffer.write(har_open(args.path, args.cat))
+            return 0
+        if args.output:
+            from hadoop_common_spark.session import get_spark
+            from hadoop_common_spark.sources.har import read_har_df
+
+            read_har_df(get_spark("cli-har"), args.path).write.mode(
+                "overwrite"
+            ).parquet(args.output)
+            print(f"wrote {args.output}")
+            return 0
+        from hadoop_common_spark.sources.har import har_list
+
+        for p in har_list(args.path):
+            print(p)
         return 0
 
     if args.cmd == "bloommap":

@@ -163,6 +163,14 @@ def read_auto(spark: SparkSession, path: str, **options: str) -> DataFrame:
     local = _distcp_local_path(path)
     if is_bloom_map_dir(local):
         return read_bloom_map(spark, local)
+    import os as _os
+
+    if _os.path.isdir(local) and all(
+        _os.path.exists(_os.path.join(local, n)) for n in ("_index", "_masterindex")
+    ):  # Hadoop Archive directory
+        from hadoop_common_spark.sources.har import read_har_df
+
+        return read_har_df(spark, local)
     first = (
         spark.read.format("binaryFile")
         .load(path)
