@@ -191,6 +191,80 @@ class DynamicBloom:
         return f
 
 
+class CountingBloom:
+    """CountingBloomFilter (util/bloom/CountingBloomFilter.java): 4-bit
+    saturating counters, 16 per 64-bit word — supports delete() unlike
+    the plain filter. Wire form = Filter header + big-endian longs
+    (write/readFields, CountingBloomFilter.java:220-236); bucket i lives
+    in word i>>4 at nibble shift (i & 15) * 4."""
+
+    BUCKET_MAX = 15
+
+    def __init__(self, vector_size: int, nb_hash: int = HASH_COUNT,
+                 hash_type: int = MURMUR_HASH):
+        self.vector_size = vector_size
+        self.nb_hash = nb_hash
+        self.hash_type = hash_type
+        self.words = [0] * ((vector_size + 15) // 16)
+
+    def _buckets(self, key_bytes: bytes):
+        for p in bloom_positions(key_bytes, self.nb_hash, self.vector_size,
+                                 self.hash_type):
+            yield p >> 4, (p & 0x0F) << 2
+
+    def add(self, key_bytes: bytes) -> None:
+        for w, shift in self._buckets(key_bytes):
+            v = (self.words[w] >> shift) & 0xF
+            if v < self.BUCKET_MAX:  # saturate, never wrap
+                self.words[w] = (self.words[w] & ~(0xF << shift)) | ((v + 1) << shift)
+
+    def delete(self, key_bytes: bytes) -> None:
+        """Decrement buckets; like the reference, a saturated (15)
+        bucket is sticky — it can no longer be safely decremented."""
+        for w, shift in self._buckets(key_bytes):
+            v = (self.words[w] >> shift) & 0xF
+            if 1 <= v < self.BUCKET_MAX:
+                self.words[w] = (self.words[w] & ~(0xF << shift)) | ((v - 1) << shift)
+
+    def might_contain(self, key_bytes: bytes) -> bool:
+        return all(((self.words[w] >> s) & 0xF) != 0 for w, s in self._buckets(key_bytes))
+
+    def approximate_count(self, key_bytes: bytes) -> int:
+        """Minimum bucket value over the key's probes
+        (CountingBloomFilter.approximateCount)."""
+        vals = [(self.words[w] >> s) & 0xF for w, s in self._buckets(key_bytes)]
+        return min(vals) if vals else 0
+
+    def to_bytes(self) -> bytes:
+        out = io.BytesIO()
+        out.write(struct.pack(">ii", -1, self.nb_hash))
+        out.write(struct.pack(">b", self.hash_type))
+        out.write(struct.pack(">i", self.vector_size))
+        for w in self.words:
+            out.write(struct.pack(">q", w - _I64 if w >= 1 << 63 else w))
+        return out.getvalue()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "CountingBloom":
+        inp = io.BytesIO(blob)
+        ver, nb_hash = struct.unpack(">ii", inp.read(8))
+        if ver != -1:
+            raise ValueError(f"unsupported filter version {ver}")
+        hash_type = struct.unpack(">b", inp.read(1))[0]
+        vector_size = struct.unpack(">i", inp.read(4))[0]
+        f = cls(vector_size, nb_hash, hash_type)
+        f.words = [
+            struct.unpack(">q", inp.read(8))[0] & 0xFFFFFFFFFFFFFFFF
+            for _ in range(len(f.words))
+        ]
+        if inp.read(1):
+            raise ValueError("trailing bytes after counting bloom filter")
+        return f
+
+
+_I64 = 1 << 64
+
+
 def bloom_vector_size(num_keys: int, error_rate: float = 0.005,
                       k: int = HASH_COUNT) -> int:
     """BloomMapFile.initBloomFilter's sizing (BloomMapFile.java:162-172).

@@ -303,3 +303,67 @@ def test_set_file_jvm_parity_both_directions(spark, tmp_path):
         w.append(jvm.org.apache.hadoop.io.Text(kx))
     w.close()
     assert read_set_file(d2) == keys
+
+
+def test_counting_bloom_semantics():
+    from hadoop_common_spark.sources.bloommap import CountingBloom
+
+    f = CountingBloom(1000)
+    k1, k2 = text_ser("alpha"), text_ser("beta")
+    assert not f.might_contain(k1)
+    f.add(k1)
+    f.add(k1)
+    f.add(k2)
+    assert f.might_contain(k1) and f.might_contain(k2)
+    assert f.approximate_count(k1) >= 2
+    f.delete(k1)
+    assert f.might_contain(k1)  # still one insertion left
+    f.delete(k1)
+    assert not f.might_contain(k1)  # fully removed
+    assert f.might_contain(k2)  # unaffected (independent probes at this size)
+    g = CountingBloom.from_bytes(f.to_bytes())
+    assert g.words == f.words and g.vector_size == f.vector_size
+
+
+def test_counting_bloom_jvm_wire_parity(spark):
+    """Byte parity both directions with util.bloom.CountingBloomFilter
+    via DataOutputBuffer/DataInputBuffer, plus decision parity on
+    membership and approximateCount after interleaved add/delete."""
+    from hadoop_common_spark.sources.bloommap import CountingBloom
+
+    jvm = spark._jvm
+    J = jvm.org.apache.hadoop.util.bloom
+    jf = J.CountingBloomFilter(2000, 5, 1)  # murmur
+    pf = CountingBloom(2000, 5, 1)
+    keys = [f"key{i}" for i in range(40)]
+    for i, k in enumerate(keys):
+        kb = text_ser(k)
+        jk = J.Key(bytearray(kb))
+        jf.add(jk)
+        pf.add(kb)
+        if i % 3 == 0:
+            jf.delete(jk)
+            pf.delete(kb)
+
+    # serialized bytes identical
+    buf = jvm.org.apache.hadoop.io.DataOutputBuffer()
+    jf.write(buf)
+    jbytes = bytes(buf.getData())[: buf.getLength()]
+    assert jbytes == pf.to_bytes()
+
+    # decisions identical, both on live filters and on our parse of theirs
+    rf = CountingBloom.from_bytes(jbytes)
+    for k in keys + ["absent1", "absent2"]:
+        kb = text_ser(k)
+        jk = J.Key(bytearray(kb))
+        assert jf.membershipTest(jk) == pf.might_contain(kb) == rf.might_contain(kb), k
+        assert jf.approximateCount(jk) == pf.approximate_count(kb), k
+
+    # and the JVM can read OUR bytes
+    din = jvm.org.apache.hadoop.io.DataInputBuffer()
+    pb = pf.to_bytes()
+    din.reset(bytearray(pb), len(pb))
+    jf2 = J.CountingBloomFilter()
+    jf2.readFields(din)
+    for k in keys:
+        assert jf2.membershipTest(J.Key(bytearray(text_ser(k)))) == pf.might_contain(text_ser(k))
