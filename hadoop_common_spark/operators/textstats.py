@@ -151,43 +151,49 @@ def repetition_stats(
     2-gram (high -> boilerplate/spam; the published data-quality rules
     threshold exactly these).
 
-    Shape: 2-grams WITH multiplicity (zip_with of two shifted slices —
-    one split per row), explode -> count per (doc, gram) -> max/sum per
-    doc. Token stats ride through the explode as two ints and come back
-    via ``any_value`` — no second pass over the text and no doc-level
-    join. Empty tokens (leading/trailing whitespace artifacts of the
-    regex split) are filtered, so whitespace-only docs — like docs with
-    <2 real tokens — have no 2-grams and are excluded (both engines
-    agree). Two hash-partitioned shuffles keyed by (doc, gram) then doc
-    — no skew (gram keys are per-doc unique-ish), linear at any corpus
-    size."""
+    Shape (r5): ENTIRELY MAP-SIDE — zero shuffles. The max 2-gram
+    multiplicity equals the longest run of equal elements in the SORTED
+    gram array, so one ``array_sort`` + one ``aggregate`` fold per row
+    replaces the previous explode → count-per-(doc, gram) → max-per-doc
+    chain (two hash shuffles, ~100 exploded rows per doc). Integer run
+    counting over the same grams — bit-identical results, and the
+    operator now scales as a pure projection: no shuffle exists to skew
+    or spill at any corpus size (per-row cost O(g log g), g = token
+    count). Empty tokens (whitespace split artifacts) are filtered, so
+    whitespace-only docs — like docs with <2 real tokens — have no
+    2-grams and are excluded (both engines agree)."""
     toks = F.array_remove(F.split(F.col(text_col), TOKEN_RE), "")
     m = F.greatest(F.size(toks) - 1, F.lit(0))
     grams = F.zip_with(
         F.slice(toks, 1, m), F.slice(toks, 2, m), lambda x, y: F.concat_ws(" ", x, y)
     )
-    exploded = df.select(
+    # longest equal-run in the sorted array == max multiplicity; the ""
+    # sentinel can never equal a real gram (grams always contain a space)
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            g.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    max_mult = F.aggregate(F.array_sort(grams), zero, step, lambda acc: acc["best"])
+    out = df.select(
         F.col(id_col),
-        F.size(toks).alias("_n_tok"),
-        F.size(F.array_distinct(toks)).alias("_n_dist"),
-        F.explode(grams).alias("_g"),
-    )
-    per_gram = exploded.groupBy(id_col, "_g").agg(
-        F.count(F.lit(1)).alias("_c"),
-        F.any_value(F.col("_n_tok")).alias("_n_tok"),
-        F.any_value(F.col("_n_dist")).alias("_n_dist"),
-    )
-    return per_gram.groupBy(id_col).agg(
         # bigint: match the DuckDB oracle's len() type exactly
-        F.any_value(F.col("_n_tok")).cast("bigint").alias("n_tok"),
+        F.size(toks).cast("bigint").alias("n_tok"),
         (
-            F.any_value(F.col("_n_dist")).cast("double")
-            / F.any_value(F.col("_n_tok")).cast("double")
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
         ).alias("distinct_ratio"),
-        (F.max("_c").cast("double") / F.sum("_c").cast("double")).alias(
+        (max_mult.cast("double") / F.size(grams).cast("double")).alias(
             "top_2gram_frac"
         ),
+        F.size(grams).alias("_ng"),
     )
+    return out.filter(F.col("_ng") > 0).drop("_ng")
 
 
 def tf_df_topk(
