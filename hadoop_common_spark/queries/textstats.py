@@ -795,3 +795,108 @@ def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+_GOPHER_ORACLE = r"""
+SELECT doc_id, word_count_ok, mean_word_len_ok, hash_ratio_ok,
+       ellipsis_ratio_ok, stopword_ok, alpha_word_ok, distinct_ratio_ok,
+       (word_count_ok AND mean_word_len_ok AND hash_ratio_ok
+        AND ellipsis_ratio_ok AND stopword_ok AND alpha_word_ok
+        AND distinct_ratio_ok) AS keep
+FROM (
+  SELECT doc_id,
+         n_tok BETWEEN 50 AND 100000 AS word_count_ok,
+         n_tok > 0 AND (CAST(sum_tok_chars AS DOUBLE) / n_tok) BETWEEN 3.0 AND 10.0
+           AS mean_word_len_ok,
+         n_tok > 0 AND (CAST(n_hash AS DOUBLE) / n_tok) < 0.1 AS hash_ratio_ok,
+         n_tok > 0 AND (CAST(n_ellipsis AS DOUBLE) / n_tok) < 0.3
+           AS ellipsis_ratio_ok,
+         n_stop >= 2 AS stopword_ok,
+         n_tok > 0 AND (CAST(n_alpha_tok AS DOUBLE) / n_tok) >= 0.8
+           AS alpha_word_ok,
+         n_tok > 0 AND (CAST(n_dist AS DOUBLE) / n_tok) > 0.2
+           AS distinct_ratio_ok
+  FROM (
+    SELECT doc_id,
+           len(toks) AS n_tok,
+           len(list_distinct(toks)) AS n_dist,
+           CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                AS BIGINT) AS sum_tok_chars,
+           length(text) - length(replace(text, '#', '')) AS n_hash,
+           (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis,
+           len(list_filter(toks, t -> list_contains(
+               ['the','be','to','of','and','that','have','with'], lower(t))))
+             AS n_stop,
+           len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+             AS n_alpha_tok
+    FROM (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(text), '\s+') END AS toks
+      FROM documents
+    )
+  )
+)
+"""
+
+
+@query("corpus_gopher_filter", oracle=_GOPHER_ORACLE)
+def corpus_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher data-quality rule set as ONE scan-speed
+    projection — per-document rule booleans plus the conjunction `keep`:
+    word-count band (50..100k), mean word length band (3..10), '#' and
+    '...' symbol ratios, >=2 canonical stopwords, >=80% alphabetic
+    words, distinct-token ratio > 0.2. Every rule is a built-in
+    expression over one scan (zero shuffles, zero UDFs); at 100 TB this
+    runs at I/O speed, which is the entire point of rule-based quality
+    filtering before any model-based scoring."""
+    toks = F.when(
+        F.trim(F.col("text")) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    base = spark.table("documents").select(
+        "doc_id",
+        F.col("text"),
+        toks.alias("toks"),
+    )
+    n_tok = F.size("toks")
+    sum_chars = F.coalesce(
+        F.aggregate(
+            F.transform(F.col("toks"), lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    stop = F.array(*[F.lit(s) for s in
+                     ["the", "be", "to", "of", "and", "that", "have", "with"]])
+    n_stop = F.size(F.filter(F.col("toks"), lambda t: F.array_contains(stop, F.lower(t))))
+    n_alpha = F.size(F.filter(F.col("toks"), lambda t: t.rlike("[A-Za-z]")))
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    flags = base.select(
+        "doc_id",
+        n_tok.between(50, 100000).alias("word_count_ok"),
+        ((n_tok > 0) & (sum_chars.cast("double") / n_tok).between(3.0, 10.0)).alias(
+            "mean_word_len_ok"
+        ),
+        ((n_tok > 0) & (n_hash.cast("double") / n_tok < 0.1)).alias("hash_ratio_ok"),
+        ((n_tok > 0) & (n_ell.cast("double") / n_tok < 0.3)).alias("ellipsis_ratio_ok"),
+        (n_stop >= 2).alias("stopword_ok"),
+        ((n_tok > 0) & (n_alpha.cast("double") / n_tok >= 0.8)).alias("alpha_word_ok"),
+        (
+            (n_tok > 0)
+            & (F.size(F.array_distinct("toks")).cast("double") / n_tok > 0.2)
+        ).alias("distinct_ratio_ok"),
+    )
+    keep = (
+        F.col("word_count_ok")
+        & F.col("mean_word_len_ok")
+        & F.col("hash_ratio_ok")
+        & F.col("ellipsis_ratio_ok")
+        & F.col("stopword_ok")
+        & F.col("alpha_word_ok")
+        & F.col("distinct_ratio_ok")
+    )
+    return flags.withColumn("keep", keep)
