@@ -90,21 +90,71 @@ def murmur_hash(data: bytes, seed: int) -> int:
     return h - _I32 if h >= 1 << 31 else h
 
 
+def _rot(v: int, n: int) -> int:
+    return ((v << n) | (v >> (32 - n))) & 0xFFFFFFFF
+
+
+def jenkins_hash(data: bytes, seed: int) -> int:
+    """Hadoop JenkinsHash (util/hash/JenkinsHash.java — Bob Jenkins'
+    lookup3 hashlittle) with int32 wraparound, returned SIGNED — the
+    legacy ``hadoop.util.hash.type=jenkins`` configuration's hash."""
+    length = len(data)
+    a = b = c = (0xDEADBEEF + length + (seed & 0xFFFFFFFF)) & 0xFFFFFFFF
+    off = 0
+    while length > 12:
+        a = (a + data[off] + (data[off + 1] << 8) + (data[off + 2] << 16)
+             + (data[off + 3] << 24)) & 0xFFFFFFFF
+        b = (b + data[off + 4] + (data[off + 5] << 8) + (data[off + 6] << 16)
+             + (data[off + 7] << 24)) & 0xFFFFFFFF
+        c = (c + data[off + 8] + (data[off + 9] << 8) + (data[off + 10] << 16)
+             + (data[off + 11] << 24)) & 0xFFFFFFFF
+        a = (a - c) & 0xFFFFFFFF; a ^= _rot(c, 4); c = (c + b) & 0xFFFFFFFF
+        b = (b - a) & 0xFFFFFFFF; b ^= _rot(a, 6); a = (a + c) & 0xFFFFFFFF
+        c = (c - b) & 0xFFFFFFFF; c ^= _rot(b, 8); b = (b + a) & 0xFFFFFFFF
+        a = (a - c) & 0xFFFFFFFF; a ^= _rot(c, 16); c = (c + b) & 0xFFFFFFFF
+        b = (b - a) & 0xFFFFFFFF; b ^= _rot(a, 19); a = (a + c) & 0xFFFFFFFF
+        c = (c - b) & 0xFFFFFFFF; c ^= _rot(b, 4); b = (b + a) & 0xFFFFFFFF
+        off += 12
+        length -= 12
+    if length == 0:
+        return c - _I32 if c >= 1 << 31 else c
+    tail = data[off : off + length]
+    shifts = [0, 8, 16, 24]
+    for i in range(min(length, 4)):
+        a = (a + (tail[i] << shifts[i])) & 0xFFFFFFFF
+    for i in range(4, min(length, 8)):
+        b = (b + (tail[i] << shifts[i - 4])) & 0xFFFFFFFF
+    for i in range(8, min(length, 12)):
+        c = (c + (tail[i] << shifts[i - 8])) & 0xFFFFFFFF
+    c ^= b; c = (c - _rot(b, 14)) & 0xFFFFFFFF
+    a ^= c; a = (a - _rot(c, 11)) & 0xFFFFFFFF
+    b ^= a; b = (b - _rot(a, 25)) & 0xFFFFFFFF
+    c ^= b; c = (c - _rot(b, 16)) & 0xFFFFFFFF
+    a ^= c; a = (a - _rot(c, 4)) & 0xFFFFFFFF
+    b ^= a; b = (b - _rot(a, 14)) & 0xFFFFFFFF
+    c ^= b; c = (c - _rot(b, 24)) & 0xFFFFFFFF
+    return c - _I32 if c >= 1 << 31 else c
+
+
+_HASHES = {MURMUR_HASH: murmur_hash, JENKINS_HASH: jenkins_hash}
+
+
 def bloom_positions(key_bytes: bytes, nb_hash: int, vector_size: int,
                     hash_type: int = MURMUR_HASH) -> list[int]:
     """HashFunction.hash (util/bloom/HashFunction.java:108-123): chained
     initval, Math.abs(h % maxValue) per probe. abs(h) % vectorSize is
-    exactly Java's abs(h % v) for every int32 including MIN_VALUE."""
-    if hash_type != MURMUR_HASH:
-        raise NotImplementedError(
-            f"hashType {hash_type} (jenkins) not supported — Hadoop's "
-            f"default hadoop.util.hash.type is murmur"
-        )
+    exactly Java's abs(h % v) for every int32 including MIN_VALUE.
+    Both hash types are supported: murmur (the conf default) and
+    jenkins (legacy ``hadoop.util.hash.type=jenkins`` files, and the
+    pre-VERSION bloom wire format which implies jenkins)."""
+    hash_fn = _HASHES.get(hash_type)
+    if hash_fn is None:
+        raise NotImplementedError(f"unknown hashType {hash_type}")
     if not key_bytes:
         raise ValueError("key length must be > 0")
     out, initval = [], 0
     for _ in range(nb_hash):
-        initval = murmur_hash(key_bytes, initval)
+        initval = hash_fn(key_bytes, initval)
         out.append(abs(initval) % vector_size)
     return out
 

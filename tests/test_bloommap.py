@@ -367,3 +367,42 @@ def test_counting_bloom_jvm_wire_parity(spark):
     jf2.readFields(din)
     for k in keys:
         assert jf2.membershipTest(J.Key(bytearray(text_ser(k)))) == pf.might_contain(text_ser(k))
+
+
+def test_jenkins_parity_vs_jvm(spark):
+    """Chained-hash parity with util.hash.JenkinsHash across the 12-byte
+    block boundary and the signed-seed chain."""
+    from hadoop_common_spark.sources.bloommap import jenkins_hash
+
+    jvm = spark._jvm
+    j = jvm.org.apache.hadoop.util.hash.JenkinsHash.getInstance()
+    rng = random.Random(99)
+    for ln in list(range(1, 30)) + [63, 64, 200]:
+        b = bytes(rng.randrange(256) for _ in range(ln))
+        initval = 0
+        for _ in range(4):
+            jh = j.hash(bytearray(b), len(b), initval)
+            ph = jenkins_hash(b, initval)
+            assert ph == jh, (ln, b.hex(), initval)
+            initval = ph
+
+
+def test_jenkins_bloom_decisions_parity(spark):
+    """A jenkins-hashed DynamicBloomFilter serialized by the JVM parses
+    and answers membership identically — the legacy
+    hadoop.util.hash.type=jenkins read-compat path."""
+    from hadoop_common_spark.sources.bloommap import DynamicBloom
+
+    jvm = spark._jvm
+    J = jvm.org.apache.hadoop.util.bloom
+    jf = J.DynamicBloomFilter(1500, 5, 0, 100)  # hashType 0 = jenkins
+    keys = [f"jk{i}" for i in range(120)]  # spills into a second row
+    for k in keys:
+        jf.add(J.Key(bytearray(text_ser(k))))
+    buf = jvm.org.apache.hadoop.io.DataOutputBuffer()
+    jf.write(buf)
+    ours = DynamicBloom.from_bytes(bytes(buf.getData())[: buf.getLength()])
+    assert len(ours.rows) >= 2  # dynamic growth really happened
+    for k in keys + [f"no{i}" for i in range(60)]:
+        kb = text_ser(k)
+        assert ours.might_contain(kb) == jf.membershipTest(J.Key(bytearray(kb))), k
