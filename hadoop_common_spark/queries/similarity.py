@@ -163,13 +163,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sketch tables, operators/dedup.py:325)
         .localCheckpoint(eager=False)
     )
-    a = banded.select("label", "bk", F.col("vec_id").alias("id_a"))
-    b = banded.select("label", "bk", F.col("vec_id").alias("id_b"))
-    cand = (
-        a.join(b, ["label", "bk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    # candidate generation through the occupancy-capped self-join helper;
+    # cap=None here keeps the oracle's exact semantics — at production
+    # density pass max_bucket_size (operators/skew.capped_self_join_pairs:
+    # one hot bucket otherwise turns this join quadratic, measured as
+    # 20-min straggler tasks at 100x replica density)
+    from hadoop_common_spark.operators.skew import capped_self_join_pairs
+
+    cand = capped_self_join_pairs(
+        banded, ["label", "bk"], "vec_id", max_bucket_size=None
     )
     # Verify: cosine_verify_pairs picks the DistributedCache broadcast
     # kernel while the vector table is side-data sized (Arrow moves
