@@ -202,6 +202,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → band
     buckets → candidate pairs → exact Jaccard verify ≥ threshold.
@@ -233,6 +234,18 @@ def minhash_lsh_pairs(
         F.collect_set("_one").alias("_shset"),
     )
     bk = lsh_band_keys(sig, id_col, bands, rows)
+    if max_bucket_size is not None:
+        # occupancy guard (skew.capped_self_join_pairs rationale): a
+        # degenerate band bucket fans out occ²/2 pairs; capped buckets
+        # drop out of candidate generation, their members still pair
+        # through other bands
+        ok = (
+            bk.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .filter(F.col("_occ") <= max_bucket_size)
+            .select("band", "band_key")
+        )
+        bk = bk.join(ok, ["band", "band_key"])
     a = bk.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = bk.select(F.col(id_col).alias("id_b"), "band", "band_key")
     cand = (
@@ -287,6 +300,7 @@ def simhash_pairs(
     sim_col: str = "simhash",
     bits: int = 60,
     max_distance: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded Hamming-distance join over SimHash fingerprints — the
     pairing step that completes SimHash dedup end-to-end (cheap-sketch
@@ -333,6 +347,18 @@ def simhash_pairs(
     ).select(
         id_col, "_fp", F.col("_c.chunk").alias("chunk"), F.col("_c.chunk_val").alias("chunk_val")
     )
+    if max_bucket_size is not None:
+        # occupancy guard, same rationale as skew.capped_self_join_pairs:
+        # an exploded chunk bucket (mass-identical fingerprints) fans out
+        # occ²/2; capped buckets drop out, members still pair via other
+        # chunks when genuinely close
+        ok = (
+            ck.groupBy("chunk", "chunk_val")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .filter(F.col("_occ") <= max_bucket_size)
+            .select("chunk", "chunk_val")
+        )
+        ck = ck.join(ok, ["chunk", "chunk_val"])
     a = ck.select(F.col(id_col).alias("id_a"), F.col("_fp").alias("_fa"), "chunk", "chunk_val")
     b = ck.select(F.col(id_col).alias("id_b"), F.col("_fp").alias("_fb"), "chunk", "chunk_val")
     hamming = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).cast("bigint")

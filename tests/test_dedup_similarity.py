@@ -790,3 +790,40 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
         ).collect()
     }
     assert wide == uncapped
+
+
+def test_minhash_and_simhash_bucket_caps(spark):
+    """max_bucket_size on the minhash band join and the simhash chunk
+    join: default None is untouched; a capped degenerate bucket drops
+    out while genuine near-dups keep pairing through their other
+    bands/chunks."""
+    docs = _docs(spark)
+    base = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3).collect()
+    }
+    wide = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.3, max_bucket_size=1000
+        ).collect()
+    }
+    assert wide == base  # cap above every occupancy == uncapped
+    # cap of 1 excludes every shared band bucket -> no candidates at all
+    none = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.3, max_bucket_size=1
+    ).count()
+    assert none == 0
+
+    fps = simhash(docs, "doc_id", "text")
+    sbase = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(fps, "doc_id", max_distance=3).collect()
+    }
+    swide = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(
+            fps, "doc_id", max_distance=3, max_bucket_size=1000
+        ).collect()
+    }
+    assert swide == sbase
