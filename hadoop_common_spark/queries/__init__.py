@@ -93,6 +93,10 @@ PRIORITY_WINDOW: list[str] = [
     "bulk_suppliers_of_brand",
     "intersect_nations",
     "except_nations",
+    # -- r5 NEWCOMERS: no driver row yet — first claim on the window --
+    "dedup_minhash_recall_eval",
+    "dedup_incoming_flag",
+    "corpus_gopher_filter",
     # -- r02-green, implementation churned since (highest risk first) --
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -138,9 +142,6 @@ PRIORITY_WINDOW: list[str] = [
     "multimodal_frame_sample",
     "zorder_layout_keys",
     # -- r02-green, untouched modules (lowest risk — budget-cut boundary) --
-    "join_semi_anti",
-    "returnflag_priority_pivot",
-    "rollup_region_nation_revenue",
 ]
 
 # ---- 50-entry checked-window boundary ----
@@ -150,6 +151,9 @@ PRIORITY_WINDOW: list[str] = [
 # the 50-cap), then r03-green (next-oldest evidence, r6 rotation head),
 # then r04-green (freshest hard rows).
 PRIORITY_OVERFLOW: list[str] = [
+    "join_semi_anti",
+    "returnflag_priority_pivot",
+    "rollup_region_nation_revenue",
     "cube_status_priority",
     "grouping_sets_events",
     # -- r03-green (checked two rounds ago; r6 rotation head) --
