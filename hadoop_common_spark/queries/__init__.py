@@ -97,6 +97,7 @@ PRIORITY_WINDOW: list[str] = [
     "dedup_minhash_recall_eval",
     "dedup_incoming_flag",
     "corpus_gopher_filter",
+    "text_hard_negatives",
     # -- r02-green, implementation churned since (highest risk first) --
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -140,7 +141,6 @@ PRIORITY_WINDOW: list[str] = [
     "multimodal_metadata",
     "multimodal_fake_decode",
     "multimodal_frame_sample",
-    "zorder_layout_keys",
     # -- r02-green, untouched modules (lowest risk — budget-cut boundary) --
 ]
 
@@ -151,6 +151,7 @@ PRIORITY_WINDOW: list[str] = [
 # the 50-cap), then r03-green (next-oldest evidence, r6 rotation head),
 # then r04-green (freshest hard rows).
 PRIORITY_OVERFLOW: list[str] = [
+    "zorder_layout_keys",
     "join_semi_anti",
     "returnflag_priority_pivot",
     "rollup_region_nation_revenue",

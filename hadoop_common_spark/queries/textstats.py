@@ -900,3 +900,90 @@ def corpus_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("distinct_ratio_ok")
     )
     return flags.withColumn("keep", keep)
+
+
+# Hard-negative mining for retrieval training: lexically-similar
+# documents (high BM25 for the query) that are NOT near-duplicates of
+# the top hit — the classic "hard negatives" a contrastive retriever
+# trains against. Composes two existing tiers in one lazy plan: the BM25
+# scorer and the MinHash band-candidate graph (near-dup exclusion uses
+# the CANDIDATE stage — anything sharing a band with the anchor is too
+# close to be a negative).
+def _hard_neg_oracle() -> str:
+    from hadoop_common_spark.queries.dedup import _MINHASH_CTES
+
+    return f"""
+WITH {_BM25_CTES},
+{_MINHASH_CTES},
+anchor AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+nd AS (
+  SELECT CASE WHEN c.id_a = a.doc_id THEN c.id_b ELSE c.id_a END AS doc_id
+  FROM cand c, anchor a
+  WHERE c.id_a = a.doc_id OR c.id_b = a.doc_id
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+  WHERE doc_id NOT IN (SELECT doc_id FROM nd)
+    AND doc_id NOT IN (SELECT doc_id FROM anchor)
+) WHERE rank <= 10
+"""
+
+
+@query("text_hard_negatives", oracle=_hard_neg_oracle())
+def text_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hard negatives for the fixed BM25 query: highest-BM25
+    documents excluding the anchor (top-1 hit) and every MinHash
+    band-candidate of the anchor. The anchor is a ONE-ROW frame joined
+    broadcast (no collect); near-dup exclusion is a left-anti join
+    against the band candidates touching the anchor — both sides reuse
+    the existing scorer/banding plans, so the whole mine is one lazy
+    DAG with TakeOrderedAndProject at the top."""
+    from hadoop_common_spark.operators.dedup import lsh_band_keys, minhash_signature
+    from hadoop_common_spark.queries.dedup import BANDS, NUM_HASHES, ROWS
+    from pyspark.sql import Window
+
+    scored = _bm25_scored(spark)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    anchor = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("doc_id").alias("anchor_id"))
+    )
+
+    docs = spark.table("documents")
+    bk = lsh_band_keys(
+        minhash_signature(docs, "doc_id", "text"), "doc_id", BANDS, ROWS
+    )
+    a = bk.select(F.col("doc_id").alias("id_a"), "band", "band_key")
+    b = bk.select(F.col("doc_id").alias("id_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    nd = (
+        cand.join(
+            F.broadcast(anchor),
+            (F.col("id_a") == F.col("anchor_id")) | (F.col("id_b") == F.col("anchor_id")),
+        )
+        .select(
+            F.when(F.col("id_a") == F.col("anchor_id"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("doc_id")
+        )
+    )
+    excluded = nd.unionByName(anchor.select(F.col("anchor_id").alias("doc_id")))
+    kept = scored.join(excluded, "doc_id", "left_anti")
+    return (
+        kept.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "score", "rank")
+    )

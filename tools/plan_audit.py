@@ -85,6 +85,13 @@ _add(
     "zorder_layout_keys",
 )
 _add(
+    "cartesian",
+    "BM25 scalar attach (as text_bm25_topk) plus the anchor exclusion: "
+    "the disjunctive (id_a = anchor OR id_b = anchor) join broadcasts a "
+    "ONE-ROW anchor frame, so the nested loop is N x 1",
+    "text_hard_negatives",
+)
+_add(
     "single_partition",
     "global pass over the per-bin count aggregate (one row per quality "
     "bin — single digits), not over documents",
