@@ -52,7 +52,36 @@ def _gen_pipeline(rng: random.Random):
         filt = (int_col, op, lit)
 
     group_col = rng.choice([c for c in cols if c != int_col])
-    mode = rng.choice(["agg", "project", "join"])
+    mode = rng.choice(["agg", "project", "join", "sort_limit"])
+    if mode == "sort_limit":
+        # total order with a deterministic tiebreak + LIMIT (the top-k
+        # family: engines must agree on sort stability only through the
+        # explicit tiebreak, never implicitly)
+        order_col = rng.choice(cols)
+        desc = rng.random() < 0.5
+        tiebreak = INT_COLS[table][0]
+        k = rng.randrange(1, 12)
+        dirn = "DESC" if desc else "ASC"
+        sql = (
+            f"SELECT {', '.join(cols)} FROM {table} {where} "
+            f"ORDER BY {order_col} {dirn}, {tiebreak} ASC LIMIT {k}"
+        )
+
+        def build_sort(spark):
+            df = spark.table(table)
+            if filt is not None:
+                c, op, lit = filt
+                col = F.col(c)
+                df = df.filter(
+                    {
+                        "<": col < lit, ">": col > lit, "<=": col <= lit,
+                        ">=": col >= lit, "<>": col != lit, "=": col == lit,
+                    }[op]
+                )
+            oc = F.col(order_col).desc() if desc else F.col(order_col).asc()
+            return df.select(*cols).orderBy(oc, F.col(tiebreak).asc()).limit(k)
+
+        return build_sort, sql
     if mode == "join":
         # dim-dim equi-join (nation ⋈ region / customer ⋈ nation /
         # supplier ⋈ nation), inner or left, then a count-by
