@@ -143,8 +143,7 @@ def cosine_verify_pairs_broadcast(
         V = np.array([list(r[1]) for r in rows], dtype=np.float64)
         # norm via the same cumsum left fold the oracle's SQRT(dot(a,a)) uses
         norms = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
-        idx = {int(i): k for k, i in enumerate(ids)}
-        bc = sc.broadcast((idx, V, norms))
+        bc = sc.broadcast((ids, V, norms))
         while len(_BC_CACHE) >= _BC_CACHE_MAX:
             _BC_CACHE.pop(next(iter(_BC_CACHE)))
         _BC_CACHE[key] = (app_id, bc)
@@ -157,23 +156,42 @@ def cosine_verify_pairs_broadcast(
     out_schema = f"{id_a} {ta}, {id_b} {tb}, cos double"
 
     def verify(batches):
-        idx_m, Vm, Nm = bc.value
+        ids_m, Vm, Nm = bc.value
         for pdf in batches:
-            ka = pdf[id_a].map(idx_m)
-            kb = pdf[id_b].map(idx_m)
-            # pairs referencing a NULL-vector id vanish, matching the
-            # join form (null operand -> null cos -> filtered)
-            ok = ka.notna().to_numpy() & kb.notna().to_numpy()
-            pdf = pdf[ok]
-            ia = ka.to_numpy()[ok].astype(np.int64)
-            ib = kb.to_numpy()[ok].astype(np.int64)
+            sa, sb = pdf[id_a], pdf[id_b]
+            # a NULL id (or an id absent from the vector table) drops the
+            # pair, matching the join form (null/missing operand -> null
+            # cos -> filtered)
+            notna = (sa.notna() & sb.notna()).to_numpy()
+            if not notna.all():
+                sa, sb = sa[notna], sb[notna]
+            # exact int64 view — never via float64, which would corrupt
+            # ids beyond 2^53
+            ra = sa.to_numpy().astype(np.int64)
+            rb = sb.to_numpy().astype(np.int64)
+            # id -> row-index via searchsorted on the SORTED broadcast ids:
+            # pure C per Arrow batch, vs the former dict .map() which ran
+            # the Python interpreter once per pair — the dominant kernel
+            # cost at the 10x tier's 22M candidates
+            ia = np.searchsorted(ids_m, ra).clip(0, max(len(ids_m) - 1, 0))
+            ib = np.searchsorted(ids_m, rb).clip(0, max(len(ids_m) - 1, 0))
+            ok = (
+                (ids_m[ia] == ra) & (ids_m[ib] == rb)
+                if len(ids_m)
+                else np.zeros(len(ra), dtype=bool)
+            )
+            ia, ib = ia[ok], ib[ok]
             A, B = Vm[ia], Vm[ib]
             cos = (
                 np.cumsum(A * B, axis=1)[:, -1] / (Nm[ia] * Nm[ib])
-                if len(pdf)
+                if len(ia)
                 else np.array([], dtype=np.float64)
             )
-            yield pd.DataFrame({id_a: pdf[id_a], id_b: pdf[id_b], "cos": cos})
+            # output ids sliced from the (null-filtered) ORIGINAL series:
+            # dtype stays whatever the pairs frame declared
+            yield pd.DataFrame(
+                {id_a: sa.to_numpy()[ok], id_b: sb.to_numpy()[ok], "cos": cos}
+            )
 
     return pairs.select(id_a, id_b).mapInPandas(verify, out_schema)
 
