@@ -469,3 +469,59 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ASYMMETRIC containment pairs within a blocking column: for every
+    pair sharing >=1 shingle, ``cont_a = |A∩B| / |A|`` and ``cont_b =
+    |A∩B| / |B|``; emit pairs where ``greatest(cont_a, cont_b) >=
+    threshold``. Containment (Broder's resemblance companion) is the
+    excerpt/quote detector Jaccard misses: a 100-token doc embedded in a
+    10k-token page has J ~= 0.01 but containment ~= 1.0 — exactly the
+    subset-duplication class LLM corpora need stripped (syndicated
+    snippets, quoted posts, boilerplate-wrapped articles).
+
+    Same sparse-similarity-join scaling argument as
+    :func:`ngram_jaccard_pairs`: any pair with containment > 0 shares a
+    shingle, so the (block, shingle) equi-join is a LOSSLESS blocking —
+    no all-pairs scan at any corpus size; per-gram fan-out is the skew
+    knob (cap hot grams upstream if needed). Zero-shingle docs can never
+    reach the threshold and are excluded on BOTH engines (their pairs
+    never materialize in the sparse form).
+    """
+    docsh = (
+        df.select(
+            F.col(block_col).alias("_blk"),
+            F.col(id_col),
+            word_shingles(text_col, shingle_n).alias("_shs"),
+        )
+        .filter(F.size("_shs") > 0)
+        .localCheckpoint(eager=False)
+    )
+    sh = docsh.select("_blk", id_col, F.explode("_shs").alias("_sh"))
+    sizes = docsh.select(F.col(id_col), F.size("_shs").alias("_n"))
+    a = sh.select(F.col("_blk"), F.col(id_col).alias("id_a"), "_sh")
+    b = sh.select(F.col("_blk"), F.col(id_col).alias("id_b"), "_sh")
+    inter = (
+        a.join(b, ["_blk", "_sh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("cont_a", F.col("_inter").cast("double") / F.col("_na").cast("double"))
+        .withColumn("cont_b", F.col("_inter").cast("double") / F.col("_nb").cast("double"))
+        .filter(F.greatest("cont_a", "cont_b") >= threshold)
+        .select("id_a", "id_b", "cont_a", "cont_b")
+    )

@@ -78,106 +78,81 @@ _QUERY_MODULES = [
 
 # Driver-facing iteration order. The external correctness harness walks the
 # registry in dict order and has a bounded budget (~50 rows/round), so the
-# order is part of the evidence strategy. Round-5 rotation (VERDICT r4 "Next
-# round" #3/#4): first the last four queries whose ONLY driver row is r01
-# (trivial shapes, deferred from r4 by design), then the 48-query r02-green
-# block — two-plus rounds of code churn old, ordered most-churned-module
-# first (dedup/similarity/graph/windows/corpus cores were re-kernelized in
-# r3/r4; pivot/rollup shapes untouched, so they sit at the boundary where a
-# budget cut costs least). Names not in either list are slotted right after
-# the window block, BEFORE the overflow, so a new query is never silently
-# pushed out of the checked window.
+# order is part of the evidence strategy. Round-6 rotation: every query's
+# newest driver row is now r02+ (the r01 tail closed in r5). Window = the
+# four r6 NEWCOMERS (no driver row yet — first claim), then the six
+# queries whose newest row is r02 (oldest evidence; they spilled out of
+# the r5 window cap), then 40 of the 48 r03-green rows ordered
+# most-churned-module first (similarity/dedup kernels were re-vectorized
+# in r5/r6; TPC-H subquery shapes untouched, so they sit at the boundary
+# where a budget cut costs least). Names not in either list are slotted
+# right after the window block, BEFORE the overflow, so a new query is
+# never silently pushed out of the checked window.
 PRIORITY_WINDOW: list[str] = [
-    # -- r01-only evidence (last four; closes VERDICT r4 missing #1) --
-    "supplier_diversity_by_part",
-    "bulk_suppliers_of_brand",
-    "intersect_nations",
-    "except_nations",
-    # -- r5 NEWCOMERS: no driver row yet — first claim on the window --
-    "dedup_minhash_recall_eval",
-    "dedup_incoming_flag",
-    "corpus_gopher_filter",
-    "text_hard_negatives",
-    # -- r02-green, implementation churned since (highest risk first) --
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_resolution",
-    "similarity_cosine_topk",
-    "similarity_lsh_buckets",
-    "similarity_ivf_topk",
-    "similarity_pq_topk",
-    "corpus_semantic_dedup",
-    "graph_pagerank",
-    "window_sliding_10m_5m",
-    "window_sessionize",
-    "view_click_attribution",
-    "window_user_running_total",
-    "window_user_analytics",
-    "asof_join_next_purchase",
-    "corpus_tfidf_topterms",
-    "pipeline_clean_corpus",
-    "corpus_split_counts",
-    "corpus_token_shards",
-    "corpus_decontamination",
-    "corpus_mixture_sample",
-    "corpus_profile",
-    "corpus_incremental_ingest",
-    "corpus_domain_caps",
-    "corpus_global_shuffle",
-    "corpus_quality_bins",
-    "corpus_contamination_scores",
-    "text_lang_id",
-    "text_quality_scores",
-    "text_token_stats",
-    "text_fingerprints",
-    "text_bpe_token_stats",
-    "text_bpe_merge_pairs",
-    "text_winnow_fingerprint",
-    "text_repetition_stats",
-    "text_pii_scan",
-    "multimodal_metadata",
-    "multimodal_fake_decode",
-    "multimodal_frame_sample",
-    # -- r02-green, untouched modules (lowest risk — budget-cut boundary) --
-]
-
-# ---- 50-entry checked-window boundary ----
-# (the driver checks ~50 rows/round — the window must fit; r5 newcomers
-# auto-slot right after it, BEFORE the overflow)
-# Two lowest-risk r02 OLAP shapes lead the overflow (they spilled out of
-# the 50-cap), then r03-green (next-oldest evidence, r6 rotation head),
-# then r04-green (freshest hard rows).
-PRIORITY_OVERFLOW: list[str] = [
+    # -- r6 NEWCOMERS: no driver row yet --
+    "dedup_containment_pairs",
+    "dedup_canonical_quality",
+    "corpus_dedup_rate_by_source",
+    "corpus_temperature_mixture",
+    # -- newest row r02 (oldest evidence; r5 window-cap spill) --
     "zorder_layout_keys",
     "join_semi_anti",
     "returnflag_priority_pivot",
     "rollup_region_nation_revenue",
     "cube_status_priority",
     "grouping_sets_events",
-    # -- r03-green (checked two rounds ago; r6 rotation head) --
+    # -- newest row r03, churned modules first (similarity/dedup kernels
+    #    re-vectorized in r5/r6, graph/windows re-kernelized in r5) --
+    "dedup_embedding_cosine",
     "similarity_ivfpq_topk",
+    "similarity_lsh_multiprobe_topk",
     "dedup_winnow_pairs",
-    "events_weekday_heatmap",
-    "events_funnel",
-    "events_cohort_retention",
-    "corpus_pack_sequences",
-    "orders_scd2_intervals",
+    "dedup_exact_normalized",
+    "embedding_quantize_int8",
+    "hybrid_search_rerank",
+    "text_bm25_topk",
+    "corpus_bigram_familiarity",
     "text_fuzzy_word_pairs",
-    "events_outlier_counts",
-    "events_gapfill_minutes",
     "text_boilerplate_ngrams",
     "text_token_cms_topk",
+    "graph_triangle_count",
+    "graph_clustering_coefficient",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_weekday_heatmap",
+    "events_outlier_counts",
+    "events_gapfill_minutes",
     "events_multires_rollup",
     "events_rolling_1h_stats",
     "events_value_percentiles",
+    "events_value_percentiles_sampled",
+    "events_value_ntile_deciles",
+    "events_transition_matrix",
+    "corpus_pack_sequences",
+    "corpus_stratified_sample",
+    "corpus_split_leakage",
+    "corpus_chunk_overlap",
+    "orders_scd2_intervals",
+    "lineitem_unpivot_measures",
+    "multimodal_audio_features",
+    "multimodal_resize_plan",
+    "pivot_status_priority",
     "terasort_head",
     "random_text_wordcount",
     "bbp_pi_digits",
     "sudoku_distributed",
     "pentomino_count",
+    "flagship_revenue_by_nation",
+]
+
+# ---- 50-entry checked-window boundary ----
+# (the driver checks ~50 rows/round — the window must fit; unlisted
+# newcomers auto-slot right after it, BEFORE the overflow)
+# The eight r03 TPC-H-subquery shapes that spilled out of the 50-cap lead
+# the overflow (r7 rotation head — untouched trivial scans, cheapest to
+# defer), then r04-green, then r05-green (freshest hard rows).
+PRIORITY_OVERFLOW: list[str] = [
+    # -- r03-green spill (r7 rotation head) --
     "above_avg_balance",
     "above_nation_avg_balance",
     "customers_without_urgent_orders",
@@ -186,27 +161,7 @@ PRIORITY_OVERFLOW: list[str] = [
     "important_parts_share",
     "waiting_suppliers",
     "min_cost_supplier",
-    "multimodal_audio_features",
-    "multimodal_resize_plan",
-    "pivot_status_priority",
-    "dedup_embedding_cosine",
-    "text_bm25_topk",
-    "corpus_bigram_familiarity",
-    "corpus_stratified_sample",
-    "events_value_ntile_deciles",
-    "embedding_quantize_int8",
-    "similarity_lsh_multiprobe_topk",
-    "events_value_percentiles_sampled",
-    "graph_triangle_count",
-    "corpus_split_leakage",
-    "graph_clustering_coefficient",
-    "corpus_chunk_overlap",
-    "lineitem_unpivot_measures",
-    "dedup_exact_normalized",
-    "events_transition_matrix",
-    "hybrid_search_rerank",
-    "flagship_revenue_by_nation",
-    # -- r04-green (checked last round) --
+    # -- r04-green (checked two rounds ago) --
     "teragen_checksum",
     "montecarlo_pi",
     "asof_join_last_purchase",
@@ -257,6 +212,57 @@ PRIORITY_OVERFLOW: list[str] = [
     "corpus_boilerplate_strip",
     "graph_label_propagation",
     "events_enrich_segment",
+    # -- r05-green (freshest hard rows — checked last round) --
+    "supplier_diversity_by_part",
+    "bulk_suppliers_of_brand",
+    "intersect_nations",
+    "except_nations",
+    "dedup_minhash_recall_eval",
+    "dedup_incoming_flag",
+    "corpus_gopher_filter",
+    "text_hard_negatives",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_resolution",
+    "similarity_cosine_topk",
+    "similarity_lsh_buckets",
+    "similarity_ivf_topk",
+    "similarity_pq_topk",
+    "corpus_semantic_dedup",
+    "graph_pagerank",
+    "window_sliding_10m_5m",
+    "window_sessionize",
+    "view_click_attribution",
+    "window_user_running_total",
+    "window_user_analytics",
+    "asof_join_next_purchase",
+    "corpus_tfidf_topterms",
+    "pipeline_clean_corpus",
+    "corpus_split_counts",
+    "corpus_token_shards",
+    "corpus_decontamination",
+    "corpus_mixture_sample",
+    "corpus_profile",
+    "corpus_incremental_ingest",
+    "corpus_domain_caps",
+    "corpus_global_shuffle",
+    "corpus_quality_bins",
+    "corpus_contamination_scores",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_token_stats",
+    "text_fingerprints",
+    "text_bpe_token_stats",
+    "text_bpe_merge_pairs",
+    "text_winnow_fingerprint",
+    "text_repetition_stats",
+    "text_pii_scan",
+    "multimodal_metadata",
+    "multimodal_fake_decode",
+    "multimodal_frame_sample",
 ]
 
 

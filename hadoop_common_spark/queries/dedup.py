@@ -534,3 +534,179 @@ def dedup_incoming_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("stream_id", "corpus_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands"))
     )
+
+
+# Asymmetric containment (excerpt/quote detection). Containment is the
+# subset-duplication detector Jaccard structurally misses: an excerpt
+# embedded in a much longer page has near-zero Jaccard but containment
+# ~1.0 — the syndicated-snippet / quoted-post class LLM corpora strip.
+_CONTAINMENT_ORACLE = f"""
+WITH shs AS (
+  SELECT lang, doc_id, {_SHINGLES} AS sset
+  FROM (SELECT lang, doc_id, string_split_regex(text, '\\s+') AS t FROM documents)
+)
+SELECT id_a, id_b, cont_a, cont_b FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+           / CAST(len(a.sset) AS DOUBLE) AS cont_a,
+         CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+           / CAST(len(b.sset) AS DOUBLE) AS cont_b
+  FROM shs a JOIN shs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(a.sset) > 0 AND len(b.sset) > 0
+) WHERE GREATEST(cont_a, cont_b) >= 0.5
+"""
+
+
+@query("dedup_containment_pairs", oracle=_CONTAINMENT_ORACLE)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs (|A∩B|/|A|, |A∩B|/|B|) within
+    lang blocks, emitted where either direction ≥ 0.5 — the excerpt
+    detector (Broder's containment). Runs as the same sparse
+    (block, shingle) similarity join as dedup_ngram_jaccard: lossless for
+    any threshold > 0 (a qualifying pair shares ≥1 shingle), no all-pairs
+    scan at any corpus size; the oracle recomputes the all-pairs form,
+    which is only feasible at test SFs."""
+    from hadoop_common_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        spark.table("documents"), "doc_id", "text", "lang", threshold=0.5
+    )
+
+
+# Quality-canonical cluster resolution: production dedup keeps the BEST
+# member of each near-dup cluster, not the lowest id — min-id keeps
+# whichever variant crawled first (often the truncated or
+# boilerplate-wrapped one).
+_CANONICAL_QUALITY_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+pairs AS (
+  {_JACCARD_SELECT}
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+lbl AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+),
+mem AS (
+  SELECT l.cluster_id, d.doc_id, d.n_chars
+  FROM lbl l JOIN documents d ON l.doc_id = d.doc_id
+),
+agg AS (
+  SELECT cluster_id, COUNT(*) AS n_members,
+         CAST(MAX(n_chars) AS BIGINT) AS max_chars
+  FROM mem GROUP BY cluster_id
+),
+can AS (
+  SELECT m.cluster_id, MIN(m.doc_id) AS canonical_id
+  FROM mem m JOIN agg a
+    ON m.cluster_id = a.cluster_id AND CAST(m.n_chars AS BIGINT) = a.max_chars
+  GROUP BY m.cluster_id
+)
+SELECT a.cluster_id, c.canonical_id, a.n_members, a.max_chars
+FROM agg a JOIN can c ON a.cluster_id = c.cluster_id
+"""
+
+
+@query("dedup_canonical_quality", oracle=_CANONICAL_QUALITY_ORACLE)
+def dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution keeping the HIGHEST-QUALITY member
+    (longest text, tie → min doc_id) instead of min-id: MinHash-LSH
+    pairs (J ≥ 0.5) → connected components → per-cluster argmax.
+    Complements dedup_cluster_resolution (which reports the min-id
+    keep/drop labeling of EVERY doc); this one reports the duplicate
+    GROUPS with their chosen survivor — the form a removal job joins
+    against. Scale: one groupBy over cluster members; the argmax is a
+    struct-min aggregate (no window, no second shuffle)."""
+    from hadoop_common_spark.operators.graph import connected_components
+
+    docs = spark.table("documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    mem = cc.join(
+        docs.select("doc_id", F.col("n_chars").cast("bigint").alias("_nc")),
+        cc["node"] == F.col("doc_id"),
+    )
+    best = F.min(F.struct((-F.col("_nc")).alias("neg"), F.col("doc_id").alias("d")))
+    return (
+        mem.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            best.getField("d").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("_nc").alias("max_chars"),
+        )
+        .select("cluster_id", "canonical_id", "n_members", "max_chars")
+    )
+
+
+# Per-source duplication reporting — the dashboard number a corpus team
+# watches per crawl/source: which fraction of each source's docs would a
+# near-dup pass drop (cluster member, not the min-id canonical).
+_DEDUP_RATE_ORACLE = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+pairs AS (
+  {_JACCARD_SELECT}
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+lbl AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> d.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> d.doc_id
+                     THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
+GROUP BY d.source
+"""
+
+
+@query("corpus_dedup_rate_by_source", oracle=_DEDUP_RATE_ORACLE)
+def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate drop rate per source: MinHash-LSH pairs (J ≥ 0.5)
+    → connected components → per-source fraction of docs that are
+    non-canonical cluster members. The monitoring twin of
+    dedup_cluster_resolution — the number that flags a source whose
+    crawl suddenly turns self-duplicative. Scale: the CC labeling is the
+    same bounded pipeline; the report is one groupBy over documents."""
+    from hadoop_common_spark.operators.graph import connected_components
+
+    docs = spark.table("documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    dropped = (
+        F.col("component").isNotNull() & (F.col("component") != F.col("doc_id"))
+    ).cast("int")
+    return (
+        docs.select("source", "doc_id")
+        .join(cc, F.col("doc_id") == F.col("node"), "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dropped).cast("bigint").alias("n_dropped"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.col("n_dropped").cast("double") / F.col("n_docs").cast("double"),
+        )
+    )

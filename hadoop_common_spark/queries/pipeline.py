@@ -743,3 +743,82 @@ def corpus_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_kept_words"),
         )
     )
+
+
+# Temperature-scaled source mixture (the multinomial-sampling weights of
+# multilingual/multi-domain LM training — p_i ∝ tokens_i^alpha with
+# alpha = 0.5): small sources are up-weighted, dominant sources damped.
+# DETERMINISM NOTE: the only irrational is sqrt (IEEE-correctly-rounded
+# on every engine); it is snapped to exact integer micro-units with
+# floor(sqrt(x) * 1e6) so the normalizing denominator is an exact BIGINT
+# sum (order-independent) — no cross-row float accumulation anywhere, so
+# Spark and DuckDB hash bit-identically.
+_TEMPERATURE_ORACLE = """
+WITH per AS (
+  SELECT source,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS nt
+  FROM documents
+),
+src AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+  FROM per GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS s
+  FROM src
+),
+tot AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS denom,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM w
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS raw_share,
+       CAST(s AS DOUBLE) / CAST(denom AS DOUBLE) AS weight,
+       (CAST(s AS DOUBLE) / CAST(denom AS DOUBLE))
+         / (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS boost
+FROM w, tot
+"""
+
+
+@query("corpus_temperature_mixture", oracle=_TEMPERATURE_ORACLE)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per source (alpha = 0.5,
+    weight_i ∝ sqrt(tokens_i) normalized): the mixture a multi-domain
+    LM trainer feeds its sampler, with the raw token share and the
+    up/down-sampling boost each source gets. Scale: one map-side-combined
+    groupBy over documents (token counting is a narrow projection), then
+    arithmetic over ~#sources rows; the denominator is a broadcast
+    single-row cross join — nothing here grows with corpus size except
+    the first aggregate. sqrt is snapped to integer micro-units so the
+    normalization is an exact integer sum (see oracle note)."""
+    docs = spark.table("documents")
+    src = (
+        docs.select("source", token_count("text").alias("_nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "_s",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000.0).cast("bigint"),
+        )
+    )
+    tot = src.agg(
+        F.sum("_s").cast("bigint").alias("_denom"),
+        F.sum("n_tokens").cast("bigint").alias("_total"),
+    )
+    weight = F.col("_s").cast("double") / F.col("_denom").cast("double")
+    raw_share = F.col("n_tokens").cast("double") / F.col("_total").cast("double")
+    return (
+        src.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "n_tokens",
+            raw_share.alias("raw_share"),
+            weight.alias("weight"),
+            (weight / raw_share).alias("boost"),
+        )
+    )

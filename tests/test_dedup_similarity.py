@@ -827,3 +827,80 @@ def test_minhash_and_simhash_bucket_caps(spark):
         ).collect()
     }
     assert swide == sbase
+
+
+def test_containment_pairs_asymmetric(spark):
+    """Containment finds the excerpt Jaccard misses: a short doc whose
+    every shingle appears in a long doc scores cont_short = 1.0 even
+    when Jaccard is far below any threshold; disjoint docs never pair;
+    sub-shingle-length docs are excluded (no division by zero)."""
+    from hadoop_common_spark.operators.dedup import containment_pairs
+
+    long_text = " ".join(f"w{i}" for i in range(40))          # 38 shingles
+    excerpt = " ".join(f"w{i}" for i in range(10, 16))        # 4 shingles, all in long
+    other = " ".join(f"x{i}" for i in range(20))              # disjoint
+    tiny = "only two"                                         # 0 shingles
+    docs = spark.createDataFrame(
+        [(1, long_text, "en"), (2, excerpt, "en"), (3, other, "en"), (4, tiny, "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        (r.id_a, r.id_b): (r.cont_a, r.cont_b)
+        for r in containment_pairs(
+            docs, "doc_id", "text", "lang", threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in got
+    ca, cb = got[(1, 2)]
+    assert ca == 4.0 / 38.0 and cb == 1.0   # asymmetry: excerpt fully contained
+    assert all(4 not in pair and 3 not in pair for pair in got)
+
+
+def test_canonical_quality_consistent_with_cluster_resolution(spark, sf_dir_med):
+    """dedup_canonical_quality and dedup_cluster_resolution must agree on
+    the cluster structure (same cluster ids, same member counts for
+    multi-member clusters), while canonical choice differs by design:
+    quality picks a member whose n_chars equals the cluster max."""
+    from hadoop_common_spark.queries import load_all
+
+    reg = load_all()
+    qual = {
+        r.cluster_id: r
+        for r in reg["dedup_canonical_quality"].fn(spark, sf_dir_med).collect()
+    }
+    res = reg["dedup_cluster_resolution"].fn(spark, sf_dir_med).collect()
+    docs_chars = {
+        r.doc_id: r.n_chars
+        for r in spark.read.parquet(f"{sf_dir_med}/documents.parquet").collect()
+    }
+    from collections import Counter
+
+    member_count = Counter(r.cluster_id for r in res)
+    multi = {cid: n for cid, n in member_count.items() if n >= 2}
+    assert set(qual) == set(multi)
+    for cid, row in qual.items():
+        assert row.n_members == multi[cid]
+        assert docs_chars[row.canonical_id] == row.max_chars
+        # canonical is min doc_id among the max-chars members
+        members = [r.doc_id for r in res if r.cluster_id == cid]
+        best = min(d for d in members if docs_chars[d] == row.max_chars)
+        assert row.canonical_id == best
+
+
+def test_temperature_mixture_is_normalized(spark, sf_dir_med):
+    """Temperature weights form a distribution and damp dominant
+    sources: sum(weight) == 1 (up to float), every source keeps a
+    positive weight, and the boost ordering is inverse to raw share
+    (sqrt damping)."""
+    from hadoop_common_spark.queries import load_all
+
+    rows = (
+        load_all()["corpus_temperature_mixture"].fn(spark, sf_dir_med).collect()
+    )
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.raw_share for r in rows) - 1.0) < 1e-9
+    assert all(r.weight > 0 for r in rows)
+    hi = max(rows, key=lambda r: r.n_tokens)
+    lo = min(rows, key=lambda r: r.n_tokens)
+    if hi.n_tokens > lo.n_tokens:
+        assert hi.boost < lo.boost  # big sources damped, small boosted
