@@ -80,9 +80,9 @@ _QUERY_MODULES = [
 # registry in dict order and has a bounded budget (~50 rows/round), so the
 # order is part of the evidence strategy. Round-6 rotation: every query's
 # newest driver row is now r02+ (the r01 tail closed in r5). Window = the
-# four r6 NEWCOMERS (no driver row yet — first claim), then the six
+# five r6 NEWCOMERS (no driver row yet — first claim), then the six
 # queries whose newest row is r02 (oldest evidence; they spilled out of
-# the r5 window cap), then 40 of the 48 r03-green rows ordered
+# the r5 window cap), then 39 of the 48 r03-green rows ordered
 # most-churned-module first (similarity/dedup kernels were re-vectorized
 # in r5/r6; TPC-H subquery shapes untouched, so they sit at the boundary
 # where a budget cut costs least). Names not in either list are slotted
@@ -94,6 +94,7 @@ PRIORITY_WINDOW: list[str] = [
     "dedup_canonical_quality",
     "corpus_dedup_rate_by_source",
     "corpus_temperature_mixture",
+    "similarity_pq_recall_eval",
     # -- newest row r02 (oldest evidence; r5 window-cap spill) --
     "zorder_layout_keys",
     "join_semi_anti",
@@ -142,7 +143,6 @@ PRIORITY_WINDOW: list[str] = [
     "bbp_pi_digits",
     "sudoku_distributed",
     "pentomino_count",
-    "flagship_revenue_by_nation",
 ]
 
 # ---- 50-entry checked-window boundary ----
@@ -152,7 +152,9 @@ PRIORITY_WINDOW: list[str] = [
 # the overflow (r7 rotation head — untouched trivial scans, cheapest to
 # defer), then r04-green, then r05-green (freshest hard rows).
 PRIORITY_OVERFLOW: list[str] = [
-    # -- r03-green spill (r7 rotation head) --
+    # -- r03-green spill (r7 rotation head; flagship is also smoke-checked
+    #    every round via entry()) --
+    "flagship_revenue_by_nation",
     "above_avg_balance",
     "above_nation_avg_balance",
     "customers_without_urgent_orders",

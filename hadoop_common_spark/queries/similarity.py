@@ -649,3 +649,138 @@ def similarity_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# PQ recall eval (r6): the quantization-loss twin of
+# similarity_lsh_recall_eval — completes the measured-recall family
+# (LSH buckets, MinHash bands, PQ codes). Ground truth is EXACT squared-L2
+# top-5 (PQ approximates L2, so L2 — not cosine — is the right yardstick);
+# the approx side is the ADC pipeline similarity_pq_topk runs. A miss here
+# is purely quantization distortion (same candidate set: ADC scores every
+# non-query vector), which is exactly the number an m/dsub/ksub tuning
+# loop needs.
+_PQ_RECALL_ORACLE = f"""
+WITH samp AS (
+  SELECT embedding,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+  FROM embeddings
+  QUALIFY code < {_PQ_KSUB}
+),
+subs AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sub),
+cb AS (
+  SELECT subs.sub, samp.code,
+         samp.embedding[subs.sub*{_PQ_DSUB}+1 : (subs.sub+1)*{_PQ_DSUB}] AS centroid
+  FROM samp, subs
+),
+sv AS (
+  SELECT e.vec_id, subs.sub,
+         e.embedding[subs.sub*{_PQ_DSUB}+1 : (subs.sub+1)*{_PQ_DSUB}] AS svec
+  FROM embeddings e, subs
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT sv.vec_id, sv.sub, cb.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY sv.vec_id, sv.sub
+             ORDER BY {_pq_sqdist_sql('sv.svec', 'cb.centroid')}, cb.code
+           ) AS rk
+    FROM sv JOIN cb ON sv.sub = cb.sub
+  ) WHERE rk = 1
+),
+dtab AS (
+  SELECT q.vec_id AS query_id, cb.sub, cb.code,
+         {_pq_sqdist_sql(f"q.embedding[cb.sub*{_PQ_DSUB}+1 : (cb.sub+1)*{_PQ_DSUB}]", "cb.centroid")} AS d
+  FROM embeddings q, cb
+  WHERE q.vec_id < 10
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, adc,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rank
+    FROM (
+      SELECT dt.query_id, en.vec_id AS neighbor_id,
+             list_reduce(array_agg(dt.d ORDER BY en.sub), (x, y) -> x + y) AS adc
+      FROM enc en JOIN dtab dt ON dt.sub = en.sub AND dt.code = en.code
+      WHERE en.vec_id <> dt.query_id
+      GROUP BY dt.query_id, en.vec_id
+    )
+  ) WHERE rank <= 5
+),
+gt AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_pq_sqdist_sql('q.embedding', 'd.embedding')} ASC,
+                                       d.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings d ON d.vec_id <> q.vec_id
+    WHERE q.vec_id < 10
+  ) WHERE rank <= 5
+)
+SELECT gt.query_id,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(5.0 AS DOUBLE) AS recall
+FROM gt LEFT JOIN approx a
+  ON gt.query_id = a.query_id AND gt.neighbor_id = a.neighbor_id
+GROUP BY gt.query_id
+"""
+
+
+@query("similarity_pq_recall_eval", oracle=_PQ_RECALL_ORACLE)
+def similarity_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of PQ/ADC search vs exact squared-L2 ground
+    truth, per query — quantization distortion isolated (ADC scores the
+    same candidate universe as brute force, so every miss is a coding
+    error, not a blocking outcome). The approx side reuses the
+    similarity_pq_topk pipeline verbatim; ground truth is the exact
+    _sq_dist fold ranked with the same deterministic tiebreak. Scale:
+    ground truth is the brute-force tier (run it on a query SAMPLE at
+    production size); the ADC side stays m-lookups-per-candidate."""
+    from pyspark.sql import Window
+
+    from hadoop_common_spark.operators.pq import (
+        _sq_dist,
+        pq_adc_search,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cb = pq_codebooks(
+        emb, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_KSUB, iters=0
+    )
+    codes = pq_encode(emb, cb, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB)
+    approx = pq_adc_search(
+        queries, codes, cb, "vec_id", "embedding",
+        k=5, m=_PQ_M, dsub=_PQ_DSUB, ksub=_PQ_KSUB,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    d = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("d_vec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("sqdist"), F.asc("neighbor_id")
+    )
+    truth = (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sqdist", _sq_dist(F.col("q_vec"), F.col("d_vec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.lit(5.0).cast("double")
+            ).alias("recall"),
+        )
+    )
