@@ -80,9 +80,9 @@ _QUERY_MODULES = [
 # registry in dict order and has a bounded budget (~50 rows/round), so the
 # order is part of the evidence strategy. Round-6 rotation: every query's
 # newest driver row is now r02+ (the r01 tail closed in r5). Window = the
-# five r6 NEWCOMERS (no driver row yet — first claim), then the six
+# seven r6 NEWCOMERS (no driver row yet — first claim), then the six
 # queries whose newest row is r02 (oldest evidence; they spilled out of
-# the r5 window cap), then 39 of the 48 r03-green rows ordered
+# the r5 window cap), then 37 of the 48 r03-green rows ordered
 # most-churned-module first (similarity/dedup kernels were re-vectorized
 # in r5/r6; TPC-H subquery shapes untouched, so they sit at the boundary
 # where a budget cut costs least). Names not in either list are slotted
@@ -95,6 +95,8 @@ PRIORITY_WINDOW: list[str] = [
     "corpus_dedup_rate_by_source",
     "corpus_temperature_mixture",
     "similarity_pq_recall_eval",
+    "local_supplier_volume",
+    "forecast_revenue_change",
     # -- newest row r02 (oldest evidence; r5 window-cap spill) --
     "zorder_layout_keys",
     "join_semi_anti",
@@ -141,8 +143,6 @@ PRIORITY_WINDOW: list[str] = [
     "terasort_head",
     "random_text_wordcount",
     "bbp_pi_digits",
-    "sudoku_distributed",
-    "pentomino_count",
 ]
 
 # ---- 50-entry checked-window boundary ----
@@ -153,8 +153,11 @@ PRIORITY_WINDOW: list[str] = [
 # defer), then r04-green, then r05-green (freshest hard rows).
 PRIORITY_OVERFLOW: list[str] = [
     # -- r03-green spill (r7 rotation head; flagship is also smoke-checked
-    #    every round via entry()) --
+    #    every round via entry(); sudoku/pentomino are pure compute,
+    #    untouched since r3 — lowest-risk deferrals) --
     "flagship_revenue_by_nation",
+    "sudoku_distributed",
+    "pentomino_count",
     "above_avg_balance",
     "above_nation_avg_balance",
     "customers_without_urgent_orders",

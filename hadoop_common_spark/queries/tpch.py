@@ -691,3 +691,88 @@ def bulk_suppliers_of_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "local_supplier_volume",
+    oracle=f"""
+    SELECT n_name AS nation, {dsum_sql(REVENUE_SQL)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 proper (local supplier volume): the flagship's 4-way
+    join PLUS the supplier leg with the LOCAL constraint — the customer
+    and the line's supplier must share a nation (c_nationkey =
+    s_nationkey rides the supplier join, not a post-filter, so Catalyst
+    keeps it in the join condition). Completes the Q1-Q22 shape
+    inventory together with forecast_revenue_change (Q6). Dims
+    broadcast; the fact-side joins shuffle on their keys."""
+    orders = spark.table("orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = spark.table("lineitem")
+    cust = spark.table("customer")
+    supp = spark.table("supplier")
+    nation = spark.table("nation")
+    region = spark.table("region").filter(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(REVENUE()).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )
+
+
+@query(
+    "forecast_revenue_change",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue_delta,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan benchmark —
+    SUM(extendedprice * discount) under tight range predicates, no join,
+    no groupBy key. This is the pushdown showcase: all three predicates
+    reach the parquet scan (PushedFilters) and only the four referenced
+    columns are read (ReadSchema) — at 100 TB the query's cost IS the
+    pruned scan. Exact decimal sum keeps the single output row
+    hash-stable under any partitioning."""
+    li = spark.table("lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
