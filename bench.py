@@ -88,6 +88,10 @@ HEADLINE = [
     "text_bm25_topk",               # BM25 retrieval scoring (r3)
     "corpus_bigram_familiarity",    # bigram-LM perplexity proxy (r3)
     "graph_triangle_count",         # degree-ordered wedge pipeline (r3)
+    "dedup_containment_pairs",      # asymmetric containment sparse join (r6)
+    "dedup_canonical_quality",      # cluster argmax survivor selection (r6)
+    "forecast_revenue_change",      # pure pruned-scan benchmark (Q6, r6)
+    "local_supplier_volume",        # 6-way local-supplier join (Q5, r6)
 ]
 
 
@@ -130,6 +134,13 @@ SCALE_QUERIES = [
     # tier can demonstrate
     "dedup_minhash_recall_eval",
     "similarity_lsh_recall_eval",
+    # r6: the containment sparse join (pair-output family — the tier that
+    # exposed the 100x output bound). dedup_canonical_quality stays
+    # headline-only: its 10x cost is the generic CC's ~4 rounds of fixed
+    # job overhead (measured 23s, pairs alone 8.6s) — the CC-at-scale
+    # story is the blocked variant, already measured via
+    # corpus_semantic_dedup
+    "dedup_containment_pairs",
 ]
 
 
