@@ -90,6 +90,13 @@ HEADLINE = [
     "graph_triangle_count",         # degree-ordered wedge pipeline (r3)
     "dedup_containment_pairs",      # asymmetric containment sparse join (r6)
     "dedup_canonical_quality",      # cluster argmax survivor selection (r6)
+    "dedup_shared_span_pairs",      # exact-substring diagonal runs (r6;
+                                    # headline-only: at the 10x tier every
+                                    # replica pair shares its FULL text, so
+                                    # positional-gram matches are quadratic
+                                    # in replica multiplicity — the measured
+                                    # output bound (104s), not a plan defect;
+                                    # max_gram_df is the production knob)
     "forecast_revenue_change",      # pure pruned-scan benchmark (Q6, r6)
     "local_supplier_volume",        # 6-way local-supplier join (Q5, r6)
 ]

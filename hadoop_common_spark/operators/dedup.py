@@ -525,3 +525,88 @@ def containment_pairs(
         .filter(F.greatest("cont_a", "cont_b") >= threshold)
         .select("id_a", "id_b", "cont_a", "cont_b")
     )
+
+
+def shared_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    k: int = 16,
+    min_span: int = 32,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Longest EXACT shared character span per document pair — the
+    substring-level dedup criterion ("two examples sharing a
+    sufficiently long verbatim substring are duplicates", the
+    exact-substring rule suffix-array pipelines apply to LM training
+    data). Shingle Jaccard blurs this: a 400-char verbatim quote inside
+    two otherwise-different docs barely moves Jaccard but is exactly
+    what substring dedup must catch.
+
+    Method (diagonal runs, no suffix array needed in a relational
+    engine): positional k-grams (i, substr(text, i, k)) → equi-join on
+    (block, gram) with id_a < id_b → matches on the same DIAGONAL
+    (ia - ib constant) at CONSECUTIVE positions form runs; a shared
+    substring of length L ≥ k is exactly a run of L - k + 1 matches, so
+    max_span = max_run + k - 1 is exact, integer, and oracle-checkable.
+
+    Scale: the gram equi-join is the sparse lossless blocking (any pair
+    with a span ≥ k shares a k-gram); its skew knob is ``max_gram_df``
+    (grams appearing in more than N docs per block are excluded — spans
+    whose EVERY k-window is that hot are undetected, runs crossing a hot
+    gram split conservatively; candidate fan-out becomes bounded by
+    max_gram_df²/2 per gram). The run detection is one window over
+    (pair, diag) — partition cardinality is pairs×diagonals, never
+    corpus-sized."""
+    n_grams = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.struct(
+            i.alias("i"), F.col(text_col).substr(i, F.lit(k)).alias("g")
+        ),
+    )
+    # repartition BEFORE the per-char gram fan-out: a small corpus scans
+    # as one split and would run the (text_len × k)-byte explode on one
+    # core (measured 3s single-threaded vs 0.3s spread at sf0.1); at
+    # cluster scale the scan already has many splits and this is a cheap
+    # narrow-ish shuffle of raw text relative to the fan-out it balances.
+    # localCheckpoint: BOTH join sides read the gram table — without it
+    # the explode runs twice (same rationale as ngram_jaccard_pairs).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pg = (
+        df.repartition(par)
+        .select(F.col(block_col).alias("_blk"), F.col(id_col), F.explode(grams).alias("_x"))
+        .select("_blk", id_col, F.col("_x.i").alias("_i"), F.col("_x.g").alias("_g"))
+        .localCheckpoint(eager=False)
+    )
+    if max_gram_df is not None:
+        cold = (
+            pg.groupBy("_blk", "_g")
+            .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+            .filter(F.col("_df") <= max_gram_df)
+            .select("_blk", "_g")
+        )
+        pg = pg.join(cold, ["_blk", "_g"])
+    a = pg.select("_blk", F.col(id_col).alias("id_a"), F.col("_i").alias("_ia"), "_g")
+    b = pg.select("_blk", F.col(id_col).alias("id_b"), F.col("_i").alias("_ib"), "_g")
+    m = (
+        a.join(b, ["_blk", "_g"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ia", "_ib")
+    )
+    from pyspark.sql import Window
+
+    diag = (F.col("_ia") - F.col("_ib")).alias("_diag")
+    w = Window.partitionBy("id_a", "id_b", "_diag").orderBy("_ia")
+    runs = (
+        m.select("id_a", "id_b", "_ia", diag)
+        .withColumn("_grp", F.col("_ia") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "_diag", "_grp")
+        .agg((F.count(F.lit(1)) + F.lit(k - 1)).alias("_span"))
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(F.max("_span").cast("bigint").alias("max_span"))
+        .filter(F.col("max_span") >= min_span)
+    )

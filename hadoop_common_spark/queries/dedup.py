@@ -710,3 +710,42 @@ def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_dropped").cast("double") / F.col("n_docs").cast("double"),
         )
     )
+
+
+# Exact shared-substring spans (the suffix-array pipelines' exact-substring
+# dedup rule, relationally): positional 16-grams -> diagonal-run merge.
+_SHARED_SPAN_ORACLE = """
+WITH pg AS (
+  SELECT lang, doc_id, i, substr(text, i, 16) AS g
+  FROM documents, LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 15, 0))) AS i)
+),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS ia, b.i AS ib
+  FROM pg a JOIN pg b ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT id_a, id_b, ia - ib AS diag, ia,
+         ia - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, ia - ib ORDER BY ia) AS grp
+  FROM m
+),
+runs AS (
+  SELECT id_a, id_b, COUNT(*) + 15 AS span
+  FROM r GROUP BY id_a, id_b, diag, grp
+)
+SELECT id_a, id_b, CAST(MAX(span) AS BIGINT) AS max_span
+FROM runs GROUP BY id_a, id_b HAVING MAX(span) >= 32
+"""
+
+
+@query("dedup_shared_span_pairs", oracle=_SHARED_SPAN_ORACLE)
+def dedup_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest exact shared character span (≥ 32 chars) per document
+    pair, within lang blocks — the exact-substring dedup criterion
+    (verbatim overlap, the class shingle Jaccard under-weights). See
+    operators/dedup.shared_span_pairs for the diagonal-run method and
+    the max_gram_df skew knob (None here = exact oracle semantics)."""
+    from hadoop_common_spark.operators.dedup import shared_span_pairs
+
+    return shared_span_pairs(
+        spark.table("documents"), "doc_id", "text", "lang", k=16, min_span=32
+    )

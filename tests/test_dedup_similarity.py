@@ -904,3 +904,62 @@ def test_temperature_mixture_is_normalized(spark, sf_dir_med):
     lo = min(rows, key=lambda r: r.n_tokens)
     if hi.n_tokens > lo.n_tokens:
         assert hi.boost < lo.boost  # big sources damped, small boosted
+
+
+def test_shared_span_exact_length(spark):
+    """Diagonal-run span detection is EXACT: a planted 40-char verbatim
+    overlap reports max_span == 40; disjoint docs never pair; an overlap
+    shorter than k (16) is invisible; a repeated substring inside one doc
+    does not inflate the pair's span."""
+    from hadoop_common_spark.operators.dedup import shared_span_pairs
+
+    shared = "abcdefghijklmnopqrstuvwxyz0123456789ABCD"  # 40 chars
+    assert len(shared) == 40
+    d1 = "PREFIXONE." + shared + ",suffix one tail"
+    d2 = "totally different start:" + shared + ";another ending"
+    d3 = "no overlap here at all, nothing shared with others"
+    d4 = "short " + shared[:10] + " bit"          # 10 < k — invisible
+    docs = spark.createDataFrame(
+        [(1, d1, "en"), (2, d2, "en"), (3, d3, "en"), (4, d4, "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.max_span
+        for r in shared_span_pairs(
+            docs, "doc_id", "text", "lang", k=16, min_span=32
+        ).collect()
+    }
+    assert got == {(1, 2): 40}
+
+
+def test_shared_span_hot_gram_cap(spark):
+    """max_gram_df: a gram present in every doc is excluded from
+    discovery — the pair whose ONLY overlap rides that hot gram drops,
+    while a pair with a cold long span keeps its exact length."""
+    from hadoop_common_spark.operators.dedup import shared_span_pairs
+
+    hot = "HOTHOTHOTHOTHOTHOT"  # 18 chars -> 3 grams, shared by all
+    cold = "coldspan_unique_0123456789_zzz_end"  # 34 chars
+    docs = spark.createDataFrame(
+        [
+            (1, f"aaa.{hot}:one." + cold, "en"),
+            (2, f"bbbbb,{hot};two:" + cold, "en"),
+            (3, f"cc'{hot}" + '"three', "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    uncapped = {
+        (r.id_a, r.id_b): r.max_span
+        for r in shared_span_pairs(
+            docs, "doc_id", "text", "lang", k=16, min_span=16
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.max_span
+        for r in shared_span_pairs(
+            docs, "doc_id", "text", "lang", k=16, min_span=16, max_gram_df=2
+        ).collect()
+    }
+    assert (1, 3) in uncapped and (2, 3) in uncapped
+    assert (1, 3) not in capped and (2, 3) not in capped  # hot-only overlap
+    assert capped[(1, 2)] == uncapped[(1, 2)] == len(cold)
