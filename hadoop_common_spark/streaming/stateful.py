@@ -50,3 +50,97 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def transform_with_state_available() -> bool:
+    """transformWithState's driver-side state-schema worker imports
+    google.protobuf (Spark Connect proto plumbing) even in classic mode;
+    a runtime without it crashes the query at schema validation. Probe
+    once so callers (and tests) can fall back to
+    applyInPandasWithState instead of failing mid-stream."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def distinct_event_types_tws(events: DataFrame) -> DataFrame:
+    """Per-user DISTINCT event-type count as a transformWithState
+    operator (the Spark 4.x arbitrary-state API, successor to
+    applyInPandasWithState): state is one MapState keyed by event type —
+    the state store holds each (user, type) entry once, so an update
+    touches only the arriving keys instead of rewriting a whole
+    serialized set per batch (the applyInPandasWithState pattern above
+    must round-trip its entire state value every time). Emits the
+    running distinct count per user each batch; with an availableNow
+    drain over a static source this equals the batch
+    count_distinct(event_type) — pinned in pytest (skipped where the
+    runtime lacks protobuf — see transform_with_state_available; the
+    applyInPandasWithState twin below is the no-protobuf fallback).
+
+    Scale: state is partitioned by user in the state store (RocksDB on a
+    cluster); per-batch work is Arrow-shipped rows for the touched keys
+    only. Unbounded type cardinality would call for a TTL
+    (getMapState(ttlDurationMs=...)); event_type is a bounded enum here.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class DistinctTypes(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getMapState("seen", "t string", "one tinyint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                for t in pdf["event_type"].dropna().unique():
+                    self._seen.updateValue((str(t),), (1,))
+            n = sum(1 for _ in self._seen.keys())
+            yield pd.DataFrame({"user_id": [key[0]], "n_types": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            DistinctTypes(),
+            outputStructType="user_id BIGINT, n_types BIGINT",
+            outputMode="update",
+            timeMode="none",
+        )
+    )
+
+
+def distinct_event_types_state(events: DataFrame) -> DataFrame:
+    """No-protobuf twin of :func:`distinct_event_types_tws` on the
+    applyInPandasWithState API: state = the sorted distinct-type array
+    per user (round-tripped whole each batch — the serialization cost
+    the MapState form avoids; acceptable for a bounded enum). Identical
+    output contract: (user_id, n_types) per touched user per batch."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            seen.update(str(t) for t in pdf["event_type"].dropna().unique())
+        state.update((sorted(seen),))
+        yield pd.DataFrame({"user_id": [user_id], "n_types": [len(seen)]})
+
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id BIGINT, n_types BIGINT",
+            stateStructType="seen array<string>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -489,3 +489,70 @@ def test_streaming_neardup_candidates_match_batch(spark, sf_dir, tmp_path):
     # self-matches are excluded; the synthetic corpus has real near-dups
     assert len(got) > 0
     assert all(r["stream_id"] != r["corpus_id"] for r in rows)
+
+
+def test_transform_with_state_distinct_types_matches_batch(spark, sf_dir):
+    """transformWithState (Spark 4.x arbitrary-state API): an
+    availableNow drain of the MapState-backed distinct-type counter must
+    equal batch count_distinct per user. outputMode=update emits a row
+    per (batch, touched user); the LAST row per user is the final state.
+    Skipped where the runtime lacks protobuf (the TWS driver worker
+    imports it); the applyInPandasWithState twin below covers that."""
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.streaming.stateful import (
+        distinct_event_types_tws,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf unavailable: TWS driver worker cannot start")
+
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        distinct_event_types_tws(stream)
+        .writeStream.format("memory")
+        .queryName("t_tws_distinct")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # single-source availableNow drain → one batch → one row per user
+    got = {r.user_id: r.n_types for r in spark.table("t_tws_distinct").collect()}
+    batch = {
+        r.user_id: r.n
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("n"))
+        .collect()
+    }
+    assert got == batch
+
+
+def test_apply_in_pandas_with_state_distinct_types_matches_batch(spark, sf_dir):
+    """The applyInPandasWithState twin (runs on any runtime): availableNow
+    drain equals batch count_distinct per user."""
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.streaming.stateful import distinct_event_types_state
+
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        distinct_event_types_state(stream)
+        .writeStream.format("memory")
+        .queryName("t_state_distinct")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.user_id: r.n_types for r in spark.table("t_state_distinct").collect()}
+    batch = {
+        r.user_id: r.n
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("n"))
+        .collect()
+    }
+    assert got == batch
