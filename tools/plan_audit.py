@@ -55,6 +55,7 @@ _add(
     "query set (10 probe vectors), so the nested loop is 10×N, not N²",
     "similarity_cosine_topk",
     "similarity_lsh_recall_eval",
+    "similarity_pq_recall_eval",
 )
 _add(
     "cartesian",
@@ -83,6 +84,7 @@ _add(
     "corpus_quality_bins",
     "corpus_incremental_ingest",
     "zorder_layout_keys",
+    "corpus_temperature_mixture",
 )
 _add(
     "cartesian",
