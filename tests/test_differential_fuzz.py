@@ -161,8 +161,11 @@ def test_random_pipeline_matches_duckdb(spark, sf_dir, seed):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-        if spark.catalog.tableExists(t) is False:
-            spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        # ALWAYS re-register: an earlier test may have left a temp view of
+        # the same name pointing at a different SF (registry queries call
+        # register_views with their own sf_dir) — a tableExists guard then
+        # compares Spark-on-sf0.01 against DuckDB-on-sf0.001
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
     sdf = build(spark)
     srows = _rowset(sdf.columns, [tuple(r) for r in sdf.collect()], _norm)
