@@ -99,6 +99,7 @@ HEADLINE = [
                                     # max_gram_df is the production knob)
     "forecast_revenue_change",      # pure pruned-scan benchmark (Q6, r6)
     "local_supplier_volume",        # 6-way local-supplier join (Q5, r6)
+    "events_close_pairs",           # binned range self-join (r6)
 ]
 
 
@@ -148,6 +149,9 @@ SCALE_QUERIES = [
     # story is the blocked variant, already measured via
     # corpus_semantic_dedup
     "dedup_containment_pairs",
+    # r6: the binned range self-join — bin occupancy must bound the
+    # fan-out as events grow (3.3s at 10x on landing)
+    "events_close_pairs",
 ]
 
 

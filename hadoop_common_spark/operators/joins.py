@@ -198,3 +198,62 @@ def asof_join(
         out.filter(F.col("_side") == 1)
         .drop("_ts", "_side", "_m", "_tie", *right_value_cols)
     )
+
+
+def range_self_join_binned(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    width: float,
+    block_cols: list[str] | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Self range join — all pairs with ``|value_a - value_b| <= width``
+    (within optional block columns), WITHOUT the theta-join nested loop.
+
+    Spark plans a bare ``|a.v - b.v| <= w`` predicate as a
+    BroadcastNestedLoopJoin / cartesian — O(N²) probes, dead at scale.
+    The standard relational fix is BINNING: bucket each row at
+    ``floor(value / width)``; any qualifying pair's bins differ by at
+    most 1, so probing (bin-1, bin, bin+1) — implemented as a 3-way
+    explode on ONE side only — turns the range predicate into an
+    equi-join Catalyst hash-partitions, then the exact |Δ| <= width
+    filter prunes false bin neighbors. Fan-out is 3× one side + bin
+    occupancy, never N².
+
+    Emits (id_a < id_b, value_a, value_b) with each qualifying pair
+    exactly once: the probe side explodes to 3 bins, the build side
+    keeps its own bin, so a pair matches on exactly one (probe_bin ==
+    build_bin) row.
+
+    Scale notes: bin occupancy is the skew knob (width too large →
+    hot bins; split width or salt within bins); block_cols (user, key,
+    partition) bound the join the same way lang blocks bound the text
+    joins. This is the batch form of the stream-stream interval join
+    (streaming/jobs.view_click_attribution_stream) — same binning idea
+    Spark's watermarked symmetric hash join applies in time."""
+    blocks = list(block_cols or [])
+    v = F.col(value_col).cast("double")
+    base = df.select(
+        *blocks, F.col(id_col), v.alias("_v"), F.floor(v / F.lit(width)).alias("_bin")
+    )
+    probe = base.select(
+        *blocks,
+        F.col(id_col).alias(id_a),
+        F.col("_v").alias("_va"),
+        F.explode(
+            F.array(F.col("_bin") - 1, F.col("_bin"), F.col("_bin") + 1)
+        ).alias("_bin"),
+    )
+    build = base.select(
+        *blocks, F.col(id_col).alias(id_b), F.col("_v").alias("_vb"), "_bin"
+    )
+    return (
+        probe.join(build, blocks + ["_bin"])
+        .filter(
+            (F.col(id_a) < F.col(id_b))
+            & (F.abs(F.col("_va") - F.col("_vb")) <= F.lit(float(width)))
+        )
+        .select(id_a, id_b, F.col("_va").alias("value_a"), F.col("_vb").alias("value_b"))
+    )

@@ -805,3 +805,38 @@ def events_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         dsum("value").alias("sum_value"),
     )
+
+
+# Binned range self-join (r6): the interval-join class Spark plans as a
+# nested loop unless you bin it — see operators/joins.range_self_join_binned.
+_CLOSE_PAIRS_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+)
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       CAST(a.sec AS DOUBLE) AS value_a, CAST(b.sec AS DOUBLE) AS value_b
+FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
+WHERE ABS(a.sec - b.sec) <= 300
+"""
+
+
+@query("events_close_pairs", oracle=_CLOSE_PAIRS_ORACLE)
+def events_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All per-user event pairs within 5 minutes of each other — the
+    range self-join done as a BINNED equi-join (floor(sec/300) buckets,
+    3-bin probe explode, exact |Δ| filter) instead of the
+    BroadcastNestedLoopJoin a bare theta predicate would plan. The
+    burst-detection primitive (rapid-fire actions, fraud windows,
+    co-occurring telemetry) at any scale: fan-out is 3× one side plus
+    bin occupancy, never N² — the same binning idea the stream-stream
+    interval join applies in time. Plan-pinned: no nested loop."""
+    from hadoop_common_spark.operators.joins import range_self_join_binned
+
+    e = spark.table("events").select(
+        # CAST(ts AS LONG) floors to seconds exactly like the oracle's
+        # floor(epoch(ts)) — the module-wide EPOCH convention
+        "event_id", "user_id", F.col("ts").cast("long").alias("sec")
+    )
+    return range_self_join_binned(
+        e, "event_id", "sec", width=300.0, block_cols=["user_id"]
+    )

@@ -829,3 +829,40 @@ def test_capped_self_join_pairs(spark):
         for r in capped_self_join_pairs(df, ["bk"], "vid", max_bucket_size=1000).collect()
     }
     assert wide == full
+
+
+def test_range_self_join_binned_equals_theta(spark):
+    """The binned range self-join must equal the naive theta form on any
+    input — including pairs whose bins differ by one (the boundary the
+    3-bin probe exists for) and exact-width deltas (<= is inclusive)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.operators.joins import range_self_join_binned
+
+    rows = [
+        (1, "u", 0.0), (2, "u", 9.9), (3, "u", 10.0), (4, "u", 25.0),
+        (5, "u", 30.1), (6, "v", 10.0), (7, "v", 100.0), (8, "v", 110.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    got = {
+        (r.id_a, r.id_b)
+        for r in range_self_join_binned(
+            df, "id", "v", width=10.0, block_cols=["grp"]
+        ).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    naive = {
+        (r.id_a, r.id_b)
+        for r in a.join(
+            b,
+            (F.col("a.grp") == F.col("b.grp"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.abs(F.col("a.v") - F.col("b.v")) <= 10.0),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .collect()
+    }
+    assert got == naive
+    assert (7, 8) in got        # exact-width delta is inclusive
+    assert (2, 3) in got        # bins 0 and 1 — cross-bin neighbor found
+    assert not any({6, 7} == {x, y} for x, y in got)  # 90 apart: excluded

@@ -452,3 +452,15 @@ def test_static_antipattern_sweep():
         assert "F.udf(" not in text and "functions.udf(" not in text, (
             f"row-at-a-time python UDF in {rel}"
         )
+
+
+def test_close_pairs_binned_no_nested_loop(spark, sf_dir, registry):
+    """events_close_pairs: the |Δts| <= w predicate must ride the binned
+    equi-join (hash join on user_id + bin), never a
+    BroadcastNestedLoopJoin/cartesian — the shape a bare theta range
+    predicate would plan, O(N²) at scale."""
+    df = registry["events_close_pairs"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_bin" in plan  # the range rides the bin equi-key
