@@ -478,6 +478,7 @@ def containment_pairs(
     block_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """ASYMMETRIC containment pairs within a blocking column: for every
     pair sharing >=1 shingle, ``cont_a = |A∩B| / |A|`` and ``cont_b =
@@ -491,10 +492,16 @@ def containment_pairs(
     Same sparse-similarity-join scaling argument as
     :func:`ngram_jaccard_pairs`: any pair with containment > 0 shares a
     shingle, so the (block, shingle) equi-join is a LOSSLESS blocking —
-    no all-pairs scan at any corpus size; per-gram fan-out is the skew
-    knob (cap hot grams upstream if needed). Zero-shingle docs can never
-    reach the threshold and are excluded on BOTH engines (their pairs
-    never materialize in the sparse form).
+    no all-pairs scan at any corpus size. ``max_shingle_df`` is the
+    skew/volume knob (MANDATORY at heavy near-dup density — the 100×
+    replica study OOMed the uncapped form exactly like the banded joins
+    before their occupancy caps): shingles in more than N docs per block
+    are excluded from candidate DISCOVERY only; surviving pairs are
+    re-verified with exact full-set intersections, so every emitted
+    containment is exact — only pairs whose shared shingles are ALL hot
+    are lost. None (default) keeps the exact single-pass oracle
+    semantics. Zero-shingle docs can never reach the threshold and are
+    excluded on BOTH engines.
     """
     docsh = (
         df.select(
@@ -506,6 +513,35 @@ def containment_pairs(
         .localCheckpoint(eager=False)
     )
     sh = docsh.select("_blk", id_col, F.explode("_shs").alias("_sh"))
+
+    if max_shingle_df is not None:
+        cold = (
+            sh.groupBy("_blk", "_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("_blk", "_sh")
+        )
+        sh_cold = sh.join(cold, ["_blk", "_sh"])
+        a = sh_cold.select(F.col("_blk"), F.col(id_col).alias("id_a"), "_sh")
+        b = sh_cold.select(F.col("_blk"), F.col(id_col).alias("id_b"), "_sh")
+        cand = (
+            a.join(b, ["_blk", "_sh"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        xa = docsh.select(F.col(id_col).alias("id_a"), F.col("_shs").alias("_sa"))
+        xb = docsh.select(F.col(id_col).alias("id_b"), F.col("_shs").alias("_sb"))
+        inter_sz = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+        return (
+            cand.join(xa, "id_a")
+            .join(xb, "id_b")
+            .withColumn("cont_a", inter_sz / F.size("_sa").cast("double"))
+            .withColumn("cont_b", inter_sz / F.size("_sb").cast("double"))
+            .filter(F.greatest("cont_a", "cont_b") >= threshold)
+            .select("id_a", "id_b", "cont_a", "cont_b")
+        )
+
     sizes = docsh.select(F.col(id_col), F.size("_shs").alias("_n"))
     a = sh.select(F.col("_blk"), F.col(id_col).alias("id_a"), "_sh")
     b = sh.select(F.col("_blk"), F.col(id_col).alias("id_b"), "_sh")

@@ -963,3 +963,32 @@ def test_shared_span_hot_gram_cap(spark):
     assert (1, 3) in uncapped and (2, 3) in uncapped
     assert (1, 3) not in capped and (2, 3) not in capped  # hot-only overlap
     assert capped[(1, 2)] == uncapped[(1, 2)] == len(cold)
+
+
+def test_containment_hot_shingle_cap(spark):
+    """containment max_shingle_df: capped discovery, exact scores —
+    survivors keep their uncapped containment values; a pair whose only
+    overlap is hot drops."""
+    from hadoop_common_spark.operators.dedup import containment_pairs
+
+    hot = "every doc shares this"       # 2 shingles, in all docs
+    docs = spark.createDataFrame(
+        [
+            (1, f"{hot} alpha beta gamma delta epsilon", "en"),
+            (2, f"{hot} alpha beta gamma delta zeta", "en"),
+            (3, f"{hot} totally different tail words", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    un = {
+        (r.id_a, r.id_b): (r.cont_a, r.cont_b)
+        for r in containment_pairs(docs, "doc_id", "text", "lang", threshold=0.3).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): (r.cont_a, r.cont_b)
+        for r in containment_pairs(
+            docs, "doc_id", "text", "lang", threshold=0.3, max_shingle_df=2
+        ).collect()
+    }
+    assert (1, 2) in capped and capped[(1, 2)] == un[(1, 2)]  # exact verify
+    assert all(3 not in p for p in capped)  # hot-only overlap dropped
