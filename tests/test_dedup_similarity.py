@@ -992,3 +992,43 @@ def test_containment_hot_shingle_cap(spark):
     }
     assert (1, 2) in capped and capped[(1, 2)] == un[(1, 2)]  # exact verify
     assert all(3 not in p for p in capped)  # hot-only overlap dropped
+
+
+def test_shared_span_matches_python_lcs_bulk(spark):
+    """Randomized bulk exactness: shared_span_pairs(k=4) must equal a
+    Python longest-common-substring brute force on every pair — planted
+    fragments, random tails, repeated substrings, short docs, all in one
+    Spark job (hypothesis-style coverage without per-example job cost)."""
+    import random
+    from difflib import SequenceMatcher
+
+    rng = random.Random(99)
+    frags = ["".join(rng.choice("abcd") for _ in range(rng.randrange(6, 18))) for _ in range(6)]
+
+    def mk_doc():
+        parts = ["".join(rng.choice("abcdefgh") for _ in range(rng.randrange(0, 10)))]
+        for _ in range(rng.randrange(0, 3)):
+            parts.append(rng.choice(frags))
+            parts.append("".join(rng.choice("abcdefgh") for _ in range(rng.randrange(0, 10))))
+        return "".join(parts)
+
+    docs = [(i, mk_doc(), "x") for i in range(40)]
+    k, min_span = 4, 6
+    from hadoop_common_spark.operators.dedup import shared_span_pairs
+
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {
+        (r.id_a, r.id_b): r.max_span
+        for r in shared_span_pairs(
+            df, "doc_id", "text", "lang", k=k, min_span=min_span
+        ).collect()
+    }
+    want = {}
+    for i, (ia, ta, _) in enumerate(docs):
+        for ib, tb, _ in docs[i + 1 :]:
+            m = SequenceMatcher(None, ta, tb, autojunk=False).find_longest_match(
+                0, len(ta), 0, len(tb)
+            )
+            if m.size >= min_span:
+                want[(ia, ib)] = m.size
+    assert got == want
