@@ -100,6 +100,7 @@ HEADLINE = [
     "forecast_revenue_change",      # pure pruned-scan benchmark (Q6, r6)
     "local_supplier_volume",        # 6-way local-supplier join (Q5, r6)
     "events_close_pairs",           # binned range self-join (r6)
+    "corpus_ngram_novelty",         # corpus-wide first-seen gram aggregation (r6)
 ]
 
 
@@ -152,6 +153,10 @@ SCALE_QUERIES = [
     # r6: the binned range self-join — bin occupancy must bound the
     # fan-out as events grow (3.3s at 10x on landing)
     "events_close_pairs",
+    # r6: novelty is the aggregate that must stay LINEAR where the pair
+    # tiers hit their output bound (5.3s at 10x after dropping the
+    # gram-keyed join back)
+    "corpus_ngram_novelty",
 ]
 
 

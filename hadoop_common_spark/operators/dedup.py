@@ -611,7 +611,12 @@ def shared_span_pairs(
     # the explode runs twice (same rationale as ngram_jaccard_pairs).
     par = df.sparkSession.sparkContext.defaultParallelism
     pg = (
-        df.repartition(par)
+        # length >= k filter FIRST: Spark's sequence(1, 0) yields [1, 0]
+        # (descending auto-step) for sub-k docs — spurious short "grams"
+        # the oracle's empty generate_series never produces; sub-k docs
+        # cannot reach any span >= k anyway
+        df.filter(F.length(F.col(text_col)) >= k)
+        .repartition(par)
         .select(F.col(block_col).alias("_blk"), F.col(id_col), F.explode(grams).alias("_x"))
         .select("_blk", id_col, F.col("_x.i").alias("_i"), F.col("_x.g").alias("_g"))
         .localCheckpoint(eager=False)

@@ -80,9 +80,9 @@ _QUERY_MODULES = [
 # registry in dict order and has a bounded budget (~50 rows/round), so the
 # order is part of the evidence strategy. Round-6 rotation: every query's
 # newest driver row is now r02+ (the r01 tail closed in r5). Window = the
-# nine r6 NEWCOMERS (no driver row yet — first claim), then the six
+# ten r6 NEWCOMERS (no driver row yet — first claim), then the six
 # queries whose newest row is r02 (oldest evidence; they spilled out of
-# the r5 window cap), then 35 of the 48 r03-green rows ordered
+# the r5 window cap), then 34 of the 48 r03-green rows ordered
 # most-churned-module first (similarity/dedup kernels were re-vectorized
 # in r5/r6; TPC-H subquery shapes untouched, so they sit at the boundary
 # where a budget cut costs least). Names not in either list are slotted
@@ -99,6 +99,7 @@ PRIORITY_WINDOW: list[str] = [
     "forecast_revenue_change",
     "dedup_shared_span_pairs",
     "events_close_pairs",
+    "corpus_ngram_novelty",
     # -- newest row r02 (oldest evidence; r5 window-cap spill) --
     "zorder_layout_keys",
     "join_semi_anti",
@@ -142,7 +143,6 @@ PRIORITY_WINDOW: list[str] = [
     "multimodal_audio_features",
     "multimodal_resize_plan",
     "pivot_status_priority",
-    "terasort_head",
 ]
 
 # ---- 50-entry checked-window boundary ----
@@ -160,6 +160,7 @@ PRIORITY_OVERFLOW: list[str] = [
     "pentomino_count",
     "bbp_pi_digits",
     "random_text_wordcount",
+    "terasort_head",
     "above_avg_balance",
     "above_nation_avg_balance",
     "customers_without_urgent_orders",

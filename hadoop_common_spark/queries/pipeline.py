@@ -822,3 +822,83 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             (weight / raw_share).alias("boost"),
         )
     )
+
+
+# N-gram novelty (r6): how much of each document is FIRST-SEEN text vs
+# text already present earlier in the corpus (doc_id order = ingestion
+# order). The diversity/memorization dashboard number: a crawl whose
+# novelty curve collapses is re-crawling itself.
+_NOVELTY_ORACLE = """
+WITH pg AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, substr(text, i, 8) AS g
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 7, 0))) AS i)
+  )
+),
+first_seen AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM pg GROUP BY g
+)
+SELECT pg.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN fs.first_doc = pg.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN fs.first_doc = pg.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM pg JOIN first_seen fs ON pg.g = fs.g
+GROUP BY pg.doc_id
+"""
+
+
+@query("corpus_ngram_novelty", oracle=_NOVELTY_ORACLE)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 8-gram novelty: the fraction of a doc's DISTINCT
+    character 8-grams whose corpus-wide first occurrence (min doc_id —
+    ingestion order) is this doc. Streams' diversity health metric: near
+    1.0 = fresh text, near 0.0 = the corpus already contains this
+    content (the aggregate view of what the dedup pair tiers report
+    pairwise). Scale: one explode → per-gram min() (map-side combined,
+    one shuffle on the gram) → join back on the gram → per-doc count
+    aggregate; no pair materialization anywhere, so cost is linear in
+    corpus gram volume regardless of duplication density — this is the
+    query that STAYS cheap at 100× where pair reporting hits its output
+    bound. Docs shorter than 8 chars have no grams and produce no row
+    (both engines)."""
+    docs = spark.table("documents")
+    par = spark.sparkContext.defaultParallelism
+    k = 8
+    n_grams = F.greatest(F.length(F.col("text")) - (k - 1), F.lit(0))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.col("text").substr(i, F.lit(k)),
+        )
+    )
+    pg = (
+        # sub-8-char docs: Spark sequence(1, 0) = [1, 0] (descending) —
+        # filter them out to match the oracle's empty generate_series
+        docs.filter(F.length("text") >= k)
+        .repartition(par)
+        .select("doc_id", F.explode(grams).alias("_g"))
+        .localCheckpoint(eager=False)
+    )
+    # NO gram-keyed join back (the naive form re-shuffles every gram a
+    # second time — measured 1.5x slower at 10x): a doc's novel-gram
+    # count is just how many grams have first_doc == doc, i.e. a second
+    # tiny aggregate OVER the per-gram min rows; both remaining joins
+    # are doc-keyed (corpus-doc-count sized, not gram sized)
+    totals = pg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = (
+        pg.groupBy("_g")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    return (
+        totals.join(novel, "doc_id", "left")
+        .withColumn("n_novel", F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint"))
+        .withColumn(
+            "novelty",
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+        )
+        .select("doc_id", "n_grams", "n_novel", "novelty")
+    )

@@ -1032,3 +1032,24 @@ def test_shared_span_matches_python_lcs_bulk(spark):
             if m.size >= min_span:
                 want[(ia, ib)] = m.size
     assert got == want
+
+
+def test_shared_span_sub_k_docs_excluded(spark):
+    """Docs shorter than k must produce NO grams (Spark's sequence(1,0)
+    is [1,0] descending — without the length guard two identical sub-k
+    docs would fabricate a span >= k)."""
+    from hadoop_common_spark.operators.dedup import shared_span_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "same-short", "en"), (2, "same-short", "en"),
+         (3, "x" * 40 + "SHAREDSPAN" * 4, "en"), (4, "y" * 7 + "SHAREDSPAN" * 4, "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.max_span
+        for r in shared_span_pairs(
+            docs, "doc_id", "text", "lang", k=16, min_span=16
+        ).collect()
+    }
+    assert (1, 2) not in got          # sub-k identical docs: no fabricated span
+    assert got[(3, 4)] == 40          # real shared 40-char span still exact
