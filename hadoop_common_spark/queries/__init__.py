@@ -80,9 +80,9 @@ _QUERY_MODULES = [
 # registry in dict order and has a bounded budget (~50 rows/round), so the
 # order is part of the evidence strategy. Round-6 rotation: every query's
 # newest driver row is now r02+ (the r01 tail closed in r5). Window = the
-# ten r6 NEWCOMERS (no driver row yet — first claim), then the six
+# eleven r6 NEWCOMERS (no driver row yet — first claim), then the six
 # queries whose newest row is r02 (oldest evidence; they spilled out of
-# the r5 window cap), then 34 of the 48 r03-green rows ordered
+# the r5 window cap), then 33 of the 48 r03-green rows ordered
 # most-churned-module first (similarity/dedup kernels were re-vectorized
 # in r5/r6; TPC-H subquery shapes untouched, so they sit at the boundary
 # where a budget cut costs least). Names not in either list are slotted
@@ -100,6 +100,7 @@ PRIORITY_WINDOW: list[str] = [
     "dedup_shared_span_pairs",
     "events_close_pairs",
     "corpus_ngram_novelty",
+    "similarity_matryoshka_recall_eval",
     # -- newest row r02 (oldest evidence; r5 window-cap spill) --
     "zorder_layout_keys",
     "join_semi_anti",
@@ -142,7 +143,6 @@ PRIORITY_WINDOW: list[str] = [
     "lineitem_unpivot_measures",
     "multimodal_audio_features",
     "multimodal_resize_plan",
-    "pivot_status_priority",
 ]
 
 # ---- 50-entry checked-window boundary ----
@@ -161,6 +161,7 @@ PRIORITY_OVERFLOW: list[str] = [
     "bbp_pi_digits",
     "random_text_wordcount",
     "terasort_head",
+    "pivot_status_priority",
     "above_avg_balance",
     "above_nation_avg_balance",
     "customers_without_urgent_orders",

@@ -784,3 +784,78 @@ def similarity_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# Matryoshka / truncated-dimension recall eval (r6): how much recall@5
+# survives searching on only the first PREFIX_DIM coordinates — the
+# index-shrinking question MRL-style embeddings ask (store/search the
+# prefix, re-rank with the full vector). Fourth member of the measured-
+# recall family (LSH buckets, MinHash bands, PQ codes, now dim prefixes).
+_MATRYOSHKA_DIM = 16
+
+_MATRYOSHKA_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+),
+d AS (
+  SELECT vec_id AS neighbor_id, embedding AS d_vec FROM embeddings
+),
+gt AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {cosine_sql('q_vec', 'd_vec')} DESC, neighbor_id ASC) AS rank
+    FROM d, q WHERE neighbor_id <> query_id
+  ) WHERE rank <= 5
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {cosine_sql(f'q_vec[1:{_MATRYOSHKA_DIM}]', f'd_vec[1:{_MATRYOSHKA_DIM}]')} DESC,
+                                       neighbor_id ASC) AS rank
+    FROM d, q WHERE neighbor_id <> query_id
+  ) WHERE rank <= 5
+)
+SELECT gt.query_id,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(5.0 AS DOUBLE) AS recall
+FROM gt LEFT JOIN approx a
+  ON gt.query_id = a.query_id AND gt.neighbor_id = a.neighbor_id
+GROUP BY gt.query_id
+"""
+
+
+@query("similarity_matryoshka_recall_eval", oracle=_MATRYOSHKA_ORACLE)
+def similarity_matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of TRUNCATED-dimension cosine search (first 16
+    of 64 coordinates) vs full-dimension ground truth, per query — the
+    matryoshka-embedding question: can the index store 4× less and
+    re-rank later? Both sides are the same brute-force plan (broadcast
+    bounded query set); the only difference is the slice, so the recall
+    number isolates dimensionality loss exactly. Scale: at production
+    size the prefix side is the ANN index (slice BEFORE indexing —
+    storage and bandwidth shrink 4×); the eval runs on a query sample."""
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = cosine_topk_bruteforce(
+        emb, queries, "vec_id", "embedding", k=5
+    ).select("query_id", "neighbor_id")
+    sliced = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, _MATRYOSHKA_DIM).alias("embedding")
+    )
+    approx = cosine_topk_bruteforce(
+        sliced, sliced.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.lit(5.0).cast("double")
+            ).alias("recall"),
+        )
+    )

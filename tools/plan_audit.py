@@ -56,6 +56,7 @@ _add(
     "similarity_cosine_topk",
     "similarity_lsh_recall_eval",
     "similarity_pq_recall_eval",
+    "similarity_matryoshka_recall_eval",
 )
 _add(
     "cartesian",
