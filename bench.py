@@ -101,6 +101,10 @@ HEADLINE = [
     "local_supplier_volume",        # 6-way local-supplier join (Q5, r6)
     "events_close_pairs",           # binned range self-join (r6)
     "corpus_ngram_novelty",         # corpus-wide first-seen gram aggregation (r6)
+    "corpus_dsir_weights",          # hashed-ngram importance weights (r6 cont.)
+    "text_inverted_index",          # skew-safe postings heads (r6 cont.)
+    "corpus_weighted_sample",       # A-ES sample w/o replacement (r6 cont.)
+    "text_pmi_pairs",               # zip_with windowed collocations (r6 cont.)
 ]
 
 
@@ -157,6 +161,11 @@ SCALE_QUERIES = [
     # tiers hit their output bound (5.3s at 10x after dropping the
     # gram-keyed join back)
     "corpus_ngram_novelty",
+    # r6 continuation: DSIR is the bounded-dictionary broadcast pattern
+    # (4096-row dict however big the corpus) and PMI is the map-side
+    # zip_with pair generator — both must stay linear at 10x
+    "corpus_dsir_weights",
+    "text_pmi_pairs",
 ]
 
 

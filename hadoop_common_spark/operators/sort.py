@@ -115,3 +115,22 @@ def global_row_number(
         .withColumn(pos_col, (F.col("_off") + F.col("_rn")).cast("bigint"))
         .drop("_blk", "_blk2", "_rn", "_off")
     )
+
+
+def weighted_sample_keys(
+    weight_col: Column, id_col: Column, salt: str = "ws:"
+) -> Column:
+    """A-ES key (Efraimidis & Spirakis) for distributed weighted
+    sampling WITHOUT replacement: key = ln(u) / w with u a deterministic
+    md5-derived uniform in (0, 1] — taking the k LARGEST keys is an
+    exact weighted sample (equivalent to u^(1/w), in log space to avoid
+    pow). Deterministic: u comes from the row's id + salt, so the
+    sample is reproducible and resumable — rerunning a failed stage
+    picks the same rows, and comparisons are per-row arithmetic only
+    (no cross-row float accumulation). Selection via ``top_k`` is
+    TakeOrderedAndProject: per-partition heaps, no global sort — the
+    only scalable form of 'sample 1M docs from 100 TB by token-weight'."""
+    from hadoop_common_spark.operators.dedup import hash60
+
+    u = (hash60(F.concat(F.lit(salt), id_col.cast("string"))) + 1.0) / float(1 << 60)
+    return F.log(u) / weight_col.cast("double")

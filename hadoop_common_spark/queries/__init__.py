@@ -90,6 +90,10 @@ _QUERY_MODULES = [
 # never silently pushed out of the checked window.
 PRIORITY_WINDOW: list[str] = [
     # -- r6 NEWCOMERS: no driver row yet --
+    "corpus_dsir_weights",
+    "text_inverted_index",
+    "corpus_weighted_sample",
+    "text_pmi_pairs",
     "dedup_containment_pairs",
     "dedup_canonical_quality",
     "corpus_dedup_rate_by_source",
@@ -139,10 +143,6 @@ PRIORITY_WINDOW: list[str] = [
     "corpus_stratified_sample",
     "corpus_split_leakage",
     "corpus_chunk_overlap",
-    "orders_scd2_intervals",
-    "lineitem_unpivot_measures",
-    "multimodal_audio_features",
-    "multimodal_resize_plan",
 ]
 
 # ---- 50-entry checked-window boundary ----
@@ -152,6 +152,12 @@ PRIORITY_WINDOW: list[str] = [
 # the overflow (r7 rotation head — untouched trivial scans, cheapest to
 # defer), then r04-green, then r05-green (freshest hard rows).
 PRIORITY_OVERFLOW: list[str] = [
+    # -- displaced from the r6 window by the 4 continuation newcomers;
+    #    r7 rotation head together with the r03 spill below --
+    "orders_scd2_intervals",
+    "lineitem_unpivot_measures",
+    "multimodal_audio_features",
+    "multimodal_resize_plan",
     # -- r03-green spill (r7 rotation head; flagship is also smoke-checked
     #    every round via entry(); sudoku/pentomino are pure compute,
     #    untouched since r3 — lowest-risk deferrals) --

@@ -902,3 +902,171 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_grams", "n_novel", "novelty")
     )
+
+
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw document
+# by how much its hashed n-gram feature distribution looks like a target
+# (high-quality) subset vs the raw corpus. The selection pass that turns
+# a 100 TB crawl into a domain-matched training set.
+# DETERMINISM NOTE: the per-BUCKET log-ratio is snapped to exact integer
+# micro-units (floor(ln-ratio * 1e6), one ln per bucket — the
+# temperature-mixture precedent), so the per-DOC score is an exact
+# BIGINT sum over its features: zero cross-row float accumulation.
+_DSIR_B = 4096
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en' AND n_chars >= 300) AS is_t,
+         string_split_regex(lower(trim(text)), '\\s+') AS ts
+  FROM documents WHERE trim(text) <> ''
+),
+feats AS (
+  SELECT doc_id, is_t, unnest(ts) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, is_t, ts[i] || ' ' || ts[i+1] AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-1)) AS i) ls
+),
+fb AS (
+  SELECT doc_id, is_t,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % {_DSIR_B} AS b
+  FROM feats
+),
+dict AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS c_r,
+         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+  FROM fb GROUP BY b
+),
+tot AS (
+  SELECT CAST(SUM(c_r) AS BIGINT) AS r_tot, CAST(SUM(c_t) AS BIGINT) AS t_tot
+  FROM dict
+),
+w AS (
+  SELECT b,
+         CAST(FLOOR((ln((c_t + 1.0) / (t_tot + {_DSIR_B}.0))
+                   - ln((c_r + 1.0) / (r_tot + {_DSIR_B}.0))) * 1000000.0)
+              AS BIGINT) AS wm
+  FROM dict, tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       CAST(SUM(wm) AS BIGINT) AS dsir_score_micro
+FROM fb JOIN w USING (b)
+GROUP BY doc_id
+ORDER BY dsir_score_micro DESC, doc_id
+LIMIT 100
+"""
+
+
+@query("corpus_dsir_weights", oracle=_DSIR_ORACLE)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores: hashed unigram+bigram features (md5 →
+    {_DSIR_B} buckets), bucket weight = add-one-smoothed log-ratio of
+    target (en, >=300 chars — the quality-proxy subset) vs raw feature
+    probability, per-doc score = exact integer sum of its buckets'
+    micro-unit weights; top-100 by score. Scale: feature explode is
+    map-side; the bucket dictionary is ONE bounded aggregation (4096
+    rows however big the corpus) broadcast back onto the feature
+    stream; the per-doc score is a map-side-combined BIGINT groupBy;
+    top-100 is TakeOrderedAndProject. Nothing but the two linear
+    passes over features touches corpus-sized data."""
+    from hadoop_common_spark.operators.dedup import hash60
+
+    docs = spark.table("documents").filter(F.trim(F.col("text")) != "")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    # shifted-array zip, NOT transform(sequence, i -> element_at(...)) —
+    # the indexed form measured ~30x slower at sf0.1 (operators/dedup.py
+    # documents the same pitfall for shingling)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    fb = (
+        docs.select(
+            "doc_id",
+            ((F.col("lang") == "en") & (F.col("n_chars") >= 300)).alias("_is_t"),
+            F.explode(F.concat(toks, bigrams)).alias("_g"),
+        )
+        .select(
+            "doc_id", "_is_t", F.pmod(hash60(F.col("_g")), F.lit(_DSIR_B)).alias("b")
+        )
+    )
+    dict_df = fb.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_r"),
+        F.sum(F.col("_is_t").cast("int")).cast("bigint").alias("c_t"),
+    )
+    tot = dict_df.agg(
+        F.sum("c_r").cast("bigint").alias("_r_tot"),
+        F.sum("c_t").cast("bigint").alias("_t_tot"),
+    )
+    w = dict_df.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            (
+                F.log((F.col("c_t") + 1.0) / (F.col("_t_tot") + float(_DSIR_B)))
+                - F.log((F.col("c_r") + 1.0) / (F.col("_r_tot") + float(_DSIR_B)))
+            )
+            * 1000000.0
+        )
+        .cast("bigint")
+        .alias("wm"),
+    )
+    scored = (
+        fb.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("wm").cast("bigint").alias("dsir_score_micro"),
+        )
+    )
+    return scored.orderBy(F.col("dsir_score_micro").desc(), "doc_id").limit(100)
+
+
+# Weighted sampling without replacement (Efraimidis-Spirakis A-ES): the
+# "sample N documents proportional to token count" step of corpus
+# subsetting, as a deterministic one-pass top-k — no rejection loops, no
+# global sort, no driver-side state.
+_WSAMPLE_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             + 1.0) / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS k
+  FROM documents WHERE n_chars > 0
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS INT) AS rank,
+       doc_id, weight
+FROM keyed
+ORDER BY k DESC, doc_id
+LIMIT 100
+"""
+
+
+@query("corpus_weighted_sample", oracle=_WSAMPLE_ORACLE)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 documents sampled without replacement with probability
+    proportional to size (n_chars), via the A-ES exponential-key
+    transform (operators/sort.weighted_sample_keys). Output is the
+    selected ids + weights and the selection rank — integers only; the
+    float key is selection-internal. Scale: the key is a per-row
+    expression over the scan, selection is TakeOrderedAndProject
+    (per-partition heaps + one k-row merge), and the rank window runs
+    over the 100 survivors — nothing global touches corpus-sized data.
+    Deterministic md5 seed -> reproducible sample across retries."""
+    from pyspark.sql import Window
+
+    from hadoop_common_spark.operators.sort import top_k, weighted_sample_keys
+
+    docs = spark.table("documents").filter(F.col("n_chars") > 0)
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        weighted_sample_keys(F.col("n_chars"), F.col("doc_id")).alias("_k"),
+    )
+    sel = top_k(keyed, 100, [F.col("_k").desc(), F.col("doc_id").asc()])
+    w = Window.orderBy(F.col("_k").desc(), F.col("doc_id").asc())
+    return sel.select(
+        F.row_number().over(w).cast("int").alias("rank"), "doc_id", "weight"
+    )

@@ -987,3 +987,177 @@ def text_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("doc_id", "score", "rank")
     )
+
+
+# Inverted index — the canonical MapReduce example (the reference ships
+# wordcount/grep; the inverted index is the retrieval-side sibling every
+# search/RAG pipeline builds over a corpus): term -> document-frequency,
+# total term-frequency, and the head of the postings list. The postings
+# HEAD is the part that breaks at 100 TB (a stopword's full postings
+# list is the corpus), so it is computed with the two-phase grouped
+# top-k (operators/skew.py) — a hot term spreads over n_salts reducers
+# and at most k*n_salts of its rows survive to the final per-term rank.
+_INVINDEX_ORACLE = r"""
+WITH occ AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+pairs AS (SELECT term, doc_id, COUNT(*) AS tf FROM occ GROUP BY term, doc_id),
+stats AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(tf) AS BIGINT) AS tf_total
+  FROM pairs GROUP BY term
+),
+heads AS (
+  SELECT term,
+         array_to_string(
+           list_transform(list_slice(list(doc_id ORDER BY doc_id), 1, 5),
+                          x -> CAST(x AS VARCHAR)), ',') AS top_postings
+  FROM pairs GROUP BY term
+)
+SELECT term, df, tf_total, top_postings
+FROM stats JOIN heads USING (term)
+ORDER BY df DESC, term
+LIMIT 100
+"""
+
+
+@query("text_inverted_index", oracle=_INVINDEX_ORACLE)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index head: per term, document frequency, total term
+    frequency, and the first 5 doc_ids of the postings list (ascending,
+    comma-joined); top-100 terms by df. Scale: ONE (term, doc_id)
+    aggregation feeds both legs; df/tf_total are map-side-combined
+    BIGINT partials; the postings head uses the skew-proof two-phase
+    grouped top-k so a stopword never funnels its full postings list
+    through one reducer; final join is term-keyed on already-tiny
+    sides; top-100 is TakeOrderedAndProject."""
+    from hadoop_common_spark.operators.skew import top_k_per_group_two_phase
+
+    docs = spark.table("documents").filter(F.trim(F.col("text")) != "")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    pairs = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("tf_total"),
+    )
+    heads = (
+        top_k_per_group_two_phase(
+            pairs.select("term", "doc_id"), ["term"], 5, [F.col("doc_id").asc()]
+        )
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("top_postings")
+        )
+    )
+    return (
+        stats.join(heads, "term")
+        .select("term", "df", "tf_total", "top_postings")
+        .orderBy(F.col("df").desc(), "term")
+        .limit(100)
+    )
+
+
+# Windowed PMI co-occurrence (the collocation/phrase-mining statistic —
+# word2vec's SGNS objective is implicitly factorizing this matrix):
+# token pairs within distance <= 3, scored by the ratio form of PMI.
+# DETERMINISM NOTE: log-free by construction — pmi_ratio =
+# (N * c_ab) / (c_a * c_b) over exact BIGINT counts, evaluated with one
+# fixed association order of IEEE multiplies/divides (correctly rounded,
+# bit-identical on both engines); no transcendental anywhere.
+_PMI_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+uni AS (
+  SELECT u AS tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS u FROM toks) GROUP BY u
+),
+pairs AS (
+  SELECT least(t[i], t[i + d]) AS tok_a, greatest(t[i], t[i + d]) AS tok_b
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, least(3, len(t) - 1))) AS d) ds,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - d)) AS i) isq
+),
+pc AS (
+  SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM pairs GROUP BY tok_a, tok_b
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs)
+SELECT tok_a, tok_b, c_ab, ua.c AS c_a, ub.c AS c_b,
+       (CAST(n_pairs AS DOUBLE) * CAST(c_ab AS DOUBLE))
+         / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS pmi_ratio
+FROM pc
+JOIN uni ua ON pc.tok_a = ua.tok
+JOIN uni ub ON pc.tok_b = ub.tok
+CROSS JOIN tot
+WHERE c_ab >= 5
+ORDER BY pmi_ratio DESC, tok_a, tok_b
+LIMIT 100
+"""
+
+
+@query("text_pmi_pairs", oracle=_PMI_ORACLE)
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 token collocations by ratio-form PMI over a +/-3-token
+    co-occurrence window (c_ab >= 5). Pair generation is MAP-SIDE
+    shifted-array zip_with (operators/textstats.cooccurrence_pairs — no
+    self-join on position, which would shuffle every token once per
+    window slot; per-element element_at indexing inside
+    transform(sequence(...)) measured 30x slower than the zip form at
+    sf0.1); pair and unigram counts are map-side-combined aggregations,
+    and the pair aggregate feeds both the filtered table and the grand
+    total through one ReusedExchange; the two vocabulary joins are hash
+    joins keyed on the token; N attaches as a broadcast single-row
+    scalar; top-100 is TakeOrderedAndProject."""
+    from hadoop_common_spark.operators.textstats import cooccurrence_pairs
+
+    docs = spark.table("documents").filter(F.trim(F.col("text")) != "")
+    t = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
+    pairs = docs.select(F.explode(cooccurrence_pairs(t, 3)).alias("p")).select(
+        F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b")
+    )
+    uni = (
+        docs.select(F.explode(t).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    # pc_all feeds BOTH the filtered pair table and the grand total, so
+    # the expensive pair aggregation's shuffle is computed once and
+    # reused (identical subplan -> ReusedExchange), instead of paying
+    # the explode+agg twice
+    pc_all = pairs.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ab")
+    )
+    pc = pc_all.filter(F.col("c_ab") >= 5)
+    tot = pc_all.agg(F.sum("c_ab").cast("bigint").alias("n_pairs"))
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    pmi = (F.col("n_pairs").cast("double") * F.col("c_ab").cast("double")) / (
+        F.col("c_a").cast("double") * F.col("c_b").cast("double")
+    )
+    return (
+        pc.join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .crossJoin(F.broadcast(tot))
+        .select("tok_a", "tok_b", "c_ab", "c_a", "c_b", pmi.alias("pmi_ratio"))
+        .orderBy(F.col("pmi_ratio").desc(), "tok_a", "tok_b")
+        .limit(100)
+    )

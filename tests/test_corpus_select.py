@@ -1,0 +1,190 @@
+"""Round-6 continuation additions: DSIR importance weights, inverted
+index, weighted sampling without replacement, windowed PMI.
+
+Each query already has a DuckDB oracle (the driver's hard gate); these
+tests add an INDEPENDENT pure-Python third implementation over the same
+parquet, so a bug shared by the Spark and SQL renderings of the same
+mistake still gets caught."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_DSIR_B = 4096
+
+
+def _toks(text: str) -> list[str]:
+    t = text.strip().lower()
+    return [x for x in re.split(r"\s+", t) if x != ""] if t else []
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_dsir_scores_match_python(spark, docs_pdf):
+    from hadoop_common_spark.queries import load_all
+
+    reg = load_all()
+    got = [tuple(r) for r in reg["corpus_dsir_weights"].fn(spark, SF_DIR).collect()]
+
+    feats = []  # (doc_id, is_target, bucket)
+    for r in docs_pdf.itertuples(index=False):
+        ts = _toks(r.text)
+        if not ts:
+            continue
+        is_t = (r.lang == "en") and (r.n_chars >= 300)
+        gs = ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+        feats.extend((r.doc_id, is_t, _h60(g) % _DSIR_B) for g in gs)
+    c_r: Counter = Counter(b for _, _, b in feats)
+    c_t: Counter = Counter(b for _, t, b in feats if t)
+    r_tot, t_tot = sum(c_r.values()), sum(c_t.values())
+    wm = {
+        b: math.floor(
+            (
+                math.log((c_t.get(b, 0) + 1.0) / (t_tot + float(_DSIR_B)))
+                - math.log((c_r[b] + 1.0) / (r_tot + float(_DSIR_B)))
+            )
+            * 1e6
+        )
+        for b in c_r
+    }
+    score: dict = defaultdict(int)
+    nf: dict = defaultdict(int)
+    for d, _, b in feats:
+        score[d] += wm[b]
+        nf[d] += 1
+    want = sorted(
+        ((d, nf[d], score[d]) for d in score), key=lambda x: (-x[2], x[0])
+    )[:100]
+    assert got == want
+
+
+def test_inverted_index_matches_python(spark, docs_pdf):
+    from hadoop_common_spark.queries import load_all
+
+    reg = load_all()
+    got = [tuple(r) for r in reg["text_inverted_index"].fn(spark, SF_DIR).collect()]
+
+    tf: Counter = Counter()
+    for r in docs_pdf.itertuples(index=False):
+        for t in _toks(r.text):
+            tf[(t, r.doc_id)] += 1
+    by_term: dict = defaultdict(list)
+    for (t, d), c in tf.items():
+        by_term[t].append((d, c))
+    want = []
+    for t, posts in by_term.items():
+        posts.sort()
+        want.append(
+            (
+                t,
+                len(posts),
+                sum(c for _, c in posts),
+                ",".join(str(d) for d, _ in posts[:5]),
+            )
+        )
+    want.sort(key=lambda x: (-x[1], x[0]))
+    assert got == want[:100]
+
+
+def test_pmi_pairs_match_python(spark, docs_pdf):
+    from hadoop_common_spark.queries import load_all
+
+    reg = load_all()
+    got = [tuple(r) for r in reg["text_pmi_pairs"].fn(spark, SF_DIR).collect()]
+
+    uni: Counter = Counter()
+    pc: Counter = Counter()
+    n_pairs = 0
+    for r in docs_pdf.itertuples(index=False):
+        ts = _toks(r.text)
+        uni.update(ts)
+        for d in (1, 2, 3):
+            for a, b in zip(ts, ts[d:]):
+                pc[(min(a, b), max(a, b))] += 1
+                n_pairs += 1
+    want = []
+    for (a, b), c_ab in pc.items():
+        if c_ab >= 5:
+            pmi = (float(n_pairs) * float(c_ab)) / (float(uni[a]) * float(uni[b]))
+            want.append((a, b, c_ab, uni[a], uni[b], pmi))
+    want.sort(key=lambda x: (-x[5], x[0], x[1]))
+    want = want[:100]
+    assert [g[:5] for g in got] == [w[:5] for w in want]
+    for g, w in zip(got, want):
+        assert g[5] == pytest.approx(w[5], rel=1e-12)
+
+
+def test_weighted_sample_matches_python(spark):
+    from hadoop_common_spark.operators.sort import top_k, weighted_sample_keys
+
+    rows = [(i, (i % 17) + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    keyed = df.select(
+        "doc_id",
+        "weight",
+        weighted_sample_keys(F.col("weight"), F.col("doc_id")).alias("_k"),
+    )
+    got = [
+        (r.doc_id, r.weight)
+        for r in top_k(keyed, 100, [F.col("_k").desc(), F.col("doc_id").asc()]).collect()
+    ]
+
+    def key(i, w):
+        u = (_h60(f"ws:{i}") + 1.0) / float(1 << 60)
+        return math.log(u) / w
+
+    want = sorted(rows, key=lambda r: (-key(r[0], r[1]), r[0]))[:100]
+    assert got == want
+
+
+def test_weighted_sample_heavier_is_likelier(spark):
+    """Sanity on A-ES semantics: with weights 1 vs 100 split half/half,
+    the heavy half must dominate a k=100 sample out of 2000 rows."""
+    from hadoop_common_spark.operators.sort import top_k, weighted_sample_keys
+
+    rows = [(i, 100 if i < 1000 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    keyed = df.select(
+        "doc_id", weighted_sample_keys(F.col("weight"), F.col("doc_id")).alias("_k")
+    )
+    sel = [r.doc_id for r in top_k(keyed, 100, [F.col("_k").desc()]).collect()]
+    n_heavy = sum(1 for d in sel if d < 1000)
+    assert n_heavy >= 90
+
+
+def test_cooccurrence_pairs_exact(spark):
+    from hadoop_common_spark.operators.textstats import cooccurrence_pairs
+
+    cases = [
+        [],
+        ["one"],
+        ["a", "b"],
+        ["b", "a", "b", "a"],
+        ["w1", "w2", "w3", "w4", "w5", "w6"],
+        ["x"] * 5,
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, t array<string>")
+    out = df.select("i", cooccurrence_pairs(F.col("t"), 3).alias("p")).collect()
+    got = {r.i: sorted((p.a, p.b) for p in r.p) for r in out}
+    for i, ts in enumerate(cases):
+        want = []
+        for d in (1, 2, 3):
+            for a, b in zip(ts, ts[d:]):
+                want.append((min(a, b), max(a, b)))
+        assert got[i] == sorted(want), f"case {i}"
