@@ -289,3 +289,59 @@ def neardup_candidates_stream(
     return bk.join(idx, ["band", "band_key"]).filter(
         F.col("stream_id") != F.col("corpus_id")
     )
+
+
+def weighted_sample_incremental(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    k: int,
+    weight_col: str,
+    id_col: str,
+) -> None:
+    """Incrementally maintained weighted sample WITHOUT replacement over
+    a stream (the "keep a fair 1M-doc sample of everything we have ever
+    ingested" job). Because the A-ES key
+    (operators/sort.weighted_sample_keys) is a deterministic function of
+    the row id, maintaining the running top-k BY KEY over micro-batches
+    is EXACTLY the batch sample of the union — not an approximation
+    (pinned by test): top-k is a mergeable monoid and the keys don't
+    change between batches.
+
+    Per batch: key the arrivals, union the stored k survivors, keep the
+    new top-k, localCheckpoint it (materializes before the overwrite so
+    the sink never reads the files it is deleting), overwrite the
+    target. dropDuplicates on the id makes redelivered batches
+    idempotent (foreachBatch is at-least-once): a replayed row has the
+    identical key and collapses. State is k rows however long the
+    stream has run; nothing here grows with stream history."""
+    from hadoop_common_spark.operators.sort import weighted_sample_keys
+
+    spark = stream_df.sparkSession
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        keyed = batch_df.select(
+            F.col(id_col).alias("_id"),
+            F.col(weight_col).cast("bigint").alias("_w"),
+            weighted_sample_keys(F.col(weight_col), F.col(id_col)).alias("_k"),
+        )
+        try:
+            prev = spark.read.parquet(out_path)
+        except Exception:
+            prev = None
+        merged = keyed if prev is None else prev.unionByName(keyed)
+        new_top = (
+            merged.dropDuplicates(["_id"])
+            .orderBy(F.col("_k").desc(), F.col("_id").asc())
+            .limit(k)
+            .localCheckpoint(eager=True)
+        )
+        new_top.write.mode("overwrite").parquet(out_path)
+
+    (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -556,3 +556,55 @@ def test_apply_in_pandas_with_state_distinct_types_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == batch
+
+
+def test_incremental_weighted_sample_equals_batch(spark, sf_dir, tmp_path):
+    """Draining the documents table through the incremental A-ES
+    maintainer must produce EXACTLY the batch sample (deterministic
+    keys make running-top-k a lossless merge, not an approximation),
+    and a second drain with the same checkpoint must be a no-op."""
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.operators.sort import top_k, weighted_sample_keys
+    from hadoop_common_spark.streaming.jobs import weighted_sample_incremental
+
+    docs_batch = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("n_chars") > 0
+    )
+    stream = (
+        spark.readStream.schema(docs_batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+        .filter(F.col("n_chars") > 0)
+    )
+    out = str(tmp_path / "sample")
+    ckpt = str(tmp_path / "ckpt")
+    weighted_sample_incremental(stream, out, ckpt, 50, "n_chars", "doc_id")
+
+    got = {
+        (r._id, r._w) for r in spark.read.parquet(out).collect()
+    }
+    keyed = docs_batch.select(
+        F.col("doc_id").alias("_id"),
+        F.col("n_chars").cast("bigint").alias("_w"),
+        weighted_sample_keys(F.col("n_chars"), F.col("doc_id")).alias("_k"),
+    )
+    want = {
+        (r._id, r._w)
+        for r in top_k(keyed, 50, [F.col("_k").desc(), F.col("_id").asc()]).collect()
+    }
+    assert got == want
+    assert len(got) == 50
+
+    # re-drain: checkpoint replays nothing, target unchanged
+    stream2 = (
+        spark.readStream.schema(docs_batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+        .filter(F.col("n_chars") > 0)
+    )
+    weighted_sample_incremental(stream2, out, ckpt, 50, "n_chars", "doc_id")
+    got2 = {(r._id, r._w) for r in spark.read.parquet(out).collect()}
+    assert got2 == got

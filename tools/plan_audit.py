@@ -86,6 +86,8 @@ _add(
     "corpus_incremental_ingest",
     "zorder_layout_keys",
     "corpus_temperature_mixture",
+    "corpus_dsir_weights",
+    "text_pmi_pairs",
 )
 _add(
     "cartesian",
