@@ -105,6 +105,7 @@ HEADLINE = [
     "text_inverted_index",          # skew-safe postings heads (r6 cont.)
     "corpus_weighted_sample",       # A-ES sample w/o replacement (r6 cont.)
     "text_pmi_pairs",               # zip_with windowed collocations (r6 cont.)
+    "orders_market_basket",         # 2-itemset lift over order baskets (r6 cont.)
 ]
 
 

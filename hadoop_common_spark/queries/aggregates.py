@@ -128,3 +128,75 @@ def events_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("max_value"),
         (dsum("value") / F.count("value")).alias("avg_value"),
     )
+
+
+# Market-basket 2-itemsets (association rules — the Mahout-on-Hadoop-era
+# workload the reference ecosystem ran downstream of MapReduce): parts
+# co-ordered within the same order, scored by lift. DETERMINISM: lift =
+# (N * c_ab) / (c_a * c_b) over exact BIGINT counts in one fixed IEEE
+# association order — log-free, bit-identical across engines (the PMI
+# precedent; lift IS PMI's ratio form over baskets).
+_BASKET_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li),
+item AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+pc AS (
+  SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM pairs GROUP BY part_a, part_b
+)
+SELECT part_a, part_b, c_ab, ia.c AS c_a, ib.c AS c_b,
+       (CAST(n_orders AS DOUBLE) * CAST(c_ab AS DOUBLE))
+         / (CAST(ia.c AS DOUBLE) * CAST(ib.c AS DOUBLE)) AS lift
+FROM pc
+JOIN item ia ON pc.part_a = ia.l_partkey
+JOIN item ib ON pc.part_b = ib.l_partkey
+CROSS JOIN n
+WHERE c_ab >= 2
+ORDER BY lift DESC, part_a, part_b
+LIMIT 100
+"""
+
+
+@query("orders_market_basket", oracle=_BASKET_ORACLE)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 co-ordered part pairs by lift (support >= 2 orders).
+    Scale: the within-order self-join is keyed on l_orderkey and its
+    fan-out is bounded by basket size squared (TPC-H baskets are <= 7
+    lineitems — ~21 pairs/order however big the table; a pathological
+    mega-basket would need the capped_self_join_pairs guard, noted in
+    the operator); item and pair supports are map-side-combined BIGINT
+    aggregations; the two item joins are hash joins keyed on the part;
+    N attaches as a broadcast one-row scalar (whitelisted shape);
+    top-100 is TakeOrderedAndProject."""
+    li = spark.table("lineitem").select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"))
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pc = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b"))
+    lift = (F.col("n_orders").cast("double") * F.col("c_ab").cast("double")) / (
+        F.col("c_a").cast("double") * F.col("c_b").cast("double")
+    )
+    return (
+        pc.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select("part_a", "part_b", "c_ab", "c_a", "c_b", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(100)
+    )

@@ -188,3 +188,32 @@ def test_cooccurrence_pairs_exact(spark):
             for a, b in zip(ts, ts[d:]):
                 want.append((min(a, b), max(a, b)))
         assert got[i] == sorted(want), f"case {i}"
+
+
+def test_market_basket_matches_python(spark):
+    from itertools import combinations
+
+    from hadoop_common_spark.queries import load_all
+
+    reg = load_all()
+    got = [tuple(r) for r in reg["orders_market_basket"].fn(spark, SF_DIR).collect()]
+
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    baskets = li.drop_duplicates().groupby("l_orderkey")["l_partkey"].apply(list)
+    n_orders = len(baskets)
+    item: Counter = Counter()
+    pc: Counter = Counter()
+    for parts in baskets:
+        item.update(set(parts))
+        for a, b in combinations(sorted(set(parts)), 2):
+            pc[(a, b)] += 1
+    want = []
+    for (a, b), c_ab in pc.items():
+        if c_ab >= 2:
+            lift = (float(n_orders) * float(c_ab)) / (float(item[a]) * float(item[b]))
+            want.append((a, b, c_ab, item[a], item[b], lift))
+    want.sort(key=lambda x: (-x[5], x[0], x[1]))
+    want = want[:100]
+    assert [g[:5] for g in got] == [w[:5] for w in want]
+    for g, w in zip(got, want):
+        assert g[5] == pytest.approx(w[5], rel=1e-12)

@@ -88,6 +88,7 @@ _add(
     "corpus_temperature_mixture",
     "corpus_dsir_weights",
     "text_pmi_pairs",
+    "orders_market_basket",
 )
 _add(
     "cartesian",
