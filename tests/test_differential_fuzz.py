@@ -174,3 +174,49 @@ def test_random_pipeline_matches_duckdb(spark, sf_dir, seed):
     drows = _rowset(dcols, res.fetchall(), _norm)
     assert sorted(sdf.columns) == sorted(dcols), sql
     assert srows == drows, f"value mismatch for: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_cooccurrence_window_matches_duckdb(spark, seed):
+    """Array-window family: random token corpora (empties, singletons,
+    repeated tokens, random lengths) through the zip_with pair generator
+    vs DuckDB's positional-lateral formulation, at a random window. The
+    r6 perf rewrite (element_at -> zip_with) must never change WHAT the
+    operator computes, only how fast — this family pins that for corpus
+    shapes nobody hand-wrote."""
+    import pandas as pd
+
+    from hadoop_common_spark.operators.textstats import cooccurrence_pairs
+
+    rng = random.Random(7000 + seed)
+    max_dist = rng.randrange(1, 5)
+    vocab = [f"w{i}" for i in range(rng.randrange(2, 9))]
+    docs = [
+        [rng.choice(vocab) for _ in range(rng.randrange(0, 11))]
+        for _ in range(rng.randrange(1, 60))
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "t": docs})
+
+    sdf = (
+        spark.createDataFrame(pdf)
+        .select(F.explode(cooccurrence_pairs(F.col("t"), max_dist)).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    srows = _rowset(sdf.columns, [tuple(r) for r in sdf.collect()], _norm)
+
+    con = duckdb.connect()
+    con.register("fuzz_docs", pdf)
+    res = con.execute(
+        f"""
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM (
+          SELECT least(t[i], t[i + d]) AS a, greatest(t[i], t[i + d]) AS b
+          FROM fuzz_docs,
+            LATERAL (SELECT unnest(generate_series(1, least({max_dist}, len(t) - 1))) AS d) ds,
+            LATERAL (SELECT unnest(generate_series(1, len(t) - d)) AS i) isq
+        ) GROUP BY a, b
+        """
+    )
+    dcols = [d[0] for d in res.description]
+    drows = _rowset(dcols, res.fetchall(), _norm)
+    assert srows == drows, f"seed={seed} max_dist={max_dist}"
