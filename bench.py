@@ -106,6 +106,7 @@ HEADLINE = [
     "corpus_weighted_sample",       # A-ES sample w/o replacement (r6 cont.)
     "text_pmi_pairs",               # zip_with windowed collocations (r6 cont.)
     "orders_market_basket",         # 2-itemset lift over order baskets (r6 cont.)
+    "events_user_ewma",             # ordered-fold time-decay feature (r6 cont.)
 ]
 
 

@@ -92,6 +92,7 @@ PRIORITY_WINDOW: list[str] = [
     # -- r6 NEWCOMERS: no driver row yet --
     "corpus_dsir_weights",
     "orders_market_basket",
+    "events_user_ewma",
     "text_inverted_index",
     "corpus_weighted_sample",
     "text_pmi_pairs",
@@ -142,7 +143,6 @@ PRIORITY_WINDOW: list[str] = [
     "events_transition_matrix",
     "corpus_pack_sequences",
     "corpus_stratified_sample",
-    "corpus_split_leakage",
 ]
 
 # ---- 50-entry checked-window boundary ----
@@ -154,6 +154,7 @@ PRIORITY_WINDOW: list[str] = [
 PRIORITY_OVERFLOW: list[str] = [
     # -- displaced from the r6 window by the 4 continuation newcomers;
     #    r7 rotation head together with the r03 spill below --
+    "corpus_split_leakage",
     "corpus_chunk_overlap",
     "orders_scd2_intervals",
     "lineitem_unpivot_measures",

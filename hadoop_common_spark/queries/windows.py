@@ -840,3 +840,52 @@ def events_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_self_join_binned(
         e, "event_id", "sec", width=300.0, block_cols=["user_id"]
     )
+
+
+# Per-user EWMA (alpha = 0.25) of event values in time order — the
+# time-decayed activity feature of fraud/engagement models (recent
+# behavior outweighs history at a fixed decay). DETERMINISM: a left
+# fold over the per-user (ts, event_id)-ordered value array with the
+# SAME association order on both engines (Spark F.aggregate seeded by
+# the first element == DuckDB list_reduce); 0.25/0.75 are exact binary
+# doubles and *, + are IEEE-correctly-rounded, so the fold is
+# bit-identical — ordered-reduce determinism comes from fixing the
+# order, not from avoiding floats.
+_EWMA_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                   (acc, x) -> acc * 0.75 + x * 0.25) AS ewma_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("events_user_ewma", oracle=_EWMA_ORACLE)
+def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA of `value` per user in (ts, event_id) order. Scale: ONE
+    hash-partitioned groupBy on user_id; the fold is a map-side array
+    expression over each user's collected history. Per-user state is
+    that history array — bounded by per-user event volume, not corpus
+    size (the unbounded-history streaming twin is the stateful
+    running-total job, streaming/stateful.py). No window, no second
+    shuffle."""
+    vals = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+        ),
+        lambda s: s["value"].cast("double"),
+    )
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * 0.75 + x * 0.25,
+    )
+    return (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            ewma.alias("ewma_value"),
+        )
+    )

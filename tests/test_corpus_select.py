@@ -217,3 +217,28 @@ def test_market_basket_matches_python(spark):
     assert [g[:5] for g in got] == [w[:5] for w in want]
     for g, w in zip(got, want):
         assert g[5] == pytest.approx(w[5], rel=1e-12)
+
+
+def test_user_ewma_matches_python(spark):
+    from hadoop_common_spark.queries import load_all
+
+    reg = load_all()
+    got = {
+        r.user_id: (r.n_events, r.ewma_value)
+        for r in reg["events_user_ewma"].fn(spark, SF_DIR).collect()
+    }
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    want = {}
+    for uid, g in ev.groupby("user_id"):
+        vals = list(g.sort_values(["ts", "event_id"])["value"])
+        acc = float(vals[0])
+        for x in vals[1:]:
+            acc = acc * 0.75 + float(x) * 0.25
+        want[uid] = (len(vals), acc)
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid][0] == want[uid][0]
+        # Python floats are IEEE doubles with the same fold order ->
+        # exact equality is the claim, not approx
+        assert got[uid][1] == want[uid][1], uid
