@@ -107,6 +107,7 @@ HEADLINE = [
     "text_pmi_pairs",               # zip_with windowed collocations (r6 cont.)
     "orders_market_basket",         # 2-itemset lift over order baskets (r6 cont.)
     "events_user_ewma",             # ordered-fold time-decay feature (r6 cont.)
+    "customers_rfm_segments",       # 3x block-parallel global rank (r6 cont.)
 ]
 
 

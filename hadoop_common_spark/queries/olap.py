@@ -151,3 +151,95 @@ def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+# RFM customer segmentation (recency / frequency / monetary quintiles) —
+# the classic marketing-analytics cube, done WITHOUT the single-
+# partition NTILE funnel: each dimension's global rank comes from the
+# pinned two-bounded-shuffle enumeration (operators/sort.
+# global_row_number), and the quintile is pure BIGINT arithmetic over
+# (rank, N) — ((rn-1)*5) div N + 1 — identical on both engines.
+_RFM_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(FLOOR(epoch(MAX(o_orderdate))) AS BIGINT) AS last_s,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS mon
+  FROM orders GROUP BY o_custkey
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cust FROM cust),
+r AS (SELECT o_custkey, ROW_NUMBER() OVER (ORDER BY -last_s, o_custkey) AS rn FROM cust),
+f AS (SELECT o_custkey, ROW_NUMBER() OVER (ORDER BY -freq, o_custkey) AS rn FROM cust),
+m AS (SELECT o_custkey, ROW_NUMBER() OVER (ORDER BY -mon, o_custkey) AS rn FROM cust)
+SELECT CAST(((r.rn - 1) * 5) // n_cust + 1 AS INT) AS r_score,
+       CAST(((f.rn - 1) * 5) // n_cust + 1 AS INT) AS f_score,
+       CAST(((m.rn - 1) * 5) // n_cust + 1 AS INT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(mon AS DECIMAL(30,6))) AS DOUBLE) AS segment_revenue
+FROM cust
+JOIN r USING (o_custkey) JOIN f USING (o_custkey) JOIN m USING (o_custkey)
+CROSS JOIN n
+GROUP BY 1, 2, 3
+"""
+
+
+@query("customers_rfm_segments", oracle=_RFM_ORACLE)
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(R,F,M)-quintile segment sizes and revenue. Scale: one
+    orders groupBy builds the per-customer triple; each of the three
+    global ranks is the block-parallel global_row_number (two bounded
+    shuffles, global window only over the per-block count aggregate —
+    NEVER a customer-sized single partition); quintile scores are exact
+    integer arithmetic; the three rank joins are hash joins on
+    o_custkey; N attaches as a broadcast one-row scalar; the final
+    rollup is 125 rows max. Revenue sums are exact decimal (dsum)."""
+    from hadoop_common_spark.operators.sort import global_row_number
+
+    cust = (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(
+            # NTZ-safe epoch: o_orderdate may read back TIMESTAMP_NTZ;
+            # NTZ -> timestamp under the UTC session == the instant,
+            # matching the oracle's epoch()
+            F.max(F.col("o_orderdate").cast("timestamp").cast("long")).alias("_last"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            dsum("o_totalprice").alias("mon"),
+        )
+        .withColumn("_kr", -F.col("_last"))
+        .withColumn("_kf", -F.col("freq"))
+        .withColumn("_km", -F.col("mon"))
+    )
+    n = cust.agg(F.count(F.lit(1)).cast("bigint").alias("n_cust"))
+    ranked = {}
+    for tag, key, blk in (
+        ("_pr", "_kr", F.floor(F.col("_kr") / (30 * 86400))),
+        ("_pf", "_kf", F.col("_kf")),
+        ("_pm", "_km", F.floor(F.col("_km") / 1000.0)),
+    ):
+        ranked[tag] = global_row_number(
+            cust.select("o_custkey", key), [key, "o_custkey"], blk, pos_col="pos"
+        ).select("o_custkey", F.col("pos").alias(tag))
+    scored = (
+        cust.join(ranked["_pr"], "o_custkey")
+        .join(ranked["_pf"], "o_custkey")
+        .join(ranked["_pm"], "o_custkey")
+        .crossJoin(F.broadcast(n))
+    )
+
+    def quint(p: str):
+        return (F.expr(f"(({p} - 1) * 5) div n_cust") + 1).cast("int")
+
+    return (
+        scored.select(
+            quint("_pr").alias("r_score"),
+            quint("_pf").alias("f_score"),
+            quint("_pm").alias("m_score"),
+            "mon",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            dsum("mon").alias("segment_revenue"),
+        )
+    )

@@ -242,3 +242,44 @@ def test_user_ewma_matches_python(spark):
         # Python floats are IEEE doubles with the same fold order ->
         # exact equality is the claim, not approx
         assert got[uid][1] == want[uid][1], uid
+
+
+def test_rfm_segments_match_python(spark):
+    from decimal import Decimal
+
+    from hadoop_common_spark.queries import load_all
+
+    reg = load_all()
+    got = {
+        (r.r_score, r.f_score, r.m_score): (r.n_customers, r.segment_revenue)
+        for r in reg["customers_rfm_segments"].fn(spark, SF_DIR).collect()
+    }
+
+    od = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cust = {}
+    for r in od.itertuples(index=False):
+        last, freq, mon = cust.get(r.o_custkey, (None, 0, Decimal(0)))
+        ts = r.o_orderdate.timestamp()
+        cust[r.o_custkey] = (
+            ts if last is None else max(last, ts),
+            freq + 1,
+            mon + Decimal(f"{r.o_totalprice:.6f}"),
+        )
+    n = len(cust)
+
+    def ranks(key):
+        order = sorted(cust, key=key)
+        return {ck: i + 1 for i, ck in enumerate(order)}
+
+    pr = ranks(lambda c: (-cust[c][0], c))
+    pf = ranks(lambda c: (-cust[c][1], c))
+    pm = ranks(lambda c: (-float(cust[c][2]), c))
+    want: dict = {}
+    for c in cust:
+        seg = tuple((p[c] - 1) * 5 // n + 1 for p in (pr, pf, pm))
+        cnt, rev = want.get(seg, (0, Decimal(0)))
+        want[seg] = (cnt + 1, rev + cust[c][2])
+    assert set(got) == set(want)
+    for seg, (cnt, rev) in want.items():
+        assert got[seg][0] == cnt
+        assert got[seg][1] == pytest.approx(float(rev), rel=1e-12)

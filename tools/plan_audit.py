@@ -89,6 +89,7 @@ _add(
     "corpus_dsir_weights",
     "text_pmi_pairs",
     "orders_market_basket",
+    "customers_rfm_segments",
 )
 _add(
     "cartesian",
@@ -110,6 +111,7 @@ _add(
     "hundreds), never data rows — pinned in "
     "test_global_shuffle_enumerates_without_global_funnel",
     "corpus_global_shuffle",
+    "customers_rfm_segments",
 )
 
 
