@@ -108,6 +108,7 @@ HEADLINE = [
     "orders_market_basket",         # 2-itemset lift over order baskets (r6 cont.)
     "events_user_ewma",             # ordered-fold time-decay feature (r6 cont.)
     "customers_rfm_segments",       # 3x block-parallel global rank (r6 cont.)
+    "similarity_knn_label_eval",    # supervised 5-NN accuracy eval (r6 cont.)
 ]
 
 

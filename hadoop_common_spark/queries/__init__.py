@@ -94,6 +94,7 @@ PRIORITY_WINDOW: list[str] = [
     "orders_market_basket",
     "events_user_ewma",
     "customers_rfm_segments",
+    "similarity_knn_label_eval",
     "text_inverted_index",
     "corpus_weighted_sample",
     "text_pmi_pairs",
@@ -142,7 +143,6 @@ PRIORITY_WINDOW: list[str] = [
     "events_value_percentiles_sampled",
     "events_value_ntile_deciles",
     "events_transition_matrix",
-    "corpus_pack_sequences",
 ]
 
 # ---- 50-entry checked-window boundary ----
@@ -154,6 +154,7 @@ PRIORITY_WINDOW: list[str] = [
 PRIORITY_OVERFLOW: list[str] = [
     # -- displaced from the r6 window by the 4 continuation newcomers;
     #    r7 rotation head together with the r03 spill below --
+    "corpus_pack_sequences",
     "corpus_stratified_sample",
     "corpus_split_leakage",
     "corpus_chunk_overlap",

@@ -859,3 +859,86 @@ def similarity_matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataF
             ).alias("recall"),
         )
     )
+
+
+# kNN label classification eval — the supervised member of the eval
+# family (LSH/MinHash/PQ/Matryoshka measure RECALL of the index; this
+# measures end-task ACCURACY of the labels the neighbors imply): 5-NN
+# majority vote over exact squared-L2, ties to the smaller label, on a
+# held-out probe set. The "are these embeddings any good for
+# classification" smoke a training pipeline runs after an embedding
+# refresh.
+def _knn_label_oracle() -> str:
+    from hadoop_common_spark.operators.pq import _sq_dist_sql
+
+    return f"""
+WITH pr AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 50),
+tr AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 50),
+top AS (
+  SELECT qid, true_label, nlabel FROM (
+    SELECT pr.vec_id AS qid, pr.label AS true_label, tr.label AS nlabel,
+           ROW_NUMBER() OVER (
+             PARTITION BY pr.vec_id
+             ORDER BY {_sq_dist_sql('pr.embedding', 'tr.embedding')}, tr.vec_id
+           ) AS rk
+    FROM pr, tr
+  ) WHERE rk <= 5
+),
+votes AS (
+  SELECT qid, true_label, nlabel, COUNT(*) AS c
+  FROM top GROUP BY qid, true_label, nlabel
+)
+SELECT vec_id, true_label, pred_label, correct FROM (
+  SELECT qid AS vec_id, true_label, nlabel AS pred_label,
+         CAST(nlabel = true_label AS INT) AS correct,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nlabel ASC) AS vr
+  FROM votes
+) WHERE vr = 1
+"""
+
+
+@query("similarity_knn_label_eval", oracle=_knn_label_oracle())
+def similarity_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe 5-NN majority-vote label vs true label (probe set =
+    vec_id < 50, train = the rest; exact squared-L2, deterministic
+    (distance, id) tiebreak; vote ties to the smaller label). Scale:
+    the probe set is the bounded broadcast side of the brute-force leg
+    (the whitelisted eval shape — run on a probe SAMPLE at production
+    size; the candidate-generation tiers are the recall-eval queries);
+    votes and argmax are per-probe aggregates over 5 rows each."""
+    from pyspark.sql import Window
+
+    from hadoop_common_spark.operators.pq import _sq_dist
+
+    emb = spark.table("embeddings")
+    probes = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("true_label"),
+    )
+    train = emb.filter(F.col("vec_id") >= 50).select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("d_vec"),
+        F.col("label").alias("nlabel"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("sqdist"), F.asc("nid"))
+    top = (
+        train.crossJoin(F.broadcast(probes))
+        .withColumn("sqdist", _sq_dist(F.col("q_vec"), F.col("d_vec")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )
+    votes = top.groupBy("qid", "true_label", "nlabel").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("nlabel"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            "true_label",
+            F.col("nlabel").alias("pred_label"),
+            (F.col("nlabel") == F.col("true_label")).cast("int").alias("correct"),
+        )
+    )

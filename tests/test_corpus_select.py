@@ -283,3 +283,31 @@ def test_rfm_segments_match_python(spark):
     for seg, (cnt, rev) in want.items():
         assert got[seg][0] == cnt
         assert got[seg][1] == pytest.approx(float(rev), rel=1e-12)
+
+
+def test_knn_label_eval_matches_python(spark):
+    import numpy as np
+
+    from hadoop_common_spark.queries import load_all
+
+    reg = load_all()
+    got = {
+        r.vec_id: (r.true_label, r.pred_label, r.correct)
+        for r in reg["similarity_knn_label_eval"].fn(spark, SF_DIR).collect()
+    }
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.itertuples(index=False)}
+    labels = {r.vec_id: r.label for r in emb.itertuples(index=False)}
+    probes = sorted(v for v in vecs if v < 50)
+    train = sorted(v for v in vecs if v >= 50)
+    for q in probes:
+        d = sorted(
+            (float(((vecs[q] - vecs[t]) ** 2).sum()), t) for t in train
+        )
+        top = [labels[t] for _, t in d[:5]]
+        votes = Counter(top)
+        best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        assert got[q][0] == labels[q]
+        assert got[q][1] == best, q
+        assert got[q][2] == int(best == labels[q])

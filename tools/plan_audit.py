@@ -70,6 +70,12 @@ _add(
 )
 _add(
     "cartesian",
+    "brute-force eval leg: the broadcast side is the bounded probe set "
+    "(50 labeled vectors) — the whitelisted eval shape",
+    "similarity_knn_label_eval",
+)
+_add(
+    "cartesian",
     "relational Bloom membership: the broadcast side is the bit-slice "
     "table of one Bloom filter (fixed, tiny); the probe side streams",
     "parts_in_urgent_orders",
