@@ -311,3 +311,41 @@ def test_knn_label_eval_matches_python(spark):
         assert got[q][0] == labels[q]
         assert got[q][1] == best, q
         assert got[q][2] == int(best == labels[q])
+
+
+def test_unicode_tokenization_boundary_documented(spark):
+    """Cross-engine unicode boundary pin (r6 probe): on ASCII input the
+    Spark and DuckDB tokenizations are byte-identical (the whole oracle
+    gate rests on this); on unicode input two KNOWN divergences exist —
+    DuckDB trim() strips U+2009 (thin space) where Spark's trim is
+    ASCII-only, and lower('İ') is 'i̇' (i + combining dot) on the JVM
+    but 'i' in DuckDB. This test pins today's behavior on BOTH engines
+    so an engine upgrade that moves the boundary fails loudly here
+    instead of corrupting an oracle comparison; production corpora
+    should NFC-normalize + strip exotic whitespace before the text tier
+    (the documented cleaning pre-pass)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    # ASCII: identical (the gate's foundation)
+    ascii_text = "  Hello\tWORLD  x  "
+    s = spark.createDataFrame([(ascii_text,)], "text string").select(
+        F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda x: x != "").alias("t")
+    ).collect()[0].t
+    d = duckdb.sql(
+        "SELECT list_filter(string_split_regex(lower(trim(?)), '\\s+'), x -> x <> '')",
+        params=[ascii_text],
+    ).fetchone()[0]
+    assert list(s) == list(d) == ["hello", "world", "x"]
+
+    # divergence 1: thin-space trim
+    assert spark.createDataFrame([(" x",)], "t string").select(
+        F.trim("t").alias("o")
+    ).collect()[0].o == " x"
+    assert duckdb.sql("SELECT trim(' x')").fetchone()[0] == "x"
+
+    # divergence 2: Turkish dotted capital I lowercasing
+    assert spark.createDataFrame([("İ",)], "t string").select(
+        F.lower("t").alias("o")
+    ).collect()[0].o == "i̇"
+    assert duckdb.sql("SELECT lower('İ')").fetchone()[0] == "i"
