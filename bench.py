@@ -109,6 +109,8 @@ HEADLINE = [
     "events_user_ewma",             # ordered-fold time-decay feature (r6 cont.)
     "customers_rfm_segments",       # 3x block-parallel global rank (r6 cont.)
     "similarity_knn_label_eval",    # supervised 5-NN accuracy eval (r6 cont.)
+    "events_key_skew_report",       # partition-strategy skew doctor (r6 cont.)
+    "tpch_fk_integrity",            # 7-edge orphan audit (r6 cont.)
 ]
 
 

@@ -95,6 +95,8 @@ PRIORITY_WINDOW: list[str] = [
     "events_user_ewma",
     "customers_rfm_segments",
     "similarity_knn_label_eval",
+    "events_key_skew_report",
+    "tpch_fk_integrity",
     "text_inverted_index",
     "corpus_weighted_sample",
     "text_pmi_pairs",
@@ -141,8 +143,6 @@ PRIORITY_WINDOW: list[str] = [
     "events_rolling_1h_stats",
     "events_value_percentiles",
     "events_value_percentiles_sampled",
-    "events_value_ntile_deciles",
-    "events_transition_matrix",
 ]
 
 # ---- 50-entry checked-window boundary ----
@@ -154,6 +154,8 @@ PRIORITY_WINDOW: list[str] = [
 PRIORITY_OVERFLOW: list[str] = [
     # -- displaced from the r6 window by the 4 continuation newcomers;
     #    r7 rotation head together with the r03 spill below --
+    "events_value_ntile_deciles",
+    "events_transition_matrix",
     "corpus_pack_sequences",
     "corpus_stratified_sample",
     "corpus_split_leakage",

@@ -1070,3 +1070,84 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select(
         F.row_number().over(w).cast("int").alias("rank"), "doc_id", "weight"
     )
+
+
+# Shuffle-key skew report — the diagnosis you run BEFORE choosing a
+# partition strategy at 100 TB: how concentrated is the key
+# distribution, and would the hottest key blow a reducer? Log-free:
+# shares are IEEE ratios of exact BIGINTs (top-1 / top-10 share,
+# distinct keys, max/avg occupancy ratio).
+_SKEW_ORACLE = """
+WITH kc AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS rn FROM kc
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(MAX(c) AS BIGINT) AS max_c,
+         CAST(SUM(CASE WHEN rn <= 1 THEN c ELSE 0 END) AS BIGINT) AS top1,
+         CAST(SUM(CASE WHEN rn <= 10 THEN c ELSE 0 END) AS BIGINT) AS top10
+  FROM ranked
+)
+SELECT n_keys, n_rows, max_c,
+       CAST(top1 AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top1_share,
+       CAST(top10 AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top10_share,
+       (CAST(max_c AS DOUBLE) * CAST(n_keys AS DOUBLE))
+         / CAST(n_rows AS DOUBLE) AS max_over_avg
+FROM agg
+"""
+
+
+@query("events_key_skew_report", oracle=_SKEW_ORACLE)
+def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution skew report for events.user_id: distinct keys,
+    total rows, hottest-key count, top-1/top-10 row share, and
+    max-over-avg occupancy (the number that predicts whether a salted
+    agg / AQE skew join is needed). Scale: one map-side-combined key
+    count; the ranking runs over the per-KEY aggregate via the
+    skew-proof two-phase top-k (never a global sort of keys); the
+    report is one row."""
+    from hadoop_common_spark.operators.skew import top_k_per_group_two_phase
+
+    kc = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    top = top_k_per_group_two_phase(
+        kc.withColumn("_g", F.lit(1)), ["_g"], 10,
+        [F.col("c").desc(), F.col("user_id").asc()],
+    )
+    w = Window.partitionBy("_g").orderBy(F.col("c").desc(), F.col("user_id").asc())
+    tops = (
+        top.withColumn("rn", F.row_number().over(w))
+        .agg(
+            F.sum(F.when(F.col("rn") <= 1, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("top1"),
+            F.sum(F.when(F.col("rn") <= 10, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("top10"),
+        )
+    )
+    base = kc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_c"),
+    )
+    return base.crossJoin(F.broadcast(tops)).select(
+        "n_keys", "n_rows", "max_c",
+        (F.col("top1").cast("double") / F.col("n_rows").cast("double")).alias(
+            "top1_share"
+        ),
+        (F.col("top10").cast("double") / F.col("n_rows").cast("double")).alias(
+            "top10_share"
+        ),
+        (
+            (F.col("max_c").cast("double") * F.col("n_keys").cast("double"))
+            / F.col("n_rows").cast("double")
+        ).alias("max_over_avg"),
+    )

@@ -776,3 +776,75 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# Referential-integrity audit — the first query a MIGRATION runs after
+# landing data in the new engine (the reference world's fsck for
+# relational layout): orphan-FK counts across the TPC-H join graph in
+# one pass of left-anti joins. A non-zero row here explains every
+# downstream inner-join undercount.
+_FK_ORACLE = """
+SELECT fk, CAST(n_orphans AS BIGINT) AS n_orphans FROM (
+  SELECT 'lineitem.l_orderkey' AS fk,
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+  UNION ALL
+  SELECT 'lineitem.l_partkey',
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+  UNION ALL
+  SELECT 'lineitem.l_suppkey',
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+  UNION ALL
+  SELECT 'orders.o_custkey',
+         (SELECT COUNT(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'customer.c_nationkey',
+         (SELECT COUNT(*) FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+  UNION ALL
+  SELECT 'supplier.s_nationkey',
+         (SELECT COUNT(*) FROM supplier s
+          WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+  UNION ALL
+  SELECT 'nation.n_regionkey',
+         (SELECT COUNT(*) FROM nation n
+          WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+)
+ORDER BY fk
+"""
+
+
+@query("tpch_fk_integrity", oracle=_FK_ORACLE)
+def tpch_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan count per FK edge of the TPC-H schema (7 edges), via
+    left-anti joins unioned into one report. Scale: each edge is ONE
+    hash anti-join keyed on the FK (Spark injects bloom/DPP runtime
+    filters on the build side); dimension edges broadcast; the report
+    is 7 rows. The post-migration data-quality gate."""
+    edges = [
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for name, child, fk, parent, pk in edges:
+        orphans = (
+            spark.table(child)
+            .select(F.col(fk))
+            .join(
+                spark.table(parent).select(F.col(pk).alias(fk)),
+                fk,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+            .select(F.lit(name).alias("fk"), "n_orphans")
+        )
+        out = orphans if out is None else out.unionByName(orphans)
+    return out.orderBy("fk")

@@ -349,3 +349,53 @@ def test_unicode_tokenization_boundary_documented(spark):
         F.lower("t").alias("o")
     ).collect()[0].o == "i̇"
     assert duckdb.sql("SELECT lower('İ')").fetchone()[0] == "i"
+
+
+def test_key_skew_report_matches_python(spark):
+    from hadoop_common_spark.queries import load_all
+
+    reg = load_all()
+    row = reg["events_key_skew_report"].fn(spark, SF_DIR).collect()[0]
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    kc = Counter(ev["user_id"])
+    counts = sorted(((c, u) for u, c in kc.items()), key=lambda x: (-x[0], x[1]))
+    n_rows = sum(kc.values())
+    assert row.n_keys == len(kc)
+    assert row.n_rows == n_rows
+    assert row.max_c == counts[0][0]
+    assert row.top1_share == counts[0][0] / n_rows
+    assert row.top10_share == sum(c for c, _ in counts[:10]) / n_rows
+
+
+def test_fk_integrity_zero_orphans_and_detects_injected(spark, tmp_path):
+    """The shipped testdata must be referentially clean (7 edges, zero
+    orphans) AND the audit must actually detect breakage: copy the SF
+    dir, drop half of nation, re-run, and the customer/supplier edges
+    must light up."""
+    import shutil
+
+    from hadoop_common_spark.queries import load_all
+
+    reg = load_all()
+    clean = {
+        r.fk: r.n_orphans for r in reg["tpch_fk_integrity"].fn(spark, SF_DIR).collect()
+    }
+    assert set(clean.values()) == {0}, clean
+
+    broken_dir = tmp_path / "broken"
+    broken_dir.mkdir()
+    for f in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        shutil.copy(f"{SF_DIR}/{f}.parquet", broken_dir / f"{f}.parquet")
+    nat = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+    nat[nat.n_nationkey < 12].to_parquet(broken_dir / "nation.parquet")
+    broken = {
+        r.fk: r.n_orphans
+        for r in reg["tpch_fk_integrity"].fn(spark, str(broken_dir)).collect()
+    }
+    assert broken["customer.c_nationkey"] > 0
+    assert broken["supplier.s_nationkey"] > 0
+    assert broken["lineitem.l_orderkey"] == 0

@@ -96,6 +96,7 @@ _add(
     "text_pmi_pairs",
     "orders_market_basket",
     "customers_rfm_segments",
+    "events_key_skew_report",
 )
 _add(
     "cartesian",
