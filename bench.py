@@ -111,6 +111,10 @@ HEADLINE = [
     "similarity_knn_label_eval",    # supervised 5-NN accuracy eval (r6 cont.)
     "events_key_skew_report",       # partition-strategy skew doctor (r6 cont.)
     "tpch_fk_integrity",            # 7-edge orphan audit (r6 cont.)
+    "embedding_kmeans_step",        # integer-exact Lloyd iteration (r6 cont.)
+    "text_quality_linear_score",    # hash-trick classifier inference (r6 cont.)
+    "events_k_anonymity",           # privacy suppression audit (r6 cont.)
+    "events_cdc_merge",             # MERGE INTO / upsert primitive (r6 cont.)
 ]
 
 
@@ -172,6 +176,11 @@ SCALE_QUERIES = [
     # zip_with pair generator — both must stay linear at 10x
     "corpus_dsir_weights",
     "text_pmi_pairs",
+    # r6 continuation: the Lloyd step must stay map-side-assignment +
+    # two partial-agg shuffles as embeddings grow; the hash-trick scorer
+    # is the zero-shuffle pass that must scale like the scan it is
+    "embedding_kmeans_step",
+    "text_quality_linear_score",
 ]
 
 

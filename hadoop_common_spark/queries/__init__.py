@@ -90,6 +90,10 @@ _QUERY_MODULES = [
 # never silently pushed out of the checked window.
 PRIORITY_WINDOW: list[str] = [
     # -- r6 NEWCOMERS: no driver row yet --
+    "embedding_kmeans_step",
+    "text_quality_linear_score",
+    "events_k_anonymity",
+    "events_cdc_merge",
     "corpus_dsir_weights",
     "orders_market_basket",
     "events_user_ewma",
@@ -139,10 +143,6 @@ PRIORITY_WINDOW: list[str] = [
     "events_weekday_heatmap",
     "events_outlier_counts",
     "events_gapfill_minutes",
-    "events_multires_rollup",
-    "events_rolling_1h_stats",
-    "events_value_percentiles",
-    "events_value_percentiles_sampled",
 ]
 
 # ---- 50-entry checked-window boundary ----
@@ -152,8 +152,12 @@ PRIORITY_WINDOW: list[str] = [
 # the overflow (r7 rotation head — untouched trivial scans, cheapest to
 # defer), then r04-green, then r05-green (freshest hard rows).
 PRIORITY_OVERFLOW: list[str] = [
-    # -- displaced from the r6 window by the 4 continuation newcomers;
+    # -- displaced from the r6 window by the continuation newcomers;
     #    r7 rotation head together with the r03 spill below --
+    "events_multires_rollup",
+    "events_rolling_1h_stats",
+    "events_value_percentiles",
+    "events_value_percentiles_sampled",
     "events_value_ntile_deciles",
     "events_transition_matrix",
     "corpus_pack_sequences",

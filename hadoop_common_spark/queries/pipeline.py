@@ -1151,3 +1151,66 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_rows").cast("double")
         ).alias("max_over_avg"),
     )
+
+
+# k-anonymity audit — the privacy gate a dataset clears before release:
+# group rows by their quasi-identifier tuple, find groups smaller than
+# k (those rows are re-identifiable), and report the suppression cost
+# per event type. New family: privacy/compliance auditing — the same
+# engine that builds the corpus must prove what it publishes.
+_KANON_K = 5
+_KANON_ORACLE = f"""
+WITH qi AS (
+  SELECT event_type,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS INT) AS hour,
+         CAST(FLOOR(value / 50.0) AS INT) AS value_band,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_qi_groups,
+       CAST(SUM(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+         AS n_suppressed_rows,
+       CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(n) AS DOUBLE) AS suppression_rate
+FROM qi GROUP BY event_type
+"""
+
+
+@query("events_k_anonymity", oracle=_KANON_ORACLE)
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity (k=5) audit over the quasi-identifier tuple
+    (event_type, hour-of-day, value band of width 50): per event type,
+    how many QI groups fall below k and how many rows a suppress-
+    below-k release would drop. Hour comes from pure epoch integer
+    math (timezone-proof, the heatmap idiom); counts are exact BIGINTs
+    and the one double division is the same IEEE op on both engines.
+    Scale: two partial-aggregated shuffles, the second over at most
+    |event_type| x 24 x bands groups — the QI groupBy is the only pass
+    that touches every row."""
+    e = F.expr("CAST(ts AS LONG)")
+    qi = (
+        spark.table("events")
+        .groupBy(
+            "event_type",
+            ((e % 86400) / 3600).cast("int").alias("hour"),
+            F.floor(F.col("value") / 50.0).cast("int").alias("value_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    viol = F.col("n") < _KANON_K
+    return qi.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_qi_groups"),
+        F.sum(viol.cast("int")).cast("bigint").alias("n_violating_groups"),
+        F.sum(F.when(viol, F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_suppressed_rows"),
+        (
+            F.sum(F.when(viol, F.col("n")).otherwise(F.lit(0))).cast("double")
+            / F.sum("n").cast("double")
+        ).alias("suppression_rate"),
+    )

@@ -942,3 +942,143 @@ def similarity_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nlabel") == F.col("true_label")).cast("int").alias("correct"),
         )
     )
+
+
+# One integer-exact Lloyd iteration — the hard-correctness twin of
+# ivf.kmeans_fit's float loop (which is approximate by contract, recall-
+# tested, never hash-compared). Training a k-means index IS a Spark
+# workload (the IVF coarse quantizer, sharding embeddings by semantic
+# cell); this query pins one full assign+update step bit-identically
+# across engines by snapping every cross-row float accumulation to
+# integer micro-units BEFORE it is summed.
+_KMEANS_K = 8
+
+
+def _kmeans_step_oracle() -> str:
+    from hadoop_common_spark.operators.pq import _sq_dist_sql
+
+    d = _sq_dist_sql("e.embedding", "s.cvec")
+    return f"""
+WITH seeds AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < {_KMEANS_K}
+),
+assigned AS (
+  SELECT vec_id, embedding, cid, d FROM (
+    SELECT e.vec_id, e.embedding, s.cid, {d} AS d,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d}, s.cid) AS rk
+    FROM embeddings e, seeds s
+  ) WHERE rk = 1
+),
+counts AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(CAST(FLOOR(d * 1000000.0) AS BIGINT)) AS BIGINT) AS inertia_micro
+  FROM assigned GROUP BY cid
+),
+sums AS (
+  SELECT cid, u.i AS dim,
+         CAST(SUM(CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * 1000000.0)
+                       AS BIGINT)) AS BIGINT) AS sm
+  FROM assigned, UNNEST(generate_series(1, len(embedding))) AS u(i)
+  GROUP BY cid, u.i
+),
+means AS (
+  SELECT s.cid, s.dim,
+         CAST(FLOOR(CAST(s.sm AS DOUBLE) / CAST(c.n_members AS DOUBLE))
+              AS BIGINT) AS mean_micro
+  FROM sums s JOIN counts c ON s.cid = c.cid
+),
+norms AS (
+  SELECT cid, CAST(SUM(mean_micro * mean_micro) AS BIGINT) AS centroid_norm2
+  FROM means GROUP BY cid
+)
+SELECT c.cid AS cluster_id, c.n_members, c.inertia_micro, n.centroid_norm2
+FROM counts c JOIN norms n ON c.cid = n.cid
+"""
+
+
+@query("embedding_kmeans_step", oracle=_kmeans_step_oracle())
+def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration, integer-exact: assign every vector to its
+    nearest of K=8 deterministic seed centroids (the embeddings of
+    vec_id 0..7; exact squared-L2, ties to the smaller centroid id),
+    then report per cluster the member count, the inertia (sum of
+    per-row distances snapped to integer micro-units BEFORE summing —
+    no cross-row float accumulation anywhere), and the updated
+    centroid's squared norm in micro^2 units (per-dim mean = exact
+    BIGINT sum floor-divided by the member count, identical IEEE ops on
+    both engines). Scale: assignment is MAP-SIDE ONLY — the K seed
+    vectors ride one broadcast row and argmin is an array_min over a
+    per-row struct array, so the only shuffles are the two partial-
+    aggregated groupBys ((cluster) and (cluster, dim)); dim fan-out is
+    64× but every post-explode row is 3 integers. This is the step
+    ivf.kmeans_fit iterates (operators/ivf.py:60) — kept exact here so
+    the training step itself has a driver-checkable oracle."""
+    from hadoop_common_spark.operators.pq import _sq_dist
+
+    emb = spark.table("embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < _KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cid"), F.col("cvec")))
+            ).alias("_seeds")
+        )
+    )
+    dists = F.transform(
+        F.col("_seeds"),
+        lambda s: F.struct(
+            _sq_dist(F.col("embedding"), s["cvec"]).alias("d"),
+            s["cid"].alias("cid"),
+        ),
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(seeds))
+        .withColumn("_best", F.array_min(dists))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("_best.cid").alias("cid"),
+            F.col("_best.d").alias("d"),
+        )
+    )
+    counts = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum(F.floor(F.col("d") * 1000000.0).cast("bigint"))
+        .cast("bigint")
+        .alias("inertia_micro"),
+    )
+    sums = (
+        assigned.select(
+            "cid", F.posexplode(F.col("embedding")).alias("dim0", "x")
+        )
+        .groupBy("cid", "dim0")
+        .agg(
+            F.sum(F.floor(F.col("x").cast("double") * 1000000.0).cast("bigint"))
+            .cast("bigint")
+            .alias("sm")
+        )
+    )
+    means = sums.join(counts.select("cid", "n_members"), "cid").select(
+        "cid",
+        F.floor(
+            F.col("sm").cast("double") / F.col("n_members").cast("double")
+        )
+        .cast("bigint")
+        .alias("mean_micro"),
+    )
+    norms = means.groupBy("cid").agg(
+        F.sum(F.col("mean_micro") * F.col("mean_micro"))
+        .cast("bigint")
+        .alias("centroid_norm2")
+    )
+    return (
+        counts.join(norms, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            "inertia_micro",
+            "centroid_norm2",
+        )
+    )

@@ -1161,3 +1161,76 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_ratio").desc(), "tok_a", "tok_b")
         .limit(100)
     )
+
+
+# Hashed-feature linear classifier INFERENCE — the fastText-style
+# quality-filter pass every LLM corpus runs (CCNet/RefinedWeb keep/drop
+# models): score = sum over tokens of w[h(token) mod B]. The hashing
+# trick is the entire scale story: no vocabulary table, no dictionary
+# join — the model is a pure function of the token bytes, so inference
+# is map-side-only at any corpus size. Weights here are a deterministic
+# md5-derived stand-in (the engine ships the scoring OPERATOR; a real
+# deployment broadcasts trained coefficients keyed by bucket — same
+# plan, one bounded broadcast more).
+_QLIN_B = 4096
+
+
+def _qlin_oracle() -> str:
+    from hadoop_common_spark.operators.dedup import hash60_sql
+
+    bucket = hash60_sql("t") + f" % {_QLIN_B}"
+    w = hash60_sql(f"'qlw:' || CAST({bucket} AS VARCHAR)") + " % 2001 - 1000"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT doc_id,
+       CAST(len(ts) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(list_sum(list_transform(ts, t -> {w})), 0)
+            AS BIGINT) AS lin_score,
+       CAST(COALESCE(list_sum(list_transform(ts, t -> {w})), 0) >= 0
+            AS INT) AS quality_pass
+FROM toks
+"""
+
+
+@query("text_quality_linear_score", oracle=_qlin_oracle())
+def text_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document linear quality score: tokens of lower(trim(text)),
+    bucket = hash60(token) mod 4096, weight = hash60-derived integer in
+    [-1000, 1000], score = exact BIGINT sum, pass = score >= 0. The
+    whole model evaluates inside one F.aggregate over the token array —
+    ZERO shuffles, no UDF, no vocabulary join (the hashing trick); the
+    plan is a single projected scan, which is why this filter is
+    affordable as the first pass over 100 TB."""
+    from hadoop_common_spark.operators.dedup import hash60
+
+    def w(t):
+        bucket = F.pmod(hash60(t), F.lit(_QLIN_B))
+        return (
+            F.pmod(
+                hash60(F.concat(F.lit("qlw:"), bucket.cast("string"))),
+                F.lit(2001),
+            )
+            - 1000
+        )
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    score = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + w(t).cast("bigint")
+    )
+    return (
+        spark.table("documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            score.alias("lin_score"),
+            (score >= 0).cast("int").alias("quality_pass"),
+        )
+    )

@@ -889,3 +889,90 @@ def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             ewma.alias("ewma_value"),
         )
     )
+
+
+# CDC merge — the lakehouse MERGE INTO / upsert primitive, driven by a
+# real op log: events become keyed mutations (signup=I, error=D, other
+# types=U carrying `value`), a snapshot is the log folded up to a split
+# point, and the query MERGES the post-split batch into it. The result
+# must equal folding the whole log at once (the fold-equivalence
+# contract pinned in tests) — that equality is what makes incremental
+# snapshot maintenance safe against replays and retries.
+_CDC_SPLIT = "2024-01-15 00:00:00"
+_CDC_OPS = """
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS seq_ts,
+         event_id,
+         CASE event_type WHEN 'signup' THEN 'I'
+                         WHEN 'error' THEN 'D'
+                         ELSE 'U' END AS op,
+         value
+  FROM events
+"""
+_CDC_ORACLE = f"""
+WITH log AS ({_CDC_OPS}),
+snap AS (
+  SELECT user_id, seq_ts, event_id, op, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY seq_ts DESC, event_id DESC) AS rk
+    FROM log WHERE seq_ts < CAST(floor(epoch(TIMESTAMP '{_CDC_SPLIT}')) AS BIGINT)
+  ) WHERE rk = 1
+),
+batch AS (
+  SELECT user_id, seq_ts, event_id, op, value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY seq_ts DESC, event_id DESC) AS rk
+    FROM log WHERE seq_ts >= CAST(floor(epoch(TIMESTAMP '{_CDC_SPLIT}')) AS BIGINT)
+  ) WHERE rk = 1
+)
+SELECT user_id,
+       COALESCE(b.seq_ts, s.seq_ts) AS version_epoch,
+       COALESCE(b.value, s.value) AS state_value
+FROM (SELECT * FROM snap WHERE op <> 'D') s
+FULL OUTER JOIN batch b USING (user_id)
+WHERE b.op IS NULL OR b.op <> 'D'
+"""
+
+
+@query("events_cdc_merge", oracle=_CDC_ORACLE)
+def events_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the post-2024-01-15 CDC batch (latest op per user_id,
+    ordered by (epoch, event_id)) onto the snapshot folded from the
+    pre-split log: deletes drop the key, inserts/updates upsert
+    `value`, untouched users pass through. Spark-first: the per-key
+    latest op is ONE struct-max aggregate (partial-aggregated — no
+    window sort, the relational secondary-sort-keep-last), and apply
+    is one full-outer join; the batch side is small vs the snapshot,
+    so at scale it broadcasts and the snapshot rewrites exactly once
+    per merge. See operators/cdc.py for the contract."""
+    from hadoop_common_spark.operators.cdc import cdc_merge, materialize_log
+
+    ops = spark.table("events").select(
+        "user_id",
+        F.expr(EPOCH).alias("seq_ts"),
+        "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "value",
+    )
+    split = F.unix_timestamp(F.lit(_CDC_SPLIT)).cast("bigint")
+    snapshot = materialize_log(
+        ops.filter(F.col("seq_ts") < split),
+        "user_id",
+        ("seq_ts", "event_id"),
+        payload_cols=("value",),
+    )
+    merged = cdc_merge(
+        snapshot,
+        ops.filter(F.col("seq_ts") >= split),
+        "user_id",
+        ("seq_ts", "event_id"),
+        payload_cols=("value",),
+    )
+    return merged.select(
+        "user_id",
+        F.col("seq_ts").alias("version_epoch"),
+        F.col("value").alias("state_value"),
+    )

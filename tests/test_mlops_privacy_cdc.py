@@ -1,0 +1,255 @@
+"""Round-6 batch: k-means Lloyd step, hashed linear quality scorer,
+k-anonymity audit, CDC merge.
+
+Each query has a DuckDB oracle (the driver's hard gate); these tests add
+an INDEPENDENT pure-Python third implementation over the same parquet,
+plus the CDC fold-equivalence / idempotence contracts and the plan
+shapes the scale story depends on."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def emb_pdf():
+    return pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def events_pdf():
+    return pd.read_parquet(f"{SF_DIR}/events.parquet")
+
+
+def _run(spark, name):
+    from hadoop_common_spark.queries import load_all
+
+    return load_all()[name].fn(spark, SF_DIR)
+
+
+# ---------------------------------------------------------------- kmeans
+
+
+def _sqdist(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        acc = acc + d * d  # same fold order as the zip_with/aggregate form
+    return acc
+
+
+def test_kmeans_step_matches_python(spark, emb_pdf):
+    got = {
+        r["cluster_id"]: (r["n_members"], r["inertia_micro"], r["centroid_norm2"])
+        for r in _run(spark, "embedding_kmeans_step").collect()
+    }
+
+    seeds = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb_pdf.itertuples(index=False)
+        if r.vec_id < 8
+    }
+    n: dict[int, int] = {}
+    inertia: dict[int, int] = {}
+    sums: dict[tuple[int, int], int] = {}
+    for r in emb_pdf.itertuples(index=False):
+        vec = [float(x) for x in r.embedding]
+        d, cid = min((_sqdist(vec, seeds[c]), c) for c in sorted(seeds))
+        n[cid] = n.get(cid, 0) + 1
+        inertia[cid] = inertia.get(cid, 0) + math.floor(d * 1000000.0)
+        for i, x in enumerate(vec):
+            k = (cid, i)
+            sums[k] = sums.get(k, 0) + math.floor(x * 1000000.0)
+    want = {}
+    for cid in n:
+        norm2 = 0
+        for (c, _i), sm in sums.items():
+            if c == cid:
+                m = math.floor(float(sm) / float(n[cid]))
+                norm2 += m * m
+        want[cid] = (n[cid], inertia[cid], norm2)
+    assert got == want
+    assert sum(v[0] for v in got.values()) == len(emb_pdf)
+
+
+def test_kmeans_step_plan_has_no_window(spark):
+    """Argmin is an array_min over the broadcast seed array — no
+    row_number window, so assignment stays map-side."""
+    plan = _run(spark, "embedding_kmeans_step")._jdf.queryExecution().toString()
+    assert "Window" not in plan
+
+
+# ---------------------------------------------------- linear quality score
+
+_QLIN_B = 4096
+
+
+def _qlin_w(tok: str) -> int:
+    b = _h60(tok) % _QLIN_B
+    return _h60(f"qlw:{b}") % 2001 - 1000
+
+
+def test_quality_linear_score_matches_python(spark):
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["lin_score"], r["quality_pass"])
+        for r in _run(spark, "text_quality_linear_score").collect()
+    }
+    want = {}
+    for r in docs.itertuples(index=False):
+        t = r.text.strip().lower()
+        if not r.text.strip():
+            continue
+        toks = [x for x in re.split(r"\s+", t) if x != ""]
+        score = sum(_qlin_w(x) for x in toks)
+        want[r.doc_id] = (len(toks), score, int(score >= 0))
+    assert got == want
+
+
+def test_quality_linear_score_plan_is_shuffle_free(spark):
+    """The hashing trick means NO vocabulary join and no aggregation —
+    the whole model is one projected scan. A shuffle appearing here
+    would mean the scorer stopped being the cheap first pass."""
+    plan = _run(spark, "text_quality_linear_score")._jdf.queryExecution().toString()
+    physical = plan.split("== Physical Plan ==")[1]
+    assert "Exchange" not in physical
+    assert "BatchEvalPython" not in physical
+
+
+# ------------------------------------------------------------ k-anonymity
+
+
+def test_k_anonymity_matches_python(spark, events_pdf):
+    got = {
+        r["event_type"]: (
+            r["n_rows"],
+            r["n_qi_groups"],
+            r["n_violating_groups"],
+            r["n_suppressed_rows"],
+        )
+        for r in _run(spark, "events_k_anonymity").collect()
+    }
+    groups: dict[tuple, int] = {}
+    for r in events_pdf.itertuples(index=False):
+        epoch = r.ts.value // 1_000_000_000
+        qi = (r.event_type, (epoch % 86400) // 3600, math.floor(r.value / 50.0))
+        groups[qi] = groups.get(qi, 0) + 1
+    want: dict[str, list[int]] = {}
+    for (et, _h, _b), cnt in groups.items():
+        w = want.setdefault(et, [0, 0, 0, 0])
+        w[0] += cnt
+        w[1] += 1
+        if cnt < 5:
+            w[2] += 1
+            w[3] += cnt
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_k_anonymity_suppression_only_counts_small_groups(spark):
+    rows = _run(spark, "events_k_anonymity").collect()
+    for r in rows:
+        assert r["n_suppressed_rows"] <= r["n_rows"]
+        assert r["n_violating_groups"] <= r["n_qi_groups"]
+        # every violating group has <= 4 rows
+        assert r["n_suppressed_rows"] <= 4 * r["n_violating_groups"]
+
+
+# ---------------------------------------------------------------- CDC
+
+
+def _ops_df(spark):
+    from hadoop_common_spark.tables import register_views
+
+    register_views(spark, SF_DIR)
+    return spark.table("events").select(
+        "user_id",
+        F.col("ts").cast("long").alias("seq_ts"),
+        "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "value",
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_cdc_fold_equivalence(spark):
+    """merge(materialize(prefix), suffix) == materialize(whole log) —
+    the contract that makes incremental snapshot maintenance safe."""
+    from hadoop_common_spark.operators.cdc import cdc_merge, materialize_log
+
+    ops = _ops_df(spark)
+    split = F.unix_timestamp(F.lit("2024-01-10 00:00:00")).cast("long")
+    args = dict(key="user_id", seq_cols=("seq_ts", "event_id"), payload_cols=("value",))
+    snap = materialize_log(ops.filter(F.col("seq_ts") < split), **args)
+    merged = cdc_merge(snap, ops.filter(F.col("seq_ts") >= split), **args)
+    whole = materialize_log(ops, **args)
+    assert _rows(merged) == _rows(whole)
+
+
+def test_cdc_redelivery_is_idempotent(spark):
+    """Re-applying the same batch is a no-op (exactly-once by merge)."""
+    from hadoop_common_spark.operators.cdc import cdc_merge, materialize_log
+
+    ops = _ops_df(spark)
+    split = F.unix_timestamp(F.lit("2024-01-15 00:00:00")).cast("long")
+    args = dict(key="user_id", seq_cols=("seq_ts", "event_id"), payload_cols=("value",))
+    snap = materialize_log(ops.filter(F.col("seq_ts") < split), **args)
+    batch = ops.filter(F.col("seq_ts") >= split)
+    once = cdc_merge(snap, batch, **args)
+    twice = cdc_merge(once, batch, **args)
+    assert _rows(once) == _rows(twice)
+
+
+def test_cdc_merge_semantics_small(spark):
+    from hadoop_common_spark.operators.cdc import cdc_merge
+
+    snap = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 10, 200.0), (3, 10, 300.0)],
+        "k long, seq_ts long, value double",
+    )
+    # k=1 updated (latest of two ops wins), k=2 deleted, k=4 inserted,
+    # k=5 delete-of-absent (no-op, no resurrection), k=3 untouched
+    changes = spark.createDataFrame(
+        [
+            (1, 20, "U", 111.0),
+            (1, 21, "U", 112.0),
+            (2, 20, "D", None),
+            (4, 20, "I", 400.0),
+            (5, 20, "D", None),
+        ],
+        "k long, seq_ts long, op string, value double",
+    )
+    got = _rows(
+        cdc_merge(snap, changes, "k", ("seq_ts",), payload_cols=("value",))
+    )
+    assert got == [(1, 21, 112.0), (3, 10, 300.0), (4, 20, 400.0)]
+
+
+def test_cdc_latest_ops_uses_aggregate_not_window(spark):
+    """The per-key latest op must stay a partial-aggregated struct-max
+    (the scalable secondary-sort-keep-last), never a window sort."""
+    from hadoop_common_spark.operators.cdc import latest_ops
+
+    ops = _ops_df(spark)
+    df = latest_ops(ops, "user_id", ("seq_ts", "event_id"), payload_cols=("value",))
+    plan = df._jdf.queryExecution().toString()
+    physical = plan.split("== Physical Plan ==")[1]
+    assert "Window" not in physical
+    assert "partial_max" in physical or "partial_" in physical

@@ -76,6 +76,13 @@ _add(
 )
 _add(
     "cartesian",
+    "Lloyd assignment: the broadcast side is ONE ROW holding the K=8 "
+    "seed centroids as an array; argmin is a per-row array_min, so the "
+    "'cross' join distributes a constant table — K×N work, map-side",
+    "embedding_kmeans_step",
+)
+_add(
+    "cartesian",
     "relational Bloom membership: the broadcast side is the bit-slice "
     "table of one Bloom filter (fixed, tiny); the probe side streams",
     "parts_in_urgent_orders",
