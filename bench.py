@@ -115,6 +115,7 @@ HEADLINE = [
     "text_quality_linear_score",    # hash-trick classifier inference (r6 cont.)
     "events_k_anonymity",           # privacy suppression audit (r6 cont.)
     "events_cdc_merge",             # MERGE INTO / upsert primitive (r6 cont.)
+    "graph_bfs_distances",          # fixed-round BSP shortest paths (r6 cont.)
 ]
 
 

@@ -342,3 +342,49 @@ def min_label_rounds(
             )
         )
     return labels
+
+
+def bfs_min_distance(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """FIXED-round BFS / single-source shortest path (unweighted) from
+    the minimum node id: distance(v) after round r is the hop count of
+    the shortest path within r hops — exact for every node whose true
+    distance <= r; still-unreached nodes are omitted. Same BSP shape as
+    :func:`min_label_rounds` (the round count is a constant, so the
+    whole computation is ONE declarative plan an oracle can replay):
+    each round is one neighbor-min shuffle (edges both directions +
+    groupBy min) over the DISTANCE frame (one row per node — the
+    frontier state, never the edge list, is what updates). The source
+    is the min node id, attached as a one-row broadcast scalar.
+    Returns (node, distance) for reached nodes, distance BIGINT."""
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    source = nodes.agg(F.min("node").alias("_s"))
+    dist = nodes.crossJoin(F.broadcast(source)).select(
+        "node",
+        F.when(F.col("node") == F.col("_s"), F.lit(0).cast("bigint")).alias("dist"),
+    )
+    for _ in range(rounds):
+        nbr = (
+            und.join(dist.filter(F.col("dist").isNotNull()), und["v"] == dist["node"])
+            .groupBy("u")
+            .agg((F.min("dist") + 1).cast("bigint").alias("cand"))
+        )
+        dist = dist.join(nbr, dist["node"] == nbr["u"], "left").select(
+            "node",
+            F.least(
+                F.coalesce(F.col("dist"), F.col("cand")),
+                F.coalesce(F.col("cand"), F.col("dist")),
+            ).alias("dist"),
+        )
+    return dist.filter(F.col("dist").isNotNull()).select(
+        "node", F.col("dist").alias("distance")
+    )

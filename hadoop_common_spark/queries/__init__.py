@@ -90,6 +90,7 @@ _QUERY_MODULES = [
 # never silently pushed out of the checked window.
 PRIORITY_WINDOW: list[str] = [
     # -- r6 NEWCOMERS: no driver row yet --
+    "graph_bfs_distances",
     "embedding_kmeans_step",
     "text_quality_linear_score",
     "events_k_anonymity",
@@ -142,7 +143,6 @@ PRIORITY_WINDOW: list[str] = [
     "events_cohort_retention",
     "events_weekday_heatmap",
     "events_outlier_counts",
-    "events_gapfill_minutes",
 ]
 
 # ---- 50-entry checked-window boundary ----
@@ -154,6 +154,7 @@ PRIORITY_WINDOW: list[str] = [
 PRIORITY_OVERFLOW: list[str] = [
     # -- displaced from the r6 window by the continuation newcomers;
     #    r7 rotation head together with the r03 spill below --
+    "events_gapfill_minutes",
     "events_multires_rollup",
     "events_rolling_1h_stats",
     "events_value_percentiles",

@@ -238,3 +238,61 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = min_label_rounds(edges, rounds=_LP_ROUNDS)
     return labels.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+
+
+_BFS_ROUNDS = 4
+
+
+def _bfs_oracle() -> str:
+    """Unrolled fixed-round BFS (4 rounds) over the sparsified bipartite
+    purchase graph — pure integer hop counts, so the CTE chain replays
+    the Spark BSP loop bit-identically."""
+    ctes = [
+        "e0 AS (SELECT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst "
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE l_quantity <= 2)",
+        "und AS (SELECT DISTINCT u, v FROM "
+        "(SELECT src AS u, dst AS v FROM e0 UNION ALL SELECT dst, src FROM e0))",
+        "nodes AS (SELECT DISTINCT u AS node FROM und)",
+        "d0 AS (SELECT node, CASE WHEN node = (SELECT MIN(node) FROM nodes) "
+        "THEN CAST(0 AS BIGINT) END AS dist FROM nodes)",
+    ]
+    for i in range(_BFS_ROUNDS):
+        ctes.append(
+            f"d{i + 1} AS (SELECT n.node, "
+            "LEAST(COALESCE(n.dist, c.cand), COALESCE(c.cand, n.dist)) AS dist "
+            f"FROM d{i} n LEFT JOIN ("
+            "SELECT und.u AS node, CAST(MIN(d.dist) + 1 AS BIGINT) AS cand "
+            f"FROM und JOIN d{i} d ON und.v = d.node "
+            "WHERE d.dist IS NOT NULL GROUP BY und.u) c ON n.node = c.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, dist AS distance FROM d{_BFS_ROUNDS} WHERE dist IS NOT NULL"
+    )
+
+
+@query("graph_bfs_distances", oracle=_bfs_oracle())
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round BFS / unweighted single-source shortest paths (4 BSP
+    rounds) from the minimum node id over the sparsified bipartite
+    customer–supplier purchase graph (same 2k / 2k+1 node encoding as
+    graph_label_propagation) — the reachability/lineage primitive the
+    graph tier lacked (PageRank = centrality, CC = clustering, triangles
+    = density, label-prop = communities, BFS = distance). Per round: ONE
+    neighbor-min shuffle over the (node, dist) state — state is linear
+    in nodes, never in edges, and the constant round count keeps it one
+    declarative oracle-replayable plan. Returns reached nodes only."""
+    from hadoop_common_spark.operators.graph import bfs_min_distance
+
+    edges = (
+        spark.table("orders")
+        .join(spark.table("lineitem"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_quantity") <= 2)
+        .select(
+            (2 * F.col("o_custkey")).alias("src"),
+            (2 * F.col("l_suppkey") + 1).alias("dst"),
+        )
+    )
+    return bfs_min_distance(edges, "src", "dst", rounds=_BFS_ROUNDS)

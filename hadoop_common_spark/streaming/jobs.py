@@ -345,3 +345,52 @@ def weighted_sample_incremental(
         .start()
         .awaitTermination()
     )
+
+
+def cdc_snapshot_incremental(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    key: str,
+    seq_cols: tuple[str, ...],
+    op_col: str = "op",
+    payload_cols: tuple[str, ...] = (),
+) -> None:
+    """Incrementally maintained CDC snapshot over a stream of keyed
+    insert/update/delete ops — the streaming twin of
+    operators/cdc.materialize_log.
+
+    Stored state is latest_ops' output INCLUDING delete tombstones:
+    latest-op-per-key is a mergeable monoid (max by (seq...) per key),
+    so per batch ``state = latest_ops(state ∪ latest_ops(batch))`` and
+    drain == batch fold of the WHOLE log EXACTLY — under ANY batch
+    partitioning, even when micro-batch boundaries interleave seq
+    ranges (pinned by test with seq-shuffled multi-file batches; this
+    is why tombstones are retained — dropping them would let a stale
+    replayed update resurrect a deleted key). Redelivered batches merge
+    to the identical state (idempotent, at-least-once safe). State is
+    one row per ever-seen key — bounded by key cardinality, never by
+    stream history; a production compactor ages tombstones out once
+    they pass the source's maximum replay horizon. Read the live
+    snapshot with ``spark.read.parquet(out).filter(op != 'D')``."""
+    from hadoop_common_spark.operators.cdc import latest_ops
+
+    spark = stream_df.sparkSession
+    args = (key, seq_cols, op_col, payload_cols)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = latest_ops(batch_df, *args)
+        try:
+            prev = spark.read.parquet(out_path)
+        except Exception:
+            prev = None
+        merged = b if prev is None else latest_ops(prev.unionByName(b), *args)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(out_path)
+
+    (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -253,3 +253,149 @@ def test_cdc_latest_ops_uses_aggregate_not_window(spark):
     physical = plan.split("== Physical Plan ==")[1]
     assert "Window" not in physical
     assert "partial_max" in physical or "partial_" in physical
+
+
+def test_cdc_snapshot_incremental_equals_batch_fold(spark, tmp_path):
+    """Drain the op log through the incremental CDC maintainer in
+    multiple micro-batches whose boundaries INTERLEAVE seq ranges (4
+    files split by event_id mod 4, one file per trigger) — the stored
+    tombstone-retaining state must still fold to EXACTLY the batch
+    materialize_log of the whole log, and a re-drain with the same
+    checkpoint must be a no-op."""
+    from hadoop_common_spark.operators.cdc import materialize_log
+    from hadoop_common_spark.streaming.jobs import cdc_snapshot_incremental
+
+    ops = _ops_df(spark)
+    src = str(tmp_path / "oplog")
+    # mod-4 split interleaves seq ranges across files (file i has seqs
+    # from the whole time span) — the adversarial batch partitioning
+    ops.repartition(4, F.pmod(F.col("event_id"), F.lit(4))).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(ops.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    args = dict(key="user_id", seq_cols=("seq_ts", "event_id"), payload_cols=("value",))
+    cdc_snapshot_incremental(stream, out, ckpt, "user_id", ("seq_ts", "event_id"),
+                             payload_cols=("value",))
+
+    live = spark.read.parquet(out).filter(F.col("op") != "D").drop("op")
+    want = materialize_log(ops, **args)
+    assert _rows(live) == _rows(want)
+
+    stream2 = (
+        spark.readStream.schema(ops.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    cdc_snapshot_incremental(stream2, out, ckpt, "user_id", ("seq_ts", "event_id"),
+                             payload_cols=("value",))
+    live2 = spark.read.parquet(out).filter(F.col("op") != "D").drop("op")
+    assert _rows(live2) == _rows(want)
+
+
+# ---------------------------------------------------------------- BFS
+
+
+def test_bfs_distances_match_python(spark):
+    """Third implementation: pure-Python BFS over the same sparsified
+    bipartite purchase graph must agree with the 4-round BSP exactly
+    (for nodes within 4 hops; unreached nodes absent on both sides)."""
+    from collections import deque
+
+    from hadoop_common_spark.queries import load_all
+
+    got = {
+        r["node"]: r["distance"]
+        for r in load_all()["graph_bfs_distances"].fn(spark, SF_DIR).collect()
+    }
+
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    m = li[li.l_quantity <= 2].merge(
+        orders, left_on="l_orderkey", right_on="o_orderkey"
+    )
+    adj: dict[int, set[int]] = {}
+    for u, v in zip(2 * m.o_custkey, 2 * m.l_suppkey + 1):
+        adj.setdefault(int(u), set()).add(int(v))
+        adj.setdefault(int(v), set()).add(int(u))
+    src = min(adj)
+    want = {src: 0}
+    q = deque([src])
+    while q:
+        u = q.popleft()
+        if want[u] >= 4:
+            continue
+        for v in adj[u]:
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    assert got == want
+
+
+# ------------------------------------------------- CDC randomized fuzz
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_cdc_fold_fuzz_matches_python(spark, seed):
+    """Differential fuzz family #6: random op logs (hot keys, seq ties
+    broken by op_id, delete/insert/update interleavings) folded four
+    ways — materialize_log, a pure-Python fold, an incremental
+    cdc_merge chain over IN-ORDER splits (cdc_merge's documented
+    precondition: log-ordered delivery, what a binlog feed provides),
+    and the tombstone-retaining latest_ops monoid over an ARBITRARY
+    row partition (the streaming-state form, which must not need any
+    ordering) — all must agree exactly."""
+    import random
+
+    from hadoop_common_spark.operators.cdc import (
+        cdc_merge,
+        latest_ops,
+        materialize_log,
+    )
+
+    rng = random.Random(9000 + seed)
+    n = rng.randrange(30, 120)
+    rows = []
+    for op_id in range(n):
+        key = rng.randrange(1, 12)  # few keys -> long per-key histories
+        seq = op_id // 3  # monotone in arrival, frequent ties
+        op = rng.choice(["I", "U", "U", "D"])
+        rows.append((key, seq, op_id, op, float(rng.randrange(0, 1000))))
+    df = spark.createDataFrame(
+        rows, "k long, seq long, op_id long, op string, value double"
+    )
+    args = dict(key="k", seq_cols=("seq", "op_id"), payload_cols=("value",))
+
+    whole = _rows(materialize_log(df, **args))
+
+    # pure-Python fold: latest (seq, op_id) wins per key; drop 'D'
+    best: dict[int, tuple] = {}
+    for k, seq, op_id, op, v in rows:
+        if k not in best or (seq, op_id) > best[k][:2]:
+            best[k] = (seq, op_id, op, v)
+    want = sorted(
+        (k, s, o, v) for k, (s, o, op, v) in best.items() if op != "D"
+    )
+    assert whole == want
+
+    # incremental cdc_merge over IN-ORDER splits (arrival == seq order)
+    cuts = sorted(rng.sample(range(1, n), 2))
+    snap = materialize_log(df.filter(F.col("op_id") < cuts[0]), **args)
+    snap = cdc_merge(
+        snap,
+        df.filter((F.col("op_id") >= cuts[0]) & (F.col("op_id") < cuts[1])),
+        **args,
+    )
+    merged = _rows(cdc_merge(snap, df.filter(F.col("op_id") >= cuts[1]), **args))
+    assert merged == whole
+
+    # tombstone monoid over an ARBITRARY partition: no ordering needed
+    part = F.pmod(F.hash(F.col("op_id")), F.lit(3))
+    state = None
+    for p in range(3):
+        b = latest_ops(df.filter(part == p), "k", ("seq", "op_id"), "op", ("value",))
+        state = b if state is None else latest_ops(
+            state.unionByName(b), "k", ("seq", "op_id"), "op", ("value",)
+        )
+    live = _rows(state.filter(F.col("op") != "D").drop("op"))
+    assert live == whole

@@ -83,6 +83,12 @@ _add(
 )
 _add(
     "cartesian",
+    "BFS source attach: the broadcast side is the ONE-ROW min-node-id "
+    "scalar seeding distance 0 — a scalar attach, never a row multiplier",
+    "graph_bfs_distances",
+)
+_add(
+    "cartesian",
     "relational Bloom membership: the broadcast side is the bit-slice "
     "table of one Bloom filter (fixed, tiny); the probe side streams",
     "parts_in_urgent_orders",
