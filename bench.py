@@ -116,6 +116,9 @@ HEADLINE = [
     "events_k_anonymity",           # privacy suppression audit (r6 cont.)
     "events_cdc_merge",             # MERGE INTO / upsert primitive (r6 cont.)
     "graph_bfs_distances",          # fixed-round BSP shortest paths (r6 cont.)
+    "privacy_erasure_cascade",      # GDPR cascade purge audit (r6 cont.)
+    "embedding_drift_by_label",     # centroid-drift ML-ops monitor (r6 cont.)
+    "corpus_version_diff",          # release diff: ids+digests only (r6 cont.)
 ]
 
 

@@ -90,6 +90,9 @@ _QUERY_MODULES = [
 # never silently pushed out of the checked window.
 PRIORITY_WINDOW: list[str] = [
     # -- r6 NEWCOMERS: no driver row yet --
+    "embedding_drift_by_label",
+    "corpus_version_diff",
+    "privacy_erasure_cascade",
     "graph_bfs_distances",
     "embedding_kmeans_step",
     "text_quality_linear_score",
@@ -140,9 +143,6 @@ PRIORITY_WINDOW: list[str] = [
     "graph_triangle_count",
     "graph_clustering_coefficient",
     "events_funnel",
-    "events_cohort_retention",
-    "events_weekday_heatmap",
-    "events_outlier_counts",
 ]
 
 # ---- 50-entry checked-window boundary ----
@@ -154,6 +154,9 @@ PRIORITY_WINDOW: list[str] = [
 PRIORITY_OVERFLOW: list[str] = [
     # -- displaced from the r6 window by the continuation newcomers;
     #    r7 rotation head together with the r03 spill below --
+    "events_cohort_retention",
+    "events_weekday_heatmap",
+    "events_outlier_counts",
     "events_gapfill_minutes",
     "events_multires_rollup",
     "events_rolling_1h_stats",

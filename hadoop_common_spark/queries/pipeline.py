@@ -1214,3 +1214,185 @@ def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").cast("double")
         ).alias("suppression_rate"),
     )
+
+
+# Erasure cascade — the second privacy-family member (with
+# events_k_anonymity): given a deterministic erasure list (the "right
+# to be forgotten" request set, here hash-selected ~5% of customers),
+# cascade the delete across every table that references the subject and
+# report the per-table purge audit a compliance job must produce.
+# Scale: the erasure list is a small broadcast side; every purge count
+# is one semi-join + aggregate, and lineitem's cascade rides the
+# already-purged orders keys — no table is scanned more than once.
+_ERASURE_ORACLE = """
+WITH erased AS (
+  SELECT c_custkey FROM customer
+  WHERE ('0x' || substr(md5('erase:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 100 < 5
+),
+po AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM erased)),
+a AS (
+  SELECT 'customer' AS table_name,
+         CAST((SELECT COUNT(*) FROM erased) AS BIGINT) AS n_purged,
+         CAST((SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM erased) AS BIGINT) AS n_kept
+  UNION ALL
+  SELECT 'orders',
+         CAST((SELECT COUNT(*) FROM po) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM po) AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem',
+         CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM po)) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM po)) AS BIGINT)
+  UNION ALL
+  SELECT 'events',
+         CAST((SELECT COUNT(*) FROM events WHERE user_id IN (SELECT c_custkey FROM erased)) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM events WHERE user_id NOT IN (SELECT c_custkey FROM erased)) AS BIGINT)
+)
+SELECT table_name, n_purged, n_kept FROM a
+"""
+
+
+@query("privacy_erasure_cascade", oracle=_ERASURE_ORACLE)
+def privacy_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table purge audit of a cascaded erasure: subjects =
+    customers whose hash60('erase:' || custkey) lands in the 5% bucket
+    (a deterministic stand-in for the request queue); customer rows
+    purge directly, orders by custkey, lineitem through the purged
+    orderkeys, events by user_id. Spark-first: the subject list (and
+    the order-key list it induces) broadcasts into LEFT SEMI / LEFT
+    ANTI probes — each fact table is scanned once, counted with one
+    partial-aggregated pass, no row is materialized twice. The actual
+    delete job is these same semi/anti joins with a writer instead of
+    a count."""
+    from hadoop_common_spark.operators.dedup import hash60
+
+    erased = spark.table("customer").filter(
+        F.pmod(
+            hash60(F.concat(F.lit("erase:"), F.col("c_custkey").cast("string"))),
+            F.lit(100),
+        )
+        < 5
+    ).select("c_custkey")
+    po = spark.table("orders").join(
+        F.broadcast(erased),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_semi",
+    ).select("o_orderkey")
+
+    def audit(name: str, purged, kept) -> DataFrame:
+        p = purged.agg(F.count(F.lit(1)).cast("bigint").alias("n_purged"))
+        k = kept.agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+        return p.crossJoin(k).select(
+            F.lit(name).alias("table_name"), "n_purged", "n_kept"
+        )
+
+    cust = spark.table("customer")
+    orders = spark.table("orders")
+    li = spark.table("lineitem")
+    ev = spark.table("events")
+    on_ord = F.col("l_orderkey") == F.col("o_orderkey")
+    on_usr = F.col("user_id") == F.col("c_custkey")
+    return (
+        audit(
+            "customer",
+            cust.join(F.broadcast(erased), "c_custkey", "left_semi"),
+            cust.join(F.broadcast(erased), "c_custkey", "left_anti"),
+        )
+        .unionByName(
+            audit(
+                "orders",
+                po,
+                orders.join(
+                    F.broadcast(erased),
+                    F.col("o_custkey") == F.col("c_custkey"),
+                    "left_anti",
+                ),
+            )
+        )
+        .unionByName(
+            audit(
+                "lineitem",
+                li.join(F.broadcast(po), on_ord, "left_semi"),
+                li.join(F.broadcast(po), on_ord, "left_anti"),
+            )
+        )
+        .unionByName(
+            audit(
+                "events",
+                ev.join(F.broadcast(erased), on_usr, "left_semi"),
+                ev.join(F.broadcast(erased), on_usr, "left_anti"),
+            )
+        )
+    )
+
+
+# Release diff — the dataset-versioning audit: before publishing corpus
+# v2, diff it against v1 and report what was added, removed, changed,
+# and untouched (the numbers a release note and a downstream cache
+# invalidation both need). The two "releases" here are deterministic
+# hash-selected views of the documents table (independent 5% exclusions
+# + a 5% simulated edit), so the query is a pure function of the data;
+# a real deployment points the two sides at two snapshot paths — the
+# plan (ONE full-outer join on the id, fingerprint compare) is the same.
+_VDIFF_H = "('0x' || substr(md5({salt} || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100"
+_VDIFF_ORACLE = f"""
+WITH prev AS (
+  SELECT doc_id, md5(text) AS fp FROM documents
+  WHERE {_VDIFF_H.format(salt="'prev:'")} < 95
+),
+curr AS (
+  SELECT doc_id,
+         CASE WHEN {_VDIFF_H.format(salt="'edit:'")} < 5
+              THEN md5(text || 'v2') ELSE md5(text) END AS fp
+  FROM documents
+  WHERE {_VDIFF_H.format(salt="'curr:'")} < 95
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+  SELECT CASE WHEN p.doc_id IS NULL THEN 'added'
+              WHEN c.doc_id IS NULL THEN 'removed'
+              WHEN p.fp <> c.fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id
+) GROUP BY status
+"""
+
+
+@query("corpus_version_diff", oracle=_VDIFF_ORACLE)
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release diff: full-outer join of the v1 and v2 document
+    sets on doc_id, content compared by md5 fingerprint, counted into
+    added / removed / changed / unchanged. Scale: fingerprints are
+    map-side (no text ships through the shuffle — only (id, 32-byte
+    fp)), the join is one hash shuffle on the id, and the result is a
+    4-row aggregate; this is the shape that diffs two 100 TB snapshots
+    while moving only ids and digests."""
+    from hadoop_common_spark.operators.dedup import hash60
+
+    docs = spark.table("documents")
+
+    def bucket(salt: str):
+        return F.pmod(
+            hash60(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+            F.lit(100),
+        )
+
+    prev = docs.filter(bucket("prev:") < 95).select(
+        "doc_id", F.md5("text").alias("fp_p")
+    )
+    curr = docs.filter(bucket("curr:") < 95).select(
+        "doc_id",
+        F.when(bucket("edit:") < 5, F.md5(F.concat(F.col("text"), F.lit("v2"))))
+        .otherwise(F.md5("text"))
+        .alias("fp_c"),
+    )
+    joined = prev.join(curr, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp_p").isNull(), "added")
+        .when(F.col("fp_c").isNull(), "removed")
+        .when(F.col("fp_p") != F.col("fp_c"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

@@ -1082,3 +1082,106 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_norm2",
         )
     )
+
+
+# Embedding drift monitor — the ML-ops audit a pipeline runs after an
+# embedding-model refresh or between ingest windows: has each label's
+# centroid moved? Split = first half vs second half of the id space (a
+# deterministic stand-in for "last week's vectors vs this week's");
+# drift = squared L2 between the two per-label centroids, in exact
+# micro^2 units (per-dim means are floor-divided exact BIGINT sums —
+# the embedding_kmeans_step determinism recipe).
+def _drift_oracle() -> str:
+    return """
+WITH half AS (
+  SELECT label, vec_id, embedding,
+         CAST(vec_id >= (SELECT (MIN(vec_id) + MAX(vec_id) + 1) // 2
+                         FROM embeddings) AS INT) AS h
+  FROM embeddings
+),
+dims AS (
+  SELECT label, h, u.i AS dim,
+         CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS m
+  FROM half, UNNEST(generate_series(1, len(embedding))) AS u(i)
+),
+cents AS (
+  SELECT label, h, dim,
+         CAST(FLOOR(CAST(SUM(m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+              AS BIGINT) AS mean_micro
+  FROM dims GROUP BY label, h, dim
+),
+paired AS (
+  SELECT a.label, a.dim, a.mean_micro AS m0, b.mean_micro AS m1
+  FROM (SELECT * FROM cents WHERE h = 0) a
+  JOIN (SELECT * FROM cents WHERE h = 1) b
+    ON a.label = b.label AND a.dim = b.dim
+),
+counts AS (
+  SELECT label,
+         CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+         CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+  FROM half GROUP BY label
+)
+SELECT p.label,
+       c.n_before, c.n_after,
+       CAST(SUM((p.m1 - p.m0) * (p.m1 - p.m0)) AS BIGINT) AS drift_sq_micro2
+FROM paired p JOIN counts c ON p.label = c.label
+GROUP BY p.label, c.n_before, c.n_after
+"""
+
+
+@query("embedding_drift_by_label", oracle=_drift_oracle())
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between the two halves of the id space
+    (squared L2 of the integer-exact per-dim centroid means, micro^2
+    units) plus both halves' member counts — the drift dashboard that
+    catches a broken embedding refresh before it poisons the ANN index.
+    Scale: one posexplode pass + one (label, half, dim) partial-agg
+    shuffle (bounded: labels x 2 x 64 rows), then per-label folds over
+    64-row groups; the id-space midpoint is a one-row broadcast scalar."""
+    emb = spark.table("embeddings")
+    mid = emb.agg(
+        ((F.min("vec_id") + F.max("vec_id") + 1) / 2).cast("bigint").alias("_mid")
+    )
+    half = emb.crossJoin(F.broadcast(mid)).select(
+        "label",
+        (F.col("vec_id") >= F.col("_mid")).cast("int").alias("h"),
+        "embedding",
+    )
+    dims = half.select(
+        "label", "h", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        "h",
+        "dim",
+        F.floor(F.col("x").cast("double") * 1000000.0).cast("bigint").alias("m"),
+    )
+    cents = dims.groupBy("label", "h", "dim").agg(
+        F.floor(F.sum("m").cast("double") / F.count(F.lit(1)).cast("double"))
+        .cast("bigint")
+        .alias("mean_micro")
+    )
+    paired = (
+        cents.filter(F.col("h") == 0)
+        .select("label", "dim", F.col("mean_micro").alias("m0"))
+        .join(
+            cents.filter(F.col("h") == 1).select(
+                "label", "dim", F.col("mean_micro").alias("m1")
+            ),
+            ["label", "dim"],
+        )
+    )
+    counts = half.groupBy("label").agg(
+        F.sum((F.col("h") == 0).cast("int")).cast("bigint").alias("n_before"),
+        F.sum((F.col("h") == 1).cast("int")).cast("bigint").alias("n_after"),
+    )
+    return (
+        paired.groupBy("label")
+        .agg(
+            F.sum((F.col("m1") - F.col("m0")) * (F.col("m1") - F.col("m0")))
+            .cast("bigint")
+            .alias("drift_sq_micro2")
+        )
+        .join(counts, "label")
+        .select("label", "n_before", "n_after", "drift_sq_micro2")
+    )

@@ -399,3 +399,88 @@ def test_cdc_fold_fuzz_matches_python(spark, seed):
         )
     live = _rows(state.filter(F.col("op") != "D").drop("op"))
     assert live == whole
+
+
+# --------------------------------------------------- erasure cascade
+
+
+def test_erasure_cascade_matches_python(spark):
+    from hadoop_common_spark.queries import load_all
+
+    got = {
+        r["table_name"]: (r["n_purged"], r["n_kept"])
+        for r in load_all()["privacy_erasure_cascade"].fn(spark, SF_DIR).collect()
+    }
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    erased = {
+        int(k) for k in cust.c_custkey if _h60(f"erase:{int(k)}") % 100 < 5
+    }
+    po = {int(o) for o, c in zip(orders.o_orderkey, orders.o_custkey) if int(c) in erased}
+    li_p = sum(1 for k in li.l_orderkey if int(k) in po)
+    ev_p = sum(1 for u in ev.user_id if int(u) in erased)
+    want = {
+        "customer": (len(erased), len(cust) - len(erased)),
+        "orders": (len(po), len(orders) - len(po)),
+        "lineitem": (li_p, len(li) - li_p),
+        "events": (ev_p, len(ev) - ev_p),
+    }
+    assert got == want
+    assert len(erased) > 0  # the 5% bucket is non-empty at this SF
+
+
+# ------------------------------------------- drift monitor, version diff
+
+
+def test_embedding_drift_matches_python(spark, emb_pdf):
+    got = {
+        r["label"]: (r["n_before"], r["n_after"], r["drift_sq_micro2"])
+        for r in _run(spark, "embedding_drift_by_label").collect()
+    }
+    ids = emb_pdf.vec_id.astype("int64")
+    mid = (int(ids.min()) + int(ids.max()) + 1) // 2
+    sums: dict[tuple, list] = {}
+    counts: dict[tuple, int] = {}
+    for r in emb_pdf.itertuples(index=False):
+        h = int(r.vec_id >= mid)
+        k = (r.label, h)
+        counts[k] = counts.get(k, 0) + 1
+        s = sums.setdefault(k, [0] * len(r.embedding))
+        for i, x in enumerate(r.embedding):
+            s[i] += math.floor(float(x) * 1000000.0)
+    want = {}
+    labels = {lbl for lbl, _ in counts}
+    for lbl in labels:
+        n0, n1 = counts.get((lbl, 0), 0), counts.get((lbl, 1), 0)
+        if n0 == 0 or n1 == 0:
+            continue  # no paired dims -> absent from the join output
+        m0 = [math.floor(float(s) / float(n0)) for s in sums[(lbl, 0)]]
+        m1 = [math.floor(float(s) / float(n1)) for s in sums[(lbl, 1)]]
+        want[lbl] = (n0, n1, sum((a - b) * (a - b) for a, b in zip(m0, m1)))
+    assert got == want
+
+
+def test_corpus_version_diff_matches_python(spark):
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    got = {r["status"]: r["n_docs"] for r in _run(spark, "corpus_version_diff").collect()}
+    want: dict[str, int] = {}
+    for r in docs.itertuples(index=False):
+        in_p = _h60(f"prev:{int(r.doc_id)}") % 100 < 95
+        in_c = _h60(f"curr:{int(r.doc_id)}") % 100 < 95
+        edited = _h60(f"edit:{int(r.doc_id)}") % 100 < 5
+        if not in_p and not in_c:
+            continue
+        if not in_p:
+            s = "added"
+        elif not in_c:
+            s = "removed"
+        elif edited:
+            s = "changed"
+        else:
+            s = "unchanged"
+        want[s] = want.get(s, 0) + 1
+    assert got == want
+    # all four classes exercised at this SF
+    assert set(want) == {"added", "removed", "changed", "unchanged"}

@@ -89,6 +89,19 @@ _add(
 )
 _add(
     "cartesian",
+    "audit-row assembly: each 'cross' join zips two ONE-ROW count "
+    "aggregates (n_purged x n_kept) into one audit row per table — "
+    "4 rows total, never a row multiplier",
+    "privacy_erasure_cascade",
+)
+_add(
+    "cartesian",
+    "scalar attach: the broadcast side is the ONE-ROW id-space midpoint "
+    "splitting vectors into before/after halves — never a row multiplier",
+    "embedding_drift_by_label",
+)
+_add(
+    "cartesian",
     "relational Bloom membership: the broadcast side is the bit-slice "
     "table of one Bloom filter (fixed, tiny); the probe side streams",
     "parts_in_urgent_orders",
