@@ -1,0 +1,108 @@
+"""Iterative BPE tokenizer TRAINING (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units") as a Spark driver
+loop — the training side the scoring queries lack: `text_bpe_token_stats`
+tokenizes with a FIXED regex tokenizer and `text_bpe_merge_pairs` reports
+ONE round's pair counts; this learns the merge table itself.
+
+Reference analog: chained aggregation jobs under JobControl
+(`hadoop-mapreduce-project/.../lib/jobcontrol/JobControl.java:57`) — each
+BPE round is one job. The Spark-first scale story is the classic Sennrich
+trick: the corpus is read ONCE into a (word, count) vocabulary; every
+merge round aggregates pair counts weighted by word frequency over the
+VOCABULARY table — bounded by vocab size (millions of rows for a 100 TB
+corpus), never corpus size. The only driver-side data movement is ONE
+row per round (the argmax pair — a TakeOrderedAndProject, whitelisted
+bounded collect).
+
+Determinism: pair-count ties break lexicographically on (left, right);
+merges apply greedily left-to-right within a word (the standard
+non-overlapping fold), so retrains are bit-identical."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bpe_train", "apply_merge"]
+
+
+def _chars(w: Column) -> Column:
+    return F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+
+
+def apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of the adjacent symbol
+    pair (left, right) -> left||right inside one symbol array, as a pure
+    fold (no UDF): the accumulator's last element merges with the
+    incoming symbol iff they form the pair — after a merge the combined
+    token can't merge again with the next symbol (non-overlap), which is
+    exactly the standard BPE application order."""
+    lit_merged = F.lit(left + right)
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lit_merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    rounds: int = 8,
+    min_count: int = 2,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn up to ``rounds`` BPE merges from whitespace-tokenized
+    lowercased text. Returns (merge table [(left, right, pair_count)],
+    the final segmented vocabulary DataFrame (w, cnt, syms)).
+
+    Each round: count adjacent symbol pairs weighted by word frequency
+    (shifted-zip pair generation — the 30x-faster form recorded in
+    operators/dedup.py), take the argmax with a lexicographic tiebreak
+    (ONE collected row), fold the merge into every word's symbols, and
+    localCheckpoint so round N never replays rounds 1..N-1. Stops early
+    when the best pair's count drops below ``min_count``."""
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = vocab.select("w", "cnt", _chars(F.col("w")).alias("syms")).localCheckpoint(
+        eager=True
+    )
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(rounds):
+        n = F.size(F.col("syms"))
+        pairs = syms.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), F.lit(1), n - 1),
+                    F.slice(F.col("syms"), F.lit(2), n - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()  # ONE row per round — the learned merge
+        )
+        if not top or top[0]["c"] < min_count:
+            break
+        left, right, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((left, right, c))
+        syms = syms.withColumn(
+            "syms", apply_merge(F.col("syms"), left, right)
+        ).localCheckpoint(eager=True)
+    return merges, syms

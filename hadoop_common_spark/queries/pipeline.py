@@ -1281,7 +1281,7 @@ def privacy_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     def audit(name: str, purged, kept) -> DataFrame:
         p = purged.agg(F.count(F.lit(1)).cast("bigint").alias("n_purged"))
         k = kept.agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
-        return p.crossJoin(k).select(
+        return p.crossJoin(F.broadcast(k)).select(
             F.lit(name).alias("table_name"), "n_purged", "n_kept"
         )
 

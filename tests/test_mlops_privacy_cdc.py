@@ -484,3 +484,75 @@ def test_corpus_version_diff_matches_python(spark):
     assert got == want
     # all four classes exercised at this SF
     assert set(want) == {"added", "removed", "changed", "unchanged"}
+
+
+# ---------------------------------------------------------- BPE training
+
+
+def _py_bpe_train(word_counts: dict[str, int], rounds: int, min_count: int = 2):
+    """Pure-Python Sennrich BPE on a word-frequency dict."""
+    syms = {w: [c for c in w] for w in word_counts}
+    merges = []
+    for _ in range(rounds):
+        counts: dict[tuple[str, str], int] = {}
+        for w, s in syms.items():
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_counts[w]
+        if not counts:
+            break
+        # max count, ties lexicographic on (left, right)
+        (left, right), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < min_count:
+            break
+        merges.append((left, right, c))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges, syms
+
+
+def test_bpe_train_matches_python(spark):
+    """Third-implementation parity for the iterative trainer: the
+    learned merge table AND the final segmentation of every vocabulary
+    word must match a pure-Python Sennrich BPE exactly (greedy
+    left-to-right application, lexicographic tiebreaks)."""
+    import re as _re
+
+    from hadoop_common_spark.operators.bpe import bpe_train
+    from hadoop_common_spark.tables import register_views
+
+    register_views(spark, SF_DIR)
+    docs = spark.table("documents")
+    merges, syms_df = bpe_train(docs, "text", rounds=6)
+
+    wc: dict[str, int] = {}
+    for r in pd.read_parquet(f"{SF_DIR}/documents.parquet").itertuples(index=False):
+        for w in _re.split(r"\s+", r.text.strip().lower()):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    want_merges, want_syms = _py_bpe_train(wc, rounds=6)
+    assert merges == want_merges
+    assert len(merges) == 6  # corpus is big enough to learn all rounds
+
+    got_syms = {r["w"]: list(r["syms"]) for r in syms_df.collect()}
+    assert got_syms == want_syms
+
+
+def test_bpe_apply_merge_greedy_nonoverlap(spark):
+    """'aaaa' under merge (a,a) -> ['aa','aa'] (greedy left-to-right,
+    non-overlapping), and a merged token never re-merges with the next
+    raw symbol."""
+    from hadoop_common_spark.operators.bpe import apply_merge
+
+    df = spark.createDataFrame([(["a", "a", "a", "a"],), (["a", "a", "a"],)], "syms array<string>")
+    got = [r[0] for r in df.select(apply_merge(F.col("syms"), "a", "a")).collect()]
+    assert got == [["aa", "aa"], ["aa", "a"]]

@@ -440,6 +440,7 @@ def test_static_antipattern_sweep():
         "operators/similarity.py": "broadcast gate: limit(max_broadcast_rows+1)",
         "sources/tfile.py": "binaryFile LISTING metadata (path+length only)",
         "sources/readers.py": "1-row format-magic sniff",
+        "operators/bpe.py": "ONE learned-merge row per training round",
     }
     for py in sorted(root.rglob("*.py")):
         text = py.read_text()
