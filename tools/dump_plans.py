@@ -136,6 +136,26 @@ REPRESENTATIVE = {
         "banded MinHash candidate join (never all-pairs) + split-assignment "
         "joins; the audit reuses the pipeline's shared split definition"
     ),
+    "embedding_kmeans_step": (
+        "Lloyd assignment is MAP-SIDE: K=8 seeds ride one broadcast row, "
+        "argmin is array_min over a per-row struct array (no window, no "
+        "per-centroid shuffle); the only exchanges are the two partial-agg "
+        "groupBys over (cluster) and (cluster, dim)"
+    ),
+    "text_quality_linear_score": (
+        "hash-trick classifier inference is ONE projected scan — zero "
+        "exchanges, zero joins, no vocabulary table anywhere; the whole "
+        "model folds inside WholeStageCodegen"
+    ),
+    "events_cdc_merge": (
+        "latest-op-per-key is a partial_max struct aggregate (no window "
+        "sort); apply is one equi full-outer join — the snapshot rewrites "
+        "exactly once per merge"
+    ),
+    "corpus_version_diff": (
+        "two-snapshot diff ships only (id, md5 digest) through the one "
+        "full-outer hash join; text never leaves the map side"
+    ),
 }
 
 
