@@ -27,7 +27,9 @@ __all__ = ["bpe_train", "apply_merge"]
 
 
 def _chars(w: Column) -> Column:
-    return F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    return F.transform(
+        F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+    )
 
 
 def apply_merge(syms: Column, left: str, right: str) -> Column:

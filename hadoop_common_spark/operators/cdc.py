@@ -80,8 +80,13 @@ def cdc_merge(
     )
     merged = snapshot.join(ch, key, "full_outer")
     keep = F.col("_op").isNull() | (F.col("_op") != F.lit("D"))
+    # the batch side wins whenever it HAS an op for the key — decided by
+    # the op marker, never by payload nullness: an update that sets a
+    # column to NULL must write that NULL (coalesce would silently keep
+    # the stale snapshot value and break fold-equivalence)
+    batch_has_op = F.col("_op").isNotNull()
     out_cols = [F.col(key)] + [
-        F.coalesce(F.col(f"_n_{c}"), F.col(c)).alias(c)
+        F.when(batch_has_op, F.col(f"_n_{c}")).otherwise(F.col(c)).alias(c)
         for c in (*seq_cols, *payload_cols)
     ]
     return merged.filter(keep).select(*out_cols)

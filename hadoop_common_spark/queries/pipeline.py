@@ -1376,18 +1376,23 @@ def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     prev = docs.filter(bucket("prev:") < 95).select(
-        "doc_id", F.md5("text").alias("fp_p")
+        "doc_id", F.md5("text").alias("fp_p"), F.lit(1).alias("in_p")
     )
     curr = docs.filter(bucket("curr:") < 95).select(
         "doc_id",
         F.when(bucket("edit:") < 5, F.md5(F.concat(F.col("text"), F.lit("v2"))))
         .otherwise(F.md5("text"))
         .alias("fp_c"),
+        F.lit(1).alias("in_c"),
     )
     joined = prev.join(curr, "doc_id", "full_outer")
+    # presence comes from explicit side markers, NEVER from fingerprint
+    # nullness (md5 of a NULL text is NULL on a present row); the
+    # changed/unchanged split mirrors the oracle's `fp <> fp` exactly —
+    # a NULL comparison falls through to 'unchanged' on both engines
     status = (
-        F.when(F.col("fp_p").isNull(), "added")
-        .when(F.col("fp_c").isNull(), "removed")
+        F.when(F.col("in_p").isNull(), "added")
+        .when(F.col("in_c").isNull(), "removed")
         .when(F.col("fp_p") != F.col("fp_c"), "changed")
         .otherwise("unchanged")
     )

@@ -1140,8 +1140,11 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (bounded: labels x 2 x 64 rows), then per-label folds over
     64-row groups; the id-space midpoint is a one-row broadcast scalar."""
     emb = spark.table("embeddings")
+    # integer `div`, never `/`: double division loses exactness past
+    # 2^53 and cast-truncation differs from the oracle's `//` floor for
+    # negative ids (ids are non-negative here; div == floor-div then)
     mid = emb.agg(
-        ((F.min("vec_id") + F.max("vec_id") + 1) / 2).cast("bigint").alias("_mid")
+        F.expr("(min(vec_id) + max(vec_id) + 1) div 2").alias("_mid")
     )
     half = emb.crossJoin(F.broadcast(mid)).select(
         "label",

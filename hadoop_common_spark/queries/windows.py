@@ -957,7 +957,11 @@ def events_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
         "value",
     )
-    split = F.unix_timestamp(F.lit(_CDC_SPLIT)).cast("bigint")
+    # literal UTC epoch, NOT unix_timestamp(lit) — that parses in the
+    # SESSION timezone, so a non-UTC driver session would shift the
+    # snapshot/batch split by the UTC offset relative to the oracle's
+    # epoch(TIMESTAMP '...') (timezone-proof epoch math convention)
+    split = F.lit(1705276800).cast("bigint")  # 2024-01-15 00:00:00 UTC
     snapshot = materialize_log(
         ops.filter(F.col("seq_ts") < split),
         "user_id",

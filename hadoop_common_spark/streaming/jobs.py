@@ -379,10 +379,19 @@ def cdc_snapshot_incremental(
     args = (key, seq_cols, op_col, payload_cols)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         b = latest_ops(batch_df, *args)
         try:
             prev = spark.read.parquet(out_path)
-        except Exception:
+        except AnalysisException as e:
+            # ONLY a missing path means "first batch" — any other read
+            # failure (FS hiccup, partial files from a crashed overwrite)
+            # must fail the batch so the checkpoint retries it; treating
+            # it as first-batch would overwrite and silently wipe all
+            # accumulated state and tombstones
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             prev = None
         merged = b if prev is None else latest_ops(prev.unionByName(b), *args)
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(out_path)

@@ -101,6 +101,11 @@ def _qlin_w(tok: str) -> int:
     return _h60(f"qlw:{b}") % 2001 - 1000
 
 
+_ASCII_WS = "[ \t\n\r\x0b\x0c]+"  # Java/RE2 \s is ASCII-only — Python's
+# unicode-aware \s/strip would diverge on U+00A0 etc. (the pinned
+# cross-engine tokenization boundary); engine trim() strips SPACES only
+
+
 def test_quality_linear_score_matches_python(spark):
     docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
     got = {
@@ -109,10 +114,10 @@ def test_quality_linear_score_matches_python(spark):
     }
     want = {}
     for r in docs.itertuples(index=False):
-        t = r.text.strip().lower()
-        if not r.text.strip():
+        stripped = r.text.strip(" ")  # engine trim(): spaces only
+        if not stripped:
             continue
-        toks = [x for x in re.split(r"\s+", t) if x != ""]
+        toks = [x for x in re.split(_ASCII_WS, stripped.lower()) if x != ""]
         score = sum(_qlin_w(x) for x in toks)
         want[r.doc_id] = (len(toks), score, int(score >= 0))
     assert got == want
@@ -221,11 +226,13 @@ def test_cdc_merge_semantics_small(spark):
     from hadoop_common_spark.operators.cdc import cdc_merge
 
     snap = spark.createDataFrame(
-        [(1, 10, 100.0), (2, 10, 200.0), (3, 10, 300.0)],
+        [(1, 10, 100.0), (2, 10, 200.0), (3, 10, 300.0), (6, 10, 600.0)],
         "k long, seq_ts long, value double",
     )
     # k=1 updated (latest of two ops wins), k=2 deleted, k=4 inserted,
-    # k=5 delete-of-absent (no-op, no resurrection), k=3 untouched
+    # k=5 delete-of-absent (no-op, no resurrection), k=3 untouched,
+    # k=6 updated TO NULL (the update must write the NULL — a coalesce
+    # would silently keep the stale 600.0)
     changes = spark.createDataFrame(
         [
             (1, 20, "U", 111.0),
@@ -233,13 +240,14 @@ def test_cdc_merge_semantics_small(spark):
             (2, 20, "D", None),
             (4, 20, "I", 400.0),
             (5, 20, "D", None),
+            (6, 20, "U", None),
         ],
         "k long, seq_ts long, op string, value double",
     )
     got = _rows(
         cdc_merge(snap, changes, "k", ("seq_ts",), payload_cols=("value",))
     )
-    assert got == [(1, 21, 112.0), (3, 10, 300.0), (4, 20, 400.0)]
+    assert got == [(1, 21, 112.0), (3, 10, 300.0), (4, 20, 400.0), (6, 20, None)]
 
 
 def test_cdc_latest_ops_uses_aggregate_not_window(spark):
@@ -360,7 +368,10 @@ def test_cdc_fold_fuzz_matches_python(spark, seed):
         key = rng.randrange(1, 12)  # few keys -> long per-key histories
         seq = op_id // 3  # monotone in arrival, frequent ties
         op = rng.choice(["I", "U", "U", "D"])
-        rows.append((key, seq, op_id, op, float(rng.randrange(0, 1000))))
+        # ~15% NULL payloads: updates that SET a column to NULL must
+        # survive the merge (the coalesce-upsert bug class)
+        val = None if rng.random() < 0.15 else float(rng.randrange(0, 1000))
+        rows.append((key, seq, op_id, op, val))
     df = spark.createDataFrame(
         rows, "k long, seq long, op_id long, op string, value double"
     )
