@@ -159,12 +159,16 @@ def cosine_verify_pairs_broadcast(
         ids_m, Vm, Nm = bc.value
         for pdf in batches:
             sa, sb = pdf[id_a], pdf[id_b]
-            # a NULL id (or an id absent from the vector table) drops the
-            # pair, matching the join form (null/missing operand -> null
-            # cos -> filtered)
-            notna = (sa.notna() & sb.notna()).to_numpy()
-            if not notna.all():
-                sa, sb = sa[notna], sb[notna]
+            # nulls are filtered UPSTREAM in Spark (see the .filter on
+            # the mapInPandas input): a batch that contained a null id
+            # would materialize the whole pandas column as float64 and
+            # silently corrupt ids beyond 2^53 on the way back to int64.
+            # This guard keeps that invariant loud instead of lossy.
+            if not (sa.dtype.kind in "iu" and sb.dtype.kind in "iu"):
+                raise TypeError(
+                    f"verify kernel got non-integer id dtypes ({sa.dtype}, "
+                    f"{sb.dtype}) — null ids must be filtered before Arrow"
+                )
             # exact int64 view — never via float64, which would corrupt
             # ids beyond 2^53
             ra = sa.to_numpy().astype(np.int64)
@@ -193,7 +197,14 @@ def cosine_verify_pairs_broadcast(
                 {id_a: sa.to_numpy()[ok], id_b: sb.to_numpy()[ok], "cos": cos}
             )
 
-    return pairs.select(id_a, id_b).mapInPandas(verify, out_schema)
+    # null ids drop their pair (join-form semantics: null operand ->
+    # null cos -> filtered) — and MUST be dropped Spark-side: one null
+    # in an Arrow batch would float64-ize the whole pandas id column
+    return (
+        pairs.select(id_a, id_b)
+        .filter(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
+        .mapInPandas(verify, out_schema)
+    )
 
 
 def cosine_verify_pairs(

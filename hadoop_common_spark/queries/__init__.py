@@ -80,12 +80,14 @@ _QUERY_MODULES = [
 # registry in dict order and has a bounded budget (~50 rows/round), so the
 # order is part of the evidence strategy. Round-6 rotation: every query's
 # newest driver row is now r02+ (the r01 tail closed in r5). Window = the
-# eleven r6 NEWCOMERS (no driver row yet — first claim), then the six
-# queries whose newest row is r02 (oldest evidence; they spilled out of
-# the r5 window cap), then 33 of the 48 r03-green rows ordered
-# most-churned-module first (similarity/dedup kernels were re-vectorized
-# in r5/r6; TPC-H subquery shapes untouched, so they sit at the boundary
-# where a budget cut costs least). Names not in either list are slotted
+# 29 r6 NEWCOMERS (no driver row yet — first claim; the continuation
+# batches kept prepending here, displacing the window tail into the
+# overflow head), then the six queries whose newest row is r02 (oldest
+# evidence; they spilled out of the r5 window cap), then 15 of the
+# r03-green rows ordered most-churned-module first (similarity/dedup
+# kernels were re-vectorized in r5/r6; TPC-H subquery shapes untouched,
+# so they sit at the boundary where a budget cut costs least —
+# 29+6+15 = the 50-entry window). Names not in either list are slotted
 # right after the window block, BEFORE the overflow, so a new query is
 # never silently pushed out of the checked window.
 PRIORITY_WINDOW: list[str] = [

@@ -1110,18 +1110,21 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     count; the ranking runs over the per-KEY aggregate via the
     skew-proof two-phase top-k (never a global sort of keys); the
     report is one row."""
-    from hadoop_common_spark.operators.skew import top_k_per_group_two_phase
+    from hadoop_common_spark.operators.sort import top_k
 
     kc = (
         spark.table("events")
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    top = top_k_per_group_two_phase(
-        kc.withColumn("_g", F.lit(1)), ["_g"], 10,
-        [F.col("c").desc(), F.col("user_id").asc()],
-    )
-    w = Window.partitionBy("_g").orderBy(F.col("c").desc(), F.col("user_id").asc())
+    # a GLOBAL top-10 over the per-key aggregate: sort.top_k plans as
+    # TakeOrderedAndProject (per-partition heaps) — the former routing
+    # through the two-phase GROUPED top-k with a constant group added a
+    # salt column, an extra window pass, and a synthetic group for
+    # nothing (its skew-proofing exists for per-group fan-out, and a
+    # single global group has none)
+    top = top_k(kc, 10, [F.col("c").desc(), F.col("user_id").asc()])
+    w = Window.orderBy(F.col("c").desc(), F.col("user_id").asc())
     tops = (
         top.withColumn("rn", F.row_number().over(w))
         .agg(

@@ -320,6 +320,8 @@ def weighted_sample_incremental(
     spark = stream_df.sparkSession
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         keyed = batch_df.select(
             F.col(id_col).alias("_id"),
             F.col(weight_col).cast("bigint").alias("_w"),
@@ -327,7 +329,13 @@ def weighted_sample_incremental(
         )
         try:
             prev = spark.read.parquet(out_path)
-        except Exception:
+        except AnalysisException as e:
+            # ONLY a missing path is "first batch"; any other read error
+            # (partial files from a crashed overwrite, FS blip) must fail
+            # the batch so the checkpoint retries — swallowing it would
+            # reset the accumulated sample to this batch alone
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             prev = None
         merged = keyed if prev is None else prev.unionByName(keyed)
         new_top = (
