@@ -119,6 +119,10 @@ HEADLINE = [
     "privacy_erasure_cascade",      # GDPR cascade purge audit (r6 cont.)
     "embedding_drift_by_label",     # centroid-drift ML-ops monitor (r6 cont.)
     "corpus_version_diff",          # release diff: ids+digests only (r6 cont.)
+    "entity_link_fuzzy_ids",        # SymSpell-blocked record linkage (r6 cont.)
+    "supplier_balance_band_match",  # binned interval-lookup join (r6 cont.)
+    "text_score_calibration",       # scorer reliability bins (r6 cont.)
+    "events_l_diversity",           # homogeneity-attack audit (r6 cont.)
 ]
 
 
@@ -185,6 +189,13 @@ SCALE_QUERIES = [
     # is the zero-shuffle pass that must scale like the scan it is
     "embedding_kmeans_step",
     "text_quality_linear_score",
+    # r6 continuation: calibration adds one bounded-group shuffle on top
+    # of the zero-shuffle scorer; l-diversity is the two-level exact
+    # count-distinct — both must stay linear in their scanned table
+    # (entity_link / balance_band read only unscaled TPC-H dims, so the
+    # 10x tier tells them nothing — headline-only)
+    "text_score_calibration",
+    "events_l_diversity",
 ]
 
 

@@ -651,3 +651,32 @@ def shared_span_pairs(
         .agg(F.max("_span").cast("bigint").alias("max_span"))
         .filter(F.col("max_span") >= min_span)
     )
+
+
+def deletion1_keys(c: Column) -> Column:
+    """SymSpell deletion-neighborhood blocking keys: the string itself
+    plus every single-character deletion, deduplicated. Two strings
+    within Levenshtein distance 1 ALWAYS share a key — a substitution
+    at position i means del_i(a) == del_i(b); an insertion/deletion
+    means the shorter string IS a deletion of the longer (and is its
+    own key); distance 0 shares the identity key — so blocking on these
+    keys is LOSSLESS for an exact lev<=1 verify. This is the fuzzy-key
+    record-linkage primitive (typo'd account numbers, misspelled vocab):
+    candidate generation costs O(len+1) keys per string, never the
+    |A| x |B| comparisons of a naive fuzzy join.
+
+    Reference parity note: the reference has no fuzzy matching at all;
+    this extends §2.4's join family the same way as-of/range joins do.
+    """
+    return F.array_distinct(
+        F.concat(
+            F.array(c),
+            F.transform(
+                F.sequence(F.lit(1), F.length(c)),
+                lambda i: F.concat(
+                    F.substring(c, F.lit(1), i - 1),
+                    c.substr(i + 1, F.length(c)),
+                ),
+            ),
+        )
+    )

@@ -257,3 +257,61 @@ def range_self_join_binned(
         )
         .select(id_a, id_b, F.col("_va").alias("value_a"), F.col("_vb").alias("value_b"))
     )
+
+
+def interval_lookup_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-interval lookup join — every (point, interval) pair with
+    ``lo <= point <= hi`` (within optional block columns), WITHOUT the
+    BroadcastNestedLoopJoin Spark plans for a bare BETWEEN theta
+    predicate. The two-table generalization of
+    :func:`range_self_join_binned` — the IP-geolocation / price-band /
+    genomic-interval lookup shape.
+
+    BINNING: each interval explodes to every bin its [lo, hi] span
+    covers (``sequence(floor(lo/w), floor(hi/w))``); each point keeps
+    its single bin ``floor(v/w)``; the equi-join on (blocks, bin)
+    hash-partitions, and the exact BETWEEN filter prunes bin-edge false
+    candidates. A qualifying pair matches on exactly one bin — the
+    point's own — so no post-join dedup is needed.
+
+    Scale: interval fan-out is ceil(span / bin_width) + 1, so pick
+    bin_width near the typical interval span (fan-out ~2) — the knob
+    trades interval duplication against point-bin occupancy. Both
+    inputs shuffle ONCE on (blocks, bin); output volume is true match
+    cardinality, never |points| x |intervals|. Skewed hot bins (many
+    intervals covering one popular value) salt the same way hot keys
+    do everywhere else.
+
+    Returns points columns + interval columns (both sides' non-block
+    columns must not collide; block columns appear once).
+    """
+    blocks = list(block_cols or [])
+    w = float(bin_width)
+    p = points.withColumn(
+        "_bin", F.floor(F.col(point_col).cast("double") / F.lit(w))
+    )
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col).cast("double") / F.lit(w)),
+                F.floor(F.col(hi_col).cast("double") / F.lit(w)),
+            )
+        ),
+    )
+    return (
+        p.join(iv, blocks + ["_bin"])
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("_bin")
+    )

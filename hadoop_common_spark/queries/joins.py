@@ -253,3 +253,107 @@ def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pid_asof").alias("next_purchase_id"),
         F.col("value_asof").alias("next_purchase_value"),
     )
+
+
+# Fuzzy-key record linkage (r6): link customers to suppliers whose
+# 9-digit account-number strings differ by at most one character — the
+# dirty-data entity-resolution shape (the same entity registered twice
+# with a typo'd id). The ORACLE is the naive quadratic levenshtein
+# theta join; the Spark side uses SymSpell deletion-neighborhood
+# blocking (operators/dedup.deletion1_keys — LOSSLESS for lev<=1), so
+# candidate generation is O(len+1) keys per row and the exact
+# levenshtein verify runs only on key-collision candidates, never on
+# |customer| x |supplier|.
+_LINK_ORACLE = """
+SELECT c.c_custkey AS custkey, s.s_suppkey AS suppkey,
+       CAST(levenshtein(substr(c.c_name, 10), substr(s.s_name, 10)) AS INT)
+         AS edit_dist
+FROM customer c JOIN supplier s
+ON levenshtein(substr(c.c_name, 10), substr(s.s_name, 10)) <= 1
+"""
+
+
+@query("entity_link_fuzzy_ids", oracle=_LINK_ORACLE)
+def entity_link_fuzzy_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage by fuzzy id: all (customer, supplier) pairs whose
+    zero-padded numeric id strings are within Levenshtein distance 1.
+    Scale: each side emits len+1 deletion-neighborhood keys (bounded,
+    map-side), the candidate join is a hash equi-join on the key, pairs
+    dedup on (custkey, suppkey), and F.levenshtein verifies exactly —
+    output is true match cardinality. A naive fuzzy join is a
+    BroadcastNestedLoopJoin over every pair; this is the SymSpell
+    blocking that makes linkage linear in input + matches. Candidate
+    dedup BEFORE the verify keeps the (cheap but per-pair) levenshtein
+    off duplicate key collisions."""
+    from hadoop_common_spark.operators.dedup import deletion1_keys
+
+    c = spark.table("customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.substring(F.col("c_name"), 10, 9).alias("_ca"),
+        F.explode(deletion1_keys(F.substring(F.col("c_name"), 10, 9))).alias("_k"),
+    )
+    s = spark.table("supplier").select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.substring(F.col("s_name"), 10, 9).alias("_cb"),
+        F.explode(deletion1_keys(F.substring(F.col("s_name"), 10, 9))).alias("_k"),
+    )
+    return (
+        c.join(s, "_k")
+        .select("custkey", "suppkey", "_ca", "_cb")
+        .distinct()
+        .withColumn("edit_dist", F.levenshtein("_ca", "_cb"))
+        .filter(F.col("edit_dist") <= 1)
+        .select("custkey", "suppkey", F.col("edit_dist").cast("int").alias("edit_dist"))
+    )
+
+
+# Point-in-interval lookup join (r6): customers probing supplier balance
+# bands within their nation — the two-table generalization of
+# events_close_pairs' binned range join (IP-range lookup, price-band
+# match, interval overlap). Spark plans the bare BETWEEN as a nested
+# loop; operators/joins.interval_lookup_join_binned turns it into one
+# hash equi-join on (nation, bin).
+_BAND_ORACLE = """
+SELECT s.s_suppkey AS suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_matched,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_matched_bal
+FROM supplier s JOIN customer c
+  ON c.c_nationkey = s.s_nationkey
+ AND c.c_acctbal >= s.s_acctbal - 100.0
+ AND c.c_acctbal <= s.s_acctbal + 100.0
+GROUP BY s.s_suppkey
+"""
+
+
+@query("supplier_balance_band_match", oracle=_BAND_ORACLE)
+def supplier_balance_band_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per supplier: same-nation customers whose account balance falls
+    inside the supplier's ±100 band — count and exact-decimal balance
+    sum. The interval side explodes to the bins its span covers
+    (fan-out ~2 at bin_width=200), the point side keeps one bin, and
+    the exact BETWEEN filter prunes bin-edge candidates — one shuffle
+    per side, output bounded by true matches. dsum keeps the double
+    aggregate order-independent (bit-stable at any partitioning)."""
+    from hadoop_common_spark.functions.exact import dsum
+    from hadoop_common_spark.operators.joins import interval_lookup_join_binned
+
+    pts = spark.table("customer").select(
+        F.col("c_nationkey").alias("nationkey"), "c_acctbal"
+    )
+    iv = spark.table("supplier").select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_suppkey").alias("suppkey"),
+        (F.col("s_acctbal") - 100.0).alias("_lo"),
+        (F.col("s_acctbal") + 100.0).alias("_hi"),
+    )
+    return (
+        interval_lookup_join_binned(
+            pts, iv, "c_acctbal", "_lo", "_hi", bin_width=200.0,
+            block_cols=["nationkey"],
+        )
+        .groupBy("suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            dsum("c_acctbal").alias("sum_matched_bal"),
+        )
+    )

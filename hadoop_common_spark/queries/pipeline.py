@@ -1404,3 +1404,67 @@ def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+# l-diversity audit (r6) — the privacy-family companion to
+# events_k_anonymity: k-anonymity bounds GROUP SIZE, but a group of 50
+# rows all belonging to ONE user still leaks (homogeneity attack);
+# l-diversity requires each quasi-identifier group to contain at least
+# l distinct values of the SENSITIVE attribute (here user_id). Same QI
+# tuple as the k-anonymity audit so the two reports read side by side.
+_LDIV_L = 3
+_LDIV_ORACLE = f"""
+WITH qi AS (
+  SELECT event_type,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS INT) AS hour,
+         CAST(FLOOR(value / 50.0) AS INT) AS value_band,
+         COUNT(*) AS n,
+         COUNT(DISTINCT user_id) AS n_subjects
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_qi_groups,
+       CAST(SUM(CASE WHEN n_subjects < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_homogeneous_groups,
+       CAST(SUM(CASE WHEN n_subjects < {_LDIV_L} THEN n ELSE 0 END) AS BIGINT)
+         AS n_exposed_rows,
+       CAST(MIN(n_subjects) AS BIGINT) AS min_diversity
+FROM qi GROUP BY event_type
+"""
+
+
+@query("events_l_diversity", oracle=_LDIV_ORACLE)
+def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity (l=3) audit: per event type, QI groups whose distinct
+    user_id count falls below l (vulnerable to the homogeneity attack
+    even when k-anonymous) and the rows a suppress-below-l release
+    would drop. Scale: the QI+user distinct is ONE partial-aggregated
+    pass (groupBy QI+user, then QI) — the standard two-level exact
+    count-distinct that never ships raw rows twice; the final rollup
+    aggregates at most |event_type| x 24 x bands groups."""
+    e = F.expr("CAST(ts AS LONG)")
+    qi_cols = [
+        F.col("event_type"),
+        ((e % 86400) / 3600).cast("int").alias("hour"),
+        F.floor(F.col("value") / 50.0).cast("int").alias("value_band"),
+    ]
+    # exact count-distinct as two partial-aggregated levels: rows ship
+    # once to (QI, user), the second level counts within QI groups
+    per_user = (
+        spark.table("events")
+        .groupBy(*qi_cols, F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    qi = per_user.groupBy("event_type", "hour", "value_band").agg(
+        F.sum("n_rows").alias("n"),
+        F.count(F.lit(1)).alias("n_subjects"),
+    )
+    low = F.col("n_subjects") < _LDIV_L
+    return qi.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_qi_groups"),
+        F.sum(low.cast("int")).cast("bigint").alias("n_homogeneous_groups"),
+        F.sum(F.when(low, F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_exposed_rows"),
+        F.min("n_subjects").cast("bigint").alias("min_diversity"),
+    )

@@ -1234,3 +1234,86 @@ def text_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (score >= 0).cast("int").alias("quality_pass"),
         )
     )
+
+
+# Score calibration (r6) — the eval-family member for the linear
+# quality scorer: bin documents by model score and report per-bin
+# agreement with an independent label (is the doc long, n_chars >=
+# 300). A reliability-diagram table is how a corpus pipeline decides
+# where to put the keep/drop threshold and whether the scorer is
+# monotone against ground truth. Bin = floor(score/500) computed in
+# DOUBLE on both engines (|score| <= ~1000*n_tokens << 2^52, so the
+# division and floor are exact — avoids the Spark `div`-truncates vs
+# DuckDB `//`-floors divergence on negatives).
+def _calib_oracle() -> str:
+    from hadoop_common_spark.operators.dedup import hash60_sql
+
+    bucket = hash60_sql("t") + f" % {_QLIN_B}"
+    w = hash60_sql(f"'qlw:' || CAST({bucket} AS VARCHAR)") + " % 2001 - 1000"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, n_chars,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents WHERE trim(text) <> ''
+),
+scored AS (
+  SELECT doc_id, n_chars,
+         CAST(COALESCE(list_sum(list_transform(ts, t -> {w})), 0)
+              AS BIGINT) AS lin_score
+  FROM toks
+)
+SELECT CAST(FLOOR(CAST(lin_score AS DOUBLE) / 500.0) AS INT) AS score_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_label_pos,
+       CAST(MIN(lin_score) AS BIGINT) AS min_score,
+       CAST(MAX(lin_score) AS BIGINT) AS max_score
+FROM scored GROUP BY score_bin
+"""
+
+
+@query("text_score_calibration", oracle=_calib_oracle())
+def text_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for text_quality_linear_score: per 500-wide
+    score bin, document count and positives of an independent length
+    label (n_chars >= 300). Scale: the scorer stays the zero-shuffle
+    hashed-feature map-side pass; the calibration adds exactly ONE
+    partial-aggregated shuffle over |bins| groups (dozens of rows
+    whatever the corpus size)."""
+    from hadoop_common_spark.operators.dedup import hash60
+
+    def w(t):
+        bucket = F.pmod(hash60(t), F.lit(_QLIN_B))
+        return (
+            F.pmod(
+                hash60(F.concat(F.lit("qlw:"), bucket.cast("string"))),
+                F.lit(2001),
+            )
+            - 1000
+        )
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    score = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + w(t).cast("bigint")
+    )
+    return (
+        spark.table("documents")
+        .filter(F.trim(F.col("text")) != "")
+        .select(score.alias("lin_score"), "n_chars")
+        .groupBy(
+            F.floor(F.col("lin_score").cast("double") / 500.0)
+            .cast("int")
+            .alias("score_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_chars") >= 300).cast("int"))
+            .cast("bigint")
+            .alias("n_label_pos"),
+            F.min("lin_score").cast("bigint").alias("min_score"),
+            F.max("lin_score").cast("bigint").alias("max_score"),
+        )
+    )

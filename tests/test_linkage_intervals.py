@@ -1,0 +1,219 @@
+"""Record linkage (SymSpell deletion-neighborhood blocking), the binned
+interval-lookup join, score calibration, and l-diversity — each checked
+against an independent pure-Python third implementation (catches a
+mistake shared by the Spark and DuckDB-oracle renderings), plus the
+plan-shape pins that make the scale claims falsifiable."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _run(spark, name):
+    from hadoop_common_spark.queries import load_all
+
+    return load_all()[name].fn(spark, SF_DIR)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def _del1_keys(w: str) -> set[str]:
+    return {w} | {w[:i] + w[i + 1 :] for i in range(len(w))}
+
+
+# ---------------------------------------------------------------- linkage
+
+
+def test_entity_link_matches_python_bruteforce(spark):
+    got = {
+        (r.custkey, r.suppkey): r.edit_dist
+        for r in _run(spark, "entity_link_fuzzy_ids").collect()
+    }
+    cust = pd.read_parquet(SF_DIR + "/customer.parquet")[["c_custkey", "c_name"]]
+    supp = pd.read_parquet(SF_DIR + "/supplier.parquet")[["s_suppkey", "s_name"]]
+    want = {}
+    for ck, cn in cust.itertuples(index=False):
+        for sk, sn in supp.itertuples(index=False):
+            d = _lev(cn[9:], sn[9:])
+            if d <= 1:
+                want[(ck, sk)] = d
+    assert got == want and len(want) > 0
+
+
+def test_entity_link_plan_has_no_nested_loop(spark):
+    plan = _run(spark, "entity_link_fuzzy_ids")._jdf.queryExecution().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="0123456789ab", min_size=1, max_size=8),
+    st.text(alphabet="0123456789ab", min_size=1, max_size=8),
+)
+def test_deletion1_blocking_is_lossless_for_lev1(a, b):
+    """Any pair within Levenshtein distance 1 shares a blocking key —
+    the losslessness claim the Spark path's correctness rests on."""
+    if _lev(a, b) <= 1:
+        assert _del1_keys(a) & _del1_keys(b)
+
+
+def test_deletion1_keys_column_matches_python(spark):
+    from hadoop_common_spark.operators.dedup import deletion1_keys
+
+    words = ["abc", "a", "0123456789", "aa", "xyzzy"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r.w: set(r.k)
+        for r in df.select("w", deletion1_keys(F.col("w")).alias("k")).collect()
+    }
+    assert got == {w: _del1_keys(w) for w in words}
+
+
+# ------------------------------------------------------- interval lookup
+
+
+def test_balance_band_match_python_bruteforce(spark):
+    got = {
+        r.suppkey: (r.n_matched, round(r.sum_matched_bal, 2))
+        for r in _run(spark, "supplier_balance_band_match").collect()
+    }
+    cust = pd.read_parquet(SF_DIR + "/customer.parquet")
+    supp = pd.read_parquet(SF_DIR + "/supplier.parquet")
+    want = {}
+    for s in supp.itertuples(index=False):
+        m = cust[
+            (cust.c_nationkey == s.s_nationkey)
+            & (cust.c_acctbal >= s.s_acctbal - 100.0)
+            & (cust.c_acctbal <= s.s_acctbal + 100.0)
+        ]
+        if len(m):
+            want[s.s_suppkey] = (len(m), round(float(m.c_acctbal.sum()), 2))
+    assert got == want
+
+
+def test_interval_lookup_join_exactness_crossbin(spark):
+    """Intervals spanning bin boundaries and points at exact interval
+    edges: the binned join must equal the naive theta join, boundaries
+    inclusive, regardless of bin alignment."""
+    from hadoop_common_spark.operators.joins import interval_lookup_join_binned
+
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 9.9, 10.0, 10.1, 25.0, 99.9])],
+        "pid int, v double",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (0, 0.0, 10.0),     # edge-inclusive both ends
+            (1, 9.95, 10.05),   # straddles a bin boundary
+            (2, -5.0, -1.0),    # matches nothing
+            (3, 20.0, 120.0),   # spans many bins
+        ],
+        "iid int, lo double, hi double",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_lookup_join_binned(
+            pts, ivs, "v", "lo", "hi", bin_width=10.0
+        ).collect()
+    }
+    want = {
+        (p.pid, i.iid)
+        for p in pts.collect()
+        for i in ivs.collect()
+        if i.lo <= p.v <= i.hi
+    }
+    assert got == want and (0, 0) in got and (2, 0) in got  # inclusive edges
+
+
+def test_balance_band_plan_has_no_nested_loop(spark):
+    plan = _run(spark, "supplier_balance_band_match")._jdf.queryExecution().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# ----------------------------------------------------------- calibration
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_score_calibration_matches_python(spark):
+    import math
+
+    got = {
+        r.score_bin: (r.n_docs, r.n_label_pos, r.min_score, r.max_score)
+        for r in _run(spark, "text_score_calibration").collect()
+    }
+    docs = pd.read_parquet(SF_DIR + "/documents.parquet")
+    bins: dict[int, list[int]] = {}
+    for t, nc in zip(docs.text, docs.n_chars):
+        # engine semantics exactly: ASCII-space split of lower(trim())
+        toks = [x for x in t.strip().lower().split() if x]
+        if not toks:
+            continue
+        score = sum(
+            _h60("qlw:" + str(_h60(tok) % 4096)) % 2001 - 1000 for tok in toks
+        )
+        b = math.floor(score / 500.0)
+        e = bins.setdefault(b, [0, 0, score, score])
+        e[0] += 1
+        e[1] += int(nc >= 300)
+        e[2] = min(e[2], score)
+        e[3] = max(e[3], score)
+    assert got == {b: tuple(v) for b, v in bins.items()}
+
+
+# ----------------------------------------------------------- l-diversity
+
+
+def test_l_diversity_matches_python(spark):
+    got = {
+        r.event_type: (
+            r.n_qi_groups,
+            r.n_homogeneous_groups,
+            r.n_exposed_rows,
+            r.min_diversity,
+        )
+        for r in _run(spark, "events_l_diversity").collect()
+    }
+    ev = pd.read_parquet(SF_DIR + "/events.parquet")
+    groups: dict[tuple, set] = {}
+    sizes: dict[tuple, int] = {}
+    for r in ev.itertuples(index=False):
+        epoch = int(r.ts.timestamp())
+        qi = (r.event_type, (epoch % 86400) // 3600, math_floor(r.value / 50.0))
+        groups.setdefault(qi, set()).add(r.user_id)
+        sizes[qi] = sizes.get(qi, 0) + 1
+    want: dict[str, list[int]] = {}
+    for qi, users in groups.items():
+        e = want.setdefault(qi[0], [0, 0, 0, 10**9])
+        e[0] += 1
+        if len(users) < 3:
+            e[1] += 1
+            e[2] += sizes[qi]
+        e[3] = min(e[3], len(users))
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def math_floor(x: float) -> int:
+    import math
+
+    return int(math.floor(x))
