@@ -123,6 +123,10 @@ HEADLINE = [
     "supplier_balance_band_match",  # binned interval-lookup join (r6 cont.)
     "text_score_calibration",       # scorer reliability bins (r6 cont.)
     "events_l_diversity",           # homogeneity-attack audit (r6 cont.)
+    "events_audience_overlap",      # grouped-set exact Jaccard (r6 cont.)
+    "lineitem_qty_price_correlation",  # exact-sufficient-stats Pearson (r6 cont.)
+    "events_mode_band_by_type",     # struct-max deterministic mode (r6 cont.)
+    "corpus_weighted_sample_by_source",  # two-phase grouped A-ES (r6 cont.)
 ]
 
 
@@ -196,6 +200,11 @@ SCALE_QUERIES = [
     # 10x tier tells them nothing — headline-only)
     "text_score_calibration",
     "events_l_diversity",
+    # r6 continuation: overlap's self-join fan-out is per-user type-count
+    # squared — the 10x tier checks that bound holds as events grow; the
+    # grouped A-ES must stay two-phase-pruned as documents grow
+    "events_audience_overlap",
+    "corpus_weighted_sample_by_source",
 ]
 
 

@@ -200,3 +200,116 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(100)
     )
+
+
+# Pearson correlation (r6) — the statistics-family member beyond
+# mean/median/stddev: per return flag, the correlation between quantity
+# and extended price. DETERMINISM: F.corr / DuckDB corr() are
+# stream-order-dependent (Welford-style accumulation); instead the five
+# sufficient statistics are EXACT decimal sums (dsum — order-
+# independent), and r is one fixed IEEE expression tree over their
+# doubles, so both engines produce identical bits at any partitioning.
+_CORR_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag,
+         l_quantity / 10.0 AS x,
+         l_extendedprice / 1000.0 AS y
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(30,6))) AS DOUBLE) AS syy
+  FROM v GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+FROM s
+"""
+
+
+@query("lineitem_qty_price_correlation", oracle=_CORR_ORACLE)
+def lineitem_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag Pearson r between l_quantity and l_extendedprice from
+    exact-decimal sufficient statistics. Scale: ONE partial-aggregated
+    shuffle (five sums + count per group); the correlation itself is
+    per-group scalar math over the aggregate row. DETERMINISM DETAIL:
+    r is scale-invariant, so x,y are pre-scaled (q/10, p/1000) to keep
+    every sum's micro-unit integer below 2^53 — above that, DuckDB's
+    DECIMAL->DOUBLE cast double-rounds ((double)int128 then /1e6) while
+    Spark/BigDecimal rounds once, and the 1-2 ULP disagreement survives
+    the cancellation in n*sxy - sx*sy (measured: syy at 7.4e19 micro
+    diverged; rescaled sums are cast bit-identically). Headroom: syy is
+    the largest sum (~6e15 micro at sf0.1); for corpora past ~2^53/1e4
+    rows, widen the scaling constants."""
+    from hadoop_common_spark.functions.exact import dsum
+
+    q = F.col("l_quantity") / 10.0
+    p = F.col("l_extendedprice") / 1000.0
+    s = spark.table("lineitem").groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(q).alias("sx"),
+        dsum(p).alias("sy"),
+        dsum(q * p).alias("sxy"),
+        dsum(q * q).alias("sxx"),
+        dsum(p * p).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+    )
+
+
+# Deterministic mode (r6) — the ValueHistogram family's "most frequent
+# value" report with an EXPLICIT tiebreak (max count, then smallest
+# band): engine-native mode()/arg_max have unspecified tie order, so
+# the mode is computed as ONE struct-max over (count, -band) — the
+# relational keep-last idiom, partial-aggregated, no window.
+_MODE_ORACLE = """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value / 50.0) AS INT) AS band,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, band, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, band ASC) AS rk
+  FROM c
+)
+SELECT event_type, band AS mode_band, n AS mode_count FROM r WHERE rk = 1
+"""
+
+
+@query("events_mode_band_by_type", oracle=_MODE_ORACLE)
+def events_mode_band_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent value band per event type, ties to the smallest
+    band. Scale: band counts are one partial-aggregated shuffle; the
+    argmax is a second partial aggregate over |bands| rows per type via
+    struct-max (no window, no sort) — the oracle's ROW_NUMBER form is
+    the semantic spec, not the plan."""
+    c = (
+        spark.table("events")
+        .groupBy(
+            "event_type", F.floor(F.col("value") / 50.0).cast("int").alias("band")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    best = F.max(F.struct(F.col("n"), (-F.col("band")).alias("_nb"))).alias("b")
+    return c.groupBy("event_type").agg(best).select(
+        "event_type",
+        (-F.col("b._nb")).cast("int").alias("mode_band"),
+        F.col("b.n").alias("mode_count"),
+    )

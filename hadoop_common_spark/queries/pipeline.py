@@ -1468,3 +1468,62 @@ def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_exposed_rows"),
         F.min("n_subjects").cast("bigint").alias("min_diversity"),
     )
+
+
+# Grouped weighted sample (r6) — per-SOURCE A-ES sampling without
+# replacement: the stratified form of corpus_weighted_sample (take the
+# top-k exponential keys WITHIN each source). The mixture-construction
+# primitive: "sample 10k docs per domain by token weight" with
+# reproducible, retry-stable selection. The grouped top-k goes through
+# the skew-proof two-phase prune so a hot source never funnels its full
+# candidate set through one reducer.
+_WSAMPLE_GRP_ORACLE = """
+WITH keyed AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+         ln((('0x' || substr(md5('wsg:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             + 1.0) / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS k
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT source, doc_id, weight,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rank
+  FROM keyed
+)
+SELECT source, CAST(rank AS INT) AS rank, doc_id, weight FROM r WHERE rank <= 5
+"""
+
+
+@query("corpus_weighted_sample_by_source", oracle=_WSAMPLE_GRP_ORACLE)
+def corpus_weighted_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five documents per source, sampled without replacement with
+    probability proportional to n_chars (A-ES exponential keys, salt
+    'wsg:' — a DIFFERENT salt than the global sample so the two draws
+    are independent). Scale: the key is a per-row map-side expression;
+    selection is the two-phase grouped top-k (phase 1 prunes within
+    (source, salt) slices, so at most k x n_salts rows of any hot
+    source survive to the per-source rank); deterministic doc_id
+    tiebreak makes retries and engine comparison exact."""
+    from hadoop_common_spark.operators.skew import top_k_per_group_two_phase
+    from hadoop_common_spark.operators.sort import weighted_sample_keys
+
+    keyed = (
+        spark.table("documents")
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            weighted_sample_keys(
+                F.col("n_chars"), F.col("doc_id"), salt="wsg:"
+            ).alias("_k"),
+        )
+    )
+    order = [F.col("_k").desc(), F.col("doc_id")]
+    picked = top_k_per_group_two_phase(keyed, ["source"], 5, order)
+    w = Window.partitionBy("source").orderBy(*order)
+    return picked.select(
+        "source",
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id",
+        "weight",
+    )

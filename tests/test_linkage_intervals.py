@@ -217,3 +217,116 @@ def math_floor(x: float) -> int:
     import math
 
     return int(math.floor(x))
+
+
+# ------------------------------------------- batch B: stats / set-ops
+
+
+def test_audience_overlap_matches_python(spark):
+    got = {
+        (r.type_a, r.type_b): (r.n_common, r.n_a, r.n_b, r.jaccard)
+        for r in _run(spark, "events_audience_overlap").collect()
+    }
+    ev = pd.read_parquet(SF_DIR + "/events.parquet")
+    sets: dict[str, set] = {}
+    for t, u in zip(ev.event_type, ev.user_id):
+        sets.setdefault(t, set()).add(u)
+    want = {}
+    types = sorted(sets)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            c = len(sets[ta] & sets[tb])
+            if c:
+                want[(ta, tb)] = (
+                    c,
+                    len(sets[ta]),
+                    len(sets[tb]),
+                    c / (len(sets[ta]) + len(sets[tb]) - c),
+                )
+    assert got == want and len(want) > 0
+
+
+def test_qty_price_correlation_matches_python_exactly(spark):
+    """Bit-exact vs a pure-Python rendering of the same pipeline:
+    per-element HALF_UP snap of the scaled doubles to 6 decimals, exact
+    decimal accumulation, one fixed IEEE expression — the determinism
+    contract the query documents."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = {
+        r.l_returnflag: (r.n_rows, r.corr_qty_price)
+        for r in _run(spark, "lineitem_qty_price_correlation").collect()
+    }
+    li = pd.read_parquet(SF_DIR + "/lineitem.parquet")
+    q6 = Decimal("0.000001")
+
+    def snap(v: float) -> Decimal:
+        return Decimal(v).quantize(q6, rounding=ROUND_HALF_UP)
+
+    want = {}
+    for flag, g in li.groupby("l_returnflag"):
+        n = float(len(g))
+        sx = sy = sxy = sxx = syy = Decimal(0)
+        for qv, pv in zip(g.l_quantity, g.l_extendedprice):
+            x, y = qv / 10.0, pv / 1000.0
+            sx += snap(x)
+            sy += snap(y)
+            sxy += snap(x * y)
+            sxx += snap(x * x)
+            syy += snap(y * y)
+        fx, fy, fxy, fxx, fyy = map(float, (sx, sy, sxy, sxx, syy))
+        r = (n * fxy - fx * fy) / (
+            math.sqrt(n * fxx - fx * fx) * math.sqrt(n * fyy - fy * fy)
+        )
+        want[flag] = (len(g), r)
+    assert got == want
+
+
+def test_mode_band_matches_python_with_tiebreak(spark):
+    import math
+
+    got = {
+        r.event_type: (r.mode_band, r.mode_count)
+        for r in _run(spark, "events_mode_band_by_type").collect()
+    }
+    ev = pd.read_parquet(SF_DIR + "/events.parquet")
+    counts: dict[tuple, int] = {}
+    for t, v in zip(ev.event_type, ev.value):
+        k = (t, int(math.floor(v / 50.0)))
+        counts[k] = counts.get(k, 0) + 1
+    want: dict[str, tuple] = {}
+    for (t, band), n in counts.items():
+        cur = want.get(t)
+        # max count, then SMALLEST band — the documented tiebreak
+        if cur is None or (n, -band) > (cur[1], -cur[0]):
+            want[t] = (band, n)
+    assert got == want
+
+
+def test_mode_band_plan_has_no_window(spark):
+    plan = _run(spark, "events_mode_band_by_type")._jdf.queryExecution().toString()
+    assert "Window" not in plan  # struct-max argmax, not ROW_NUMBER
+
+
+def test_weighted_sample_by_source_matches_python(spark):
+    import math
+
+    got = {
+        (r.source, r.rank): (r.doc_id, r.weight)
+        for r in _run(spark, "corpus_weighted_sample_by_source").collect()
+    }
+    docs = pd.read_parquet(SF_DIR + "/documents.parquet")
+    docs = docs[docs.n_chars > 0]
+    rows = []
+    for did, src, nc in zip(docs.doc_id, docs.source, docs.n_chars):
+        u = (_h60("wsg:" + str(did)) + 1.0) / float(1 << 60)
+        rows.append((src, math.log(u) / float(nc), did, int(nc)))
+    want = {}
+    for src in set(r[0] for r in rows):
+        grp = sorted(
+            (r for r in rows if r[0] == src), key=lambda r: (-r[1], r[2])
+        )[:5]
+        for i, (s, k, did, w) in enumerate(grp, 1):
+            want[(s, i)] = (did, w)
+    assert got == want and len(got) > 0
