@@ -127,6 +127,8 @@ HEADLINE = [
     "lineitem_qty_price_correlation",  # exact-sufficient-stats Pearson (r6 cont.)
     "events_mode_band_by_type",     # struct-max deterministic mode (r6 cont.)
     "corpus_weighted_sample_by_source",  # two-phase grouped A-ES (r6 cont.)
+    "events_cdc_scd2_history",      # CDC op log -> SCD2 version history (r6 cont.)
+    "embedding_kcenter_seeds",      # farthest-first seed selection (r6 cont.)
 ]
 
 
@@ -205,6 +207,11 @@ SCALE_QUERIES = [
     # grouped A-ES must stay two-phase-pruned as documents grow
     "events_audience_overlap",
     "corpus_weighted_sample_by_source",
+    # r6 continuation: SCD2's per-key window sort must stay user-bounded
+    # as events grow; k-center is k=4 full linear passes whose cost must
+    # track the embedding count, not blow up on the one-row attaches
+    "events_cdc_scd2_history",
+    "embedding_kcenter_seeds",
 ]
 
 

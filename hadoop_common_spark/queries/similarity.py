@@ -1188,3 +1188,112 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, "label")
         .select("label", "n_before", "n_after", "drift_sq_micro2")
     )
+
+
+# Gonzalez farthest-first k-center seeds (r6): the DETERMINISTIC
+# clustering-initialization member of the embedding family (kmeans++'s
+# d²-sampling needs randomness; farthest-first is its classic
+# derandomized cousin with a 2-approximation guarantee for k-center).
+# Completes the clustering tier: init (THIS) -> one Lloyd step
+# (embedding_kmeans_step, integer-exact) -> fitted IVF (approximate by
+# contract). All distances are exact micro^2 BIGINTs; every argmax
+# tiebreaks on min vec_id — bit-identical on both engines.
+def _kcenter_d2_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+
+
+def _kcenter_oracle() -> str:
+    d2 = _kcenter_d2_sql
+    return f"""
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+  FROM embeddings
+),
+s1 AS (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT 1),
+c1 AS (SELECT p.vec_id, p.v, {d2('p.v', 's.v')} AS d2 FROM pts p, s1 s),
+s2 AS (SELECT vec_id, v, d2 FROM c1 ORDER BY d2 DESC, vec_id LIMIT 1),
+c2 AS (SELECT c.vec_id, c.v, LEAST(c.d2, {d2('c.v', 's.v')}) AS d2 FROM c1 c, s2 s),
+s3 AS (SELECT vec_id, v, d2 FROM c2 ORDER BY d2 DESC, vec_id LIMIT 1),
+c3 AS (SELECT c.vec_id, c.v, LEAST(c.d2, {d2('c.v', 's.v')}) AS d2 FROM c2 c, s3 s),
+s4 AS (SELECT vec_id, v, d2 FROM c3 ORDER BY d2 DESC, vec_id LIMIT 1)
+SELECT 1 AS seed_rank, vec_id, CAST(0 AS BIGINT) AS sep_micro2 FROM s1
+UNION ALL SELECT 2, vec_id, d2 FROM s2
+UNION ALL SELECT 3, vec_id, d2 FROM s3
+UNION ALL SELECT 4, vec_id, d2 FROM s4
+"""
+
+
+@query("embedding_kcenter_seeds", oracle=_kcenter_oracle())
+def embedding_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four k-center seeds by farthest-first traversal: seed 1 = min
+    vec_id, each next seed = the point maximizing its distance to the
+    nearest already-chosen seed (exact micro^2 integers, ties to min
+    id); sep_micro2 is that separation at selection time. Scale: each
+    round is one FULL SCAN + one struct-max partial aggregate (no sort,
+    no window) with the single new seed attached as a one-row broadcast
+    — k rounds cost k linear passes, and the running LEAST(d2, d2_new)
+    carries forward so round i never re-touches seeds 1..i-1. The
+    selected-seed rows ride the aggregate (vector carried through the
+    struct-max), so nothing joins back against the corpus."""
+    emb = spark.table("embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000.0).cast("bigint"),
+        ).alias("v"),
+    )
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    # seed 1: min vec_id, vector carried through the struct-min
+    s1 = pts.agg(F.min(F.struct("vec_id", "v")).alias("s")).select(
+        F.col("s.vec_id").alias("sid"), F.col("s.v").alias("sv")
+    )
+
+    def argmax(cand):
+        # max d2, tie min vec_id; candidate vector rides the struct
+        b = cand.agg(
+            F.max(
+                F.struct(
+                    F.col("d2"), (-F.col("vec_id")).alias("nid"), F.col("v")
+                )
+            ).alias("b")
+        )
+        return b.select(
+            (-F.col("b.nid")).alias("sid"),
+            F.col("b.v").alias("sv"),
+            F.col("b.d2").alias("sep"),
+        )
+
+    c = pts.crossJoin(F.broadcast(s1.select("sv"))).select(
+        "vec_id", "v", d2(F.col("v"), F.col("sv")).alias("d2")
+    )
+    picks = [s1.select("sid", F.lit(0).cast("bigint").alias("sep"))]
+    for _ in range(3):
+        nxt = argmax(c)
+        picks.append(nxt.select("sid", "sep"))
+        c = c.crossJoin(F.broadcast(nxt.select(F.col("sv").alias("_nsv")))).select(
+            "vec_id",
+            "v",
+            F.least(F.col("d2"), d2(F.col("v"), F.col("_nsv"))).alias("d2"),
+        )
+    out = None
+    for i, p in enumerate(picks, 1):
+        row = p.select(
+            F.lit(i).cast("int").alias("seed_rank"),
+            F.col("sid").alias("vec_id"),
+            F.col("sep").alias("sep_micro2"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

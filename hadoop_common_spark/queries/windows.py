@@ -980,3 +980,66 @@ def events_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq_ts").alias("version_epoch"),
         F.col("value").alias("state_value"),
     )
+
+
+# CDC -> SCD2 history (r6): the third CDC-family member (merge = latest
+# state, snapshot = streaming maintenance, THIS = the full versioned
+# history). Every insert/update in the op log opens a [valid_from,
+# valid_to) interval; the next op on the same key closes it; a delete
+# closes without opening. The dimension-table time-travel shape
+# (orders_scd2_intervals builds SCD2 from an append-only fact stream;
+# this builds it from a MUTATION log with tombstones).
+_SCD2_CDC_ORACLE = f"""
+WITH log AS ({_CDC_OPS}),
+seq AS (
+  SELECT user_id, seq_ts, event_id, op, value,
+         LEAD(seq_ts) OVER w AS next_ts,
+         ROW_NUMBER() OVER w AS rn
+  FROM log
+  WINDOW w AS (PARTITION BY user_id ORDER BY seq_ts, event_id)
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY seq_ts, event_id) AS INT) AS version,
+       seq_ts AS valid_from,
+       next_ts AS valid_to,
+       value,
+       CAST(next_ts IS NULL AS INT) AS is_current
+FROM seq WHERE op <> 'D'
+"""
+
+
+@query("events_cdc_scd2_history", oracle=_SCD2_CDC_ORACLE)
+def events_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SCD2 version history folded from the CDC op log: one
+    [valid_from, valid_to) row per surviving insert/update, closed by
+    the next op on the key (deletes close without emitting). Scale: ONE
+    hash shuffle on user_id with a per-key (seq_ts, event_id) sort —
+    per-key history is user-bounded, never corpus-bounded, and the
+    total order makes LEAD/version deterministic on both engines. The
+    struct-max keep-last idiom can't produce a HISTORY (every version
+    survives), so the window sort is the honest cost here; `value`
+    passes through untouched (no float accumulation)."""
+    w = Window.partitionBy("user_id").orderBy("seq_ts", "event_id")
+    ops = spark.table("events").select(
+        "user_id",
+        F.expr(EPOCH).alias("seq_ts"),
+        "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "value",
+    )
+    hist = ops.withColumn("next_ts", F.lead("seq_ts").over(w)).filter(
+        F.col("op") != "D"
+    )
+    w2 = Window.partitionBy("user_id").orderBy("seq_ts", "event_id")
+    return hist.select(
+        "user_id",
+        F.row_number().over(w2).cast("int").alias("version"),
+        F.col("seq_ts").alias("valid_from"),
+        F.col("next_ts").alias("valid_to"),
+        "value",
+        F.col("next_ts").isNull().cast("int").alias("is_current"),
+    )

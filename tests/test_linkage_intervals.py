@@ -330,3 +330,84 @@ def test_weighted_sample_by_source_matches_python(spark):
         for i, (s, k, did, w) in enumerate(grp, 1):
             want[(s, i)] = (did, w)
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------- batch C: CDC SCD2 / k-center
+
+
+def test_cdc_scd2_history_matches_python(spark):
+    got = {
+        (r.user_id, r.version): (r.valid_from, r.valid_to, r.value, r.is_current)
+        for r in _run(spark, "events_cdc_scd2_history").collect()
+    }
+    ev = pd.read_parquet(SF_DIR + "/events.parquet")
+    ops: dict[int, list] = {}
+    for r in ev.itertuples(index=False):
+        op = {"signup": "I", "error": "D"}.get(r.event_type, "U")
+        ops.setdefault(r.user_id, []).append(
+            (int(r.ts.timestamp()), r.event_id, op, r.value)
+        )
+    want = {}
+    for uid, lst in ops.items():
+        lst.sort()
+        ver = 0
+        for i, (ts, eid, op, val) in enumerate(lst):
+            nxt = lst[i + 1][0] if i + 1 < len(lst) else None
+            if op == "D":
+                continue
+            ver += 1
+            want[(uid, ver)] = (ts, nxt, val, int(nxt is None))
+    assert got == want and len(want) > 0
+
+
+def test_cdc_scd2_intervals_partition_key(spark):
+    """Non-current versions are closed by the NEXT op's timestamp (even
+    a delete), and a key whose last op is a delete has no current row."""
+    rows = _run(spark, "events_cdc_scd2_history").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, vs in by_user.items():
+        vs.sort(key=lambda r: r.version)
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to is not None and a.valid_to <= b.valid_from
+        assert all(v.is_current == 0 for v in vs[:-1])
+
+
+def _kcenter_python(vecs: dict[int, list[int]], k: int = 4):
+    first = min(vecs)
+    picks = [(1, first, 0)]
+    d2 = {
+        i: sum((a - b) * (a - b) for a, b in zip(v, vecs[first]))
+        for i, v in vecs.items()
+    }
+    for rank in range(2, k + 1):
+        best = max(d2.items(), key=lambda kv: (kv[1], -kv[0]))
+        bid = min(i for i, d in d2.items() if d == best[1])
+        picks.append((rank, bid, d2[bid]))
+        for i, v in vecs.items():
+            nd = sum((a - b) * (a - b) for a, b in zip(v, vecs[bid]))
+            if nd < d2[i]:
+                d2[i] = nd
+    return picks
+
+
+def test_kcenter_seeds_match_python(spark):
+    import math
+
+    got = sorted(
+        (r.seed_rank, r.vec_id, r.sep_micro2)
+        for r in _run(spark, "embedding_kcenter_seeds").collect()
+    )
+    emb = pd.read_parquet(SF_DIR + "/embeddings.parquet")
+    vecs = {
+        int(i): [int(math.floor(float(x) * 1e6)) for x in v]
+        for i, v in zip(emb.vec_id, emb.embedding)
+    }
+    assert got == sorted(_kcenter_python(vecs))
+
+
+def test_kcenter_seeds_plan_has_no_window_or_global_sort(spark):
+    plan = _run(spark, "embedding_kcenter_seeds")._jdf.queryExecution().toString()
+    assert "Window" not in plan  # argmax is struct-max, not ROW_NUMBER
+    assert "TakeOrderedAndProject" not in plan and "Sort [" not in plan

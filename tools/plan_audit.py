@@ -89,6 +89,13 @@ _add(
 )
 _add(
     "cartesian",
+    "farthest-first seed attach: each 'cross' join broadcasts the ONE-ROW "
+    "newest seed vector (k=4 rounds, one row each) against the running "
+    "min-distance relation — k scalar attaches, never a row multiplier",
+    "embedding_kcenter_seeds",
+)
+_add(
+    "cartesian",
     "audit-row assembly: each 'cross' join zips two ONE-ROW count "
     "aggregates (n_purged x n_kept) into one audit row per table — "
     "4 rows total, never a row multiplier",
