@@ -129,6 +129,7 @@ HEADLINE = [
     "corpus_weighted_sample_by_source",  # two-phase grouped A-ES (r6 cont.)
     "events_cdc_scd2_history",      # CDC op log -> SCD2 version history (r6 cont.)
     "embedding_kcenter_seeds",      # farthest-first seed selection (r6 cont.)
+    "events_hll_distinct_users",    # oracle-backed mergeable HLL (r6 cont.)
 ]
 
 
@@ -212,6 +213,9 @@ SCALE_QUERIES = [
     # track the embedding count, not blow up on the one-row attaches
     "events_cdc_scd2_history",
     "embedding_kcenter_seeds",
+    # r6 continuation: the HLL register pass must stay one (type, reg)
+    # partial aggregate as events grow
+    "events_hll_distinct_users",
 ]
 
 

@@ -313,3 +313,106 @@ def events_mode_band_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("b._nb")).cast("int").alias("mode_band"),
         F.col("b.n").alias("mode_count"),
     )
+
+
+# Real HyperLogLog (r6) — the mergeable-sketch distinct count with a
+# HARD oracle: unlike approx_count_distinct (engine-internal hashing,
+# checkable only rows-only), this HLL is built from the repo's
+# deterministic md5 hash, so DuckDB reproduces the sketch BIT-IDENTICALLY
+# and the driver hash-checks the estimate AND the registers. m=64
+# registers from the hash's low 6 bits; rank = leading-zero count of the
+# 54-bit suffix via length(bin(v)) (byte-identical in both engines,
+# probed). DETERMINISM: the harmonic denominator sum(2^-M_j) is the
+# exact integer rational S / 2^55 with S = sum(1 << (55 - M_j)) — a
+# BIGINT sum, zero float accumulation; the estimate is one constant
+# multiply and one division of exactly-converted values (BIGINT->double
+# is a single correctly-rounded C/JVM conversion — unlike the
+# DECIMAL->double double-rounding the correlation query documents). The
+# small-range linear-counting correction is intentionally omitted
+# (needs ln; counts here sit far above 2.5m) — n_empty is emitted so a
+# consumer can apply it.
+_HLL_M = 64
+_HLL_NUM = repr(0.709 * (_HLL_M * _HLL_M) * float(1 << 55))  # alpha*m^2*2^55
+
+
+def _hll_oracle() -> str:
+    from hadoop_common_spark.operators.dedup import hash60_sql
+
+    h = hash60_sql("'hll:' || CAST(user_id AS VARCHAR)")
+    return f"""
+WITH hashed AS (
+  SELECT event_type, user_id,
+         ({h}) % {_HLL_M} AS reg,
+         ({h}) // {_HLL_M} AS v
+  FROM events
+),
+ranked AS (
+  SELECT event_type, reg,
+         MAX(CASE WHEN v = 0 THEN 55 ELSE 55 - length(bin(v)) END) AS m
+  FROM hashed GROUP BY event_type, reg
+),
+folded AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_hit,
+         CAST(SUM(1::BIGINT << (55 - m)) AS BIGINT) AS s_present,
+         CAST(SUM(m) AS BIGINT) AS register_sum
+  FROM ranked GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT f.event_type, n_exact,
+       {_HLL_NUM} / CAST(s_present + ({_HLL_M} - n_hit) * (1::BIGINT << 55)
+                         AS DOUBLE) AS hll_estimate,
+       CAST({_HLL_M} - n_hit AS BIGINT) AS n_empty,
+       register_sum
+FROM folded f JOIN exact e ON f.event_type = e.event_type
+"""
+
+
+@query("events_hll_distinct_users", oracle=_hll_oracle())
+def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HLL (m=64) distinct-user estimate alongside the
+    exact count — the sketch whose per-partition registers MERGE by max,
+    which is what makes distinct counting one partial-aggregated pass at
+    100 TB (and across days: store 64 BIGINTs per window, merge
+    forever). Scale: rows ship once to (type, register) — 64·|types|
+    partial groups — then fold per type; the exact leg is the two-level
+    count-distinct kept only for the eval (a production pipeline drops
+    it and this becomes sub-shuffle-sized)."""
+    from hadoop_common_spark.operators.dedup import hash60
+
+    h = hash60(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    hashed = spark.table("events").select(
+        "event_type",
+        "user_id",
+        F.pmod(h, F.lit(_HLL_M)).alias("reg"),
+        F.shiftright(h, 6).alias("v"),
+    )
+    rank = F.when(F.col("v") == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.bin(F.col("v")))
+    )
+    ranked = hashed.groupBy("event_type", "reg").agg(F.max(rank).alias("m"))
+    folded = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit"),
+        # SQL-expr form: the DataFrame shiftleft() only takes a literal
+        # shift amount, not a per-row column
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 55 - m)"))
+        .cast("bigint")
+        .alias("s_present"),
+        F.sum("m").cast("bigint").alias("register_sum"),
+    )
+    exact = spark.table("events").groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    s_total = F.col("s_present") + (
+        F.lit(_HLL_M) - F.col("n_hit")
+    ).cast("bigint") * F.lit(1 << 55).cast("bigint")
+    return folded.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        (F.lit(float(_HLL_NUM)) / s_total.cast("double")).alias("hll_estimate"),
+        (F.lit(_HLL_M) - F.col("n_hit")).cast("bigint").alias("n_empty"),
+        "register_sum",
+    )

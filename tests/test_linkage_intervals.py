@@ -411,3 +411,52 @@ def test_kcenter_seeds_plan_has_no_window_or_global_sort(spark):
     plan = _run(spark, "embedding_kcenter_seeds")._jdf.queryExecution().toString()
     assert "Window" not in plan  # argmax is struct-max, not ROW_NUMBER
     assert "TakeOrderedAndProject" not in plan and "Sort [" not in plan
+
+
+# ---------------------------------------------------- batch D: real HLL
+
+
+def _hll_python(users_by_type: dict[str, set]) -> dict[str, tuple]:
+    out = {}
+    for t, users in users_by_type.items():
+        regs = {}
+        for u in users:
+            h = _h60("hll:" + str(u))
+            reg, v = h % 64, h >> 6
+            rank = 55 if v == 0 else 55 - v.bit_length()
+            regs[reg] = max(regs.get(reg, 0), rank)
+        s = sum(1 << (55 - m) for m in regs.values()) + (64 - len(regs)) * (1 << 55)
+        est = (0.709 * 4096.0 * float(1 << 55)) / float(s)
+        out[t] = (len(users), est, 64 - len(regs), sum(regs.values()))
+    return out
+
+
+def test_hll_matches_python_bit_exact(spark):
+    got = {
+        r.event_type: (r.n_exact, r.hll_estimate, r.n_empty, r.register_sum)
+        for r in _run(spark, "events_hll_distinct_users").collect()
+    }
+    ev = pd.read_parquet(SF_DIR + "/events.parquet")
+    users: dict[str, set] = {}
+    for t, u in zip(ev.event_type, ev.user_id):
+        users.setdefault(t, set()).add(u)
+    assert got == _hll_python(users)
+
+
+def test_hll_estimate_accuracy_within_bounds(spark):
+    """m=64 gives ~1.04/sqrt(64) = 13% typical relative error. The query
+    deliberately emits the RAW estimator plus n_empty; below the 2.5m
+    small-range threshold the consumer applies Flajolet's linear-counting
+    correction m*ln(m/V) — this test exercises exactly that contract
+    (sf0.001 has ~15 users/type, firmly in the corrected regime), and
+    asserts a generous 3-sigma-ish 40% so one unlucky hash draw can't
+    flake it."""
+    import math
+
+    for r in _run(spark, "events_hll_distinct_users").collect():
+        assert r.n_exact > 0
+        est = r.hll_estimate
+        if est < 2.5 * 64 and r.n_empty > 0:
+            est = 64 * math.log(64 / r.n_empty)
+        rel = abs(est - r.n_exact) / r.n_exact
+        assert rel < 0.40, (r.event_type, r.n_exact, est)
