@@ -130,6 +130,8 @@ HEADLINE = [
     "events_cdc_scd2_history",      # CDC op log -> SCD2 version history (r6 cont.)
     "embedding_kcenter_seeds",      # farthest-first seed selection (r6 cont.)
     "events_hll_distinct_users",    # oracle-backed mergeable HLL (r6 cont.)
+    "events_audience_overlap_kmv",  # bottom-k sketched Jaccard matrix (r6 cont.)
+    "events_value_kmv_quantiles",   # mergeable bottom-k quantile sketch (r6 cont.)
 ]
 
 
@@ -214,8 +216,12 @@ SCALE_QUERIES = [
     "events_cdc_scd2_history",
     "embedding_kcenter_seeds",
     # r6 continuation: the HLL register pass must stay one (type, reg)
-    # partial aggregate as events grow
+    # partial aggregate as events grow; the KMV twins' corpus-side work
+    # (distinct + two-phase bottom-k) must scale like the scan while the
+    # pairwise matrix stays sample-sized
     "events_hll_distinct_users",
+    "events_audience_overlap_kmv",
+    "events_value_kmv_quantiles",
 ]
 
 
@@ -524,6 +530,16 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
         try:
             scale_dir = build_scale_dir(spark, sf_dir)
+            # Warm the freshly-written tier before timing: the first scan
+            # of each table pays /tmp page-cache first-touch, which showed
+            # up as phantom 1.5-2.5x "drift" on whichever queries ran
+            # early (measured: 17.8s cold vs 3.4s steady for the same
+            # query back-to-back). One full-scan count per table makes
+            # every timing steady-state — the number the plan deserves.
+            from hadoop_common_spark.tables import load_tables
+
+            for _df in load_tables(spark, scale_dir).values():
+                _df.count()
             for name in SCALE_QUERIES:
                 qd = registry.get(name)
                 if qd is None:

@@ -80,18 +80,20 @@ _QUERY_MODULES = [
 # registry in dict order and has a bounded budget (~50 rows/round), so the
 # order is part of the evidence strategy. Round-6 rotation: every query's
 # newest driver row is now r02+ (the r01 tail closed in r5). Window = the
-# 40 r6 NEWCOMERS (no driver row yet — first claim; the continuation
+# 42 r6 NEWCOMERS (no driver row yet — first claim; the continuation
 # batches kept prepending here, displacing the window tail into the
 # overflow head), then the six queries whose newest row is r02 (oldest
-# evidence; they spilled out of the r5 window cap), then 4 of the
+# evidence; they spilled out of the r5 window cap), then 2 of the
 # r03-green rows ordered most-churned-module first (similarity/dedup
 # kernels were re-vectorized in r5/r6; TPC-H subquery shapes untouched,
 # so they sit at the boundary where a budget cut costs least —
-# 40+6+4 = the 50-entry window). Names not in either list are slotted
+# 42+6+2 = the 50-entry window). Names not in either list are slotted
 # right after the window block, BEFORE the overflow, so a new query is
 # never silently pushed out of the checked window.
 PRIORITY_WINDOW: list[str] = [
     # -- r6 NEWCOMERS: no driver row yet --
+    "events_audience_overlap_kmv",
+    "events_value_kmv_quantiles",
     "events_hll_distinct_users",
     "events_cdc_scd2_history",
     "embedding_kcenter_seeds",
@@ -143,8 +145,6 @@ PRIORITY_WINDOW: list[str] = [
     #    re-vectorized in r5/r6, graph/windows re-kernelized in r5) --
     "dedup_embedding_cosine",
     "similarity_ivfpq_topk",
-    "similarity_lsh_multiprobe_topk",
-    "dedup_winnow_pairs",
 ]
 
 # ---- 50-entry checked-window boundary ----
@@ -156,6 +156,8 @@ PRIORITY_WINDOW: list[str] = [
 PRIORITY_OVERFLOW: list[str] = [
     # -- displaced from the r6 window by the continuation newcomers;
     #    r7 rotation head together with the r03 spill below --
+    "similarity_lsh_multiprobe_topk",
+    "dedup_winnow_pairs",
     "dedup_exact_normalized",
     "embedding_quantize_int8",
     "hybrid_search_rerank",

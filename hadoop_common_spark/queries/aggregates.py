@@ -416,3 +416,107 @@ def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(_HLL_M) - F.col("n_hit")).cast("bigint").alias("n_empty"),
         "register_sum",
     )
+
+
+# KMV / bottom-k quantile sketch (r6) — the mergeable-quantile sibling
+# of the HLL sketch: per group keep the k rows with the smallest
+# deterministic hash (a uniform sample that MERGES by min — union two
+# partitions' bottom-k and re-take bottom-k, no information loss), then
+# read quantiles off the sample by exact rank math. The exact leg (a
+# full per-type sort) rides along ONLY to measure the estimator; a
+# production pipeline keeps the 128-row signature per group and gets
+# percentiles of 100 TB streams with one partial-agg-shaped pass.
+_KMVQ_K = 128
+
+
+def _kmv_quantile_oracle() -> str:
+    from hadoop_common_spark.operators.dedup import hash60_sql
+
+    h = hash60_sql("'kmv:' || CAST(event_id AS VARCHAR)")
+    return f"""
+WITH hashed AS (
+  SELECT event_type, value, event_id, {h} AS hk FROM events
+),
+samp AS (
+  SELECT event_type, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hk, event_id) AS hr
+  FROM hashed
+),
+sk AS (SELECT event_type, value, event_id FROM samp WHERE hr <= {_KMVQ_K}),
+skr AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS vr,
+         COUNT(*) OVER (PARTITION BY event_type) AS ns
+  FROM sk
+),
+est AS (
+  SELECT event_type,
+         MAX(CASE WHEN vr = CAST(CEIL(0.5 * ns) AS BIGINT) THEN value END) AS p50_est,
+         MAX(CASE WHEN vr = CAST(CEIL(0.9 * ns) AS BIGINT) THEN value END) AS p90_est,
+         CAST(MAX(ns) AS BIGINT) AS n_sample
+  FROM skr GROUP BY event_type
+),
+exr AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS vr,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+ex AS (
+  SELECT event_type,
+         MAX(CASE WHEN vr = CAST(CEIL(0.5 * n) AS BIGINT) THEN value END) AS p50_exact,
+         MAX(CASE WHEN vr = CAST(CEIL(0.9 * n) AS BIGINT) THEN value END) AS p90_exact,
+         CAST(MAX(n) AS BIGINT) AS n_rows
+  FROM exr GROUP BY event_type
+)
+SELECT e.event_type, n_rows, n_sample, p50_est, p90_est, p50_exact, p90_exact
+FROM est s JOIN ex e ON s.event_type = e.event_type
+"""
+
+
+@query("events_value_kmv_quantiles", oracle=_kmv_quantile_oracle())
+def events_value_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type P50/P90 of `value` estimated from a 128-row bottom-k
+    hash sample, alongside the exact sorted-rank percentiles (no
+    interpolation — the ValueHistogram convention; values pass through
+    untouched, so both engines hash identically). Scale: the sketch leg
+    is the two-phase grouped bottom-k (per-partition heaps — a hot type
+    never funnels) and a 128-row-per-group window; the exact leg's
+    full per-type sort exists only to measure the estimate and is the
+    thing this sketch REPLACES at corpus scale."""
+    from pyspark.sql import Window
+
+    from hadoop_common_spark.operators.dedup import hash60
+    from hadoop_common_spark.operators.skew import top_k_per_group_two_phase
+
+    ev = spark.table("events")
+    hk = hash60(F.concat(F.lit("kmv:"), F.col("event_id").cast("string")))
+    hashed = ev.select("event_type", "value", "event_id", hk.alias("hk"))
+    sk = top_k_per_group_two_phase(
+        hashed, ["event_type"], _KMVQ_K, [F.col("hk"), F.col("event_id")]
+    )
+
+    def ranked_quantiles(df, p50_name, p90_name, n_name):
+        w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        wc = Window.partitionBy("event_type")
+        r = df.withColumn("vr", F.row_number().over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(wc)
+        )
+        pick = lambda q: F.max(
+            F.when(
+                F.col("vr") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        )
+        return r.groupBy("event_type").agg(
+            pick(0.5).alias(p50_name),
+            pick(0.9).alias(p90_name),
+            F.max("n").cast("bigint").alias(n_name),
+        )
+
+    est = ranked_quantiles(sk, "p50_est", "p90_est", "n_sample")
+    ex = ranked_quantiles(ev, "p50_exact", "p90_exact", "n_rows")
+    return est.join(ex, "event_type").select(
+        "event_type", "n_rows", "n_sample",
+        "p50_est", "p90_est", "p50_exact", "p90_exact",
+    )

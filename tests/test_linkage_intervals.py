@@ -222,15 +222,21 @@ def math_floor(x: float) -> int:
 # ------------------------------------------- batch B: stats / set-ops
 
 
+def _footprints(ev: pd.DataFrame) -> dict[str, set]:
+    sets: dict[str, set] = {}
+    for t, u, ts in zip(ev.event_type, ev.user_id, ev.ts):
+        epoch = int(ts.timestamp())
+        cell = u * 24 + (epoch % 86400) // 3600
+        sets.setdefault(t, set()).add(cell)
+    return sets
+
+
 def test_audience_overlap_matches_python(spark):
     got = {
         (r.type_a, r.type_b): (r.n_common, r.n_a, r.n_b, r.jaccard)
         for r in _run(spark, "events_audience_overlap").collect()
     }
-    ev = pd.read_parquet(SF_DIR + "/events.parquet")
-    sets: dict[str, set] = {}
-    for t, u in zip(ev.event_type, ev.user_id):
-        sets.setdefault(t, set()).add(u)
+    sets = _footprints(pd.read_parquet(SF_DIR + "/events.parquet"))
     want = {}
     types = sorted(sets)
     for i, ta in enumerate(types):
@@ -244,6 +250,9 @@ def test_audience_overlap_matches_python(spark):
                     c / (len(sets[ta]) + len(sets[tb]) - c),
                 )
     assert got == want and len(want) > 0
+    # the cell grain must actually discriminate (guards against the
+    # degenerate all-1.0 matrix plain user-id sets produce here)
+    assert any(v[3] < 0.999 for v in want.values())
 
 
 def test_qty_price_correlation_matches_python_exactly(spark):
@@ -460,3 +469,86 @@ def test_hll_estimate_accuracy_within_bounds(spark):
             est = 64 * math.log(64 / r.n_empty)
         rel = abs(est - r.n_exact) / r.n_exact
         assert rel < 0.40, (r.event_type, r.n_exact, est)
+
+
+# --------------------------------------- batch E: KMV sketch twins
+
+
+def test_audience_overlap_kmv_matches_python(spark):
+    got = {
+        (r.type_a, r.type_b): (r.n_both, r.k_used, r.jaccard_est)
+        for r in _run(spark, "events_audience_overlap_kmv").collect()
+    }
+    sets = _footprints(pd.read_parquet(SF_DIR + "/events.parquet"))
+    K = 64
+    sk = {
+        t: set(sorted(cells, key=lambda c: (_h60("ao:" + str(c)), c))[:K])
+        for t, cells in sets.items()
+    }
+    want = {}
+    types = sorted(sk)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            union = sorted(
+                sk[ta] | sk[tb], key=lambda c: (_h60("ao:" + str(c)), c)
+            )[:K]
+            both = sum(1 for c in union if c in sk[ta] and c in sk[tb])
+            want[(ta, tb)] = (both, len(union), both / len(union))
+    assert got == want and len(want) > 0
+
+
+def test_kmv_jaccard_estimate_tracks_exact(spark):
+    """The 64-hash estimate must land near the exact Jaccard (binomial
+    std err ~ sqrt(j(1-j)/64) ~ 0.06 here; allow 4x)."""
+    exact = {
+        (r.type_a, r.type_b): r.jaccard
+        for r in _run(spark, "events_audience_overlap").collect()
+    }
+    est = {
+        (r.type_a, r.type_b): r.jaccard_est
+        for r in _run(spark, "events_audience_overlap_kmv").collect()
+    }
+    assert set(exact) == set(est)
+    for k, j in exact.items():
+        assert abs(est[k] - j) < 0.25, (k, j, est[k])
+
+
+def test_kmv_quantiles_match_python(spark):
+    import math
+
+    got = {
+        r.event_type: (
+            r.n_rows, r.n_sample, r.p50_est, r.p90_est, r.p50_exact, r.p90_exact
+        )
+        for r in _run(spark, "events_value_kmv_quantiles").collect()
+    }
+    ev = pd.read_parquet(SF_DIR + "/events.parquet")
+    want = {}
+    for t, g in ev.groupby("event_type"):
+        rows = sorted(zip(g.value, g.event_id), key=lambda r: (r[0], r[1]))
+        sk = sorted(
+            zip(g.value, g.event_id),
+            key=lambda r: (_h60("kmv:" + str(r[1])), r[1]),
+        )[:128]
+        sk.sort(key=lambda r: (r[0], r[1]))
+        n, ns = len(rows), len(sk)
+        pick = lambda lst, q: lst[math.ceil(q * len(lst)) - 1][0]
+        want[t] = (
+            n, ns, pick(sk, 0.5), pick(sk, 0.9), pick(rows, 0.5), pick(rows, 0.9)
+        )
+    assert got == want
+
+
+def test_kmv_bottomk_merge_is_lossless():
+    """bottom-k(A ∪ B) is computable from bottom-k(A) ∪ bottom-k(B) —
+    the mergeability the sketch's 100 TB story rests on."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(20):
+        a = {rng.randrange(10**6) for _ in range(rng.randrange(1, 300))}
+        b = {rng.randrange(10**6) for _ in range(rng.randrange(1, 300))}
+        key = lambda x: (_h60("m:" + str(x)), x)
+        k = 16
+        bk = lambda s: sorted(s, key=key)[:k]
+        assert bk(a | b) == bk(set(bk(a)) | set(bk(b)))

@@ -96,6 +96,14 @@ _add(
 )
 _add(
     "cartesian",
+    "sketch-pair matrix: BOTH nested-loop sides are sample-sized — the "
+    "|types|^2/2 pair list (tens of rows) against the union of 64-hash "
+    "KMV signatures (|types|*64 rows); corpus-scale data only flows "
+    "through the distinct + two-phase bottom-k upstream",
+    "events_audience_overlap_kmv",
+)
+_add(
+    "cartesian",
     "audit-row assembly: each 'cross' join zips two ONE-ROW count "
     "aggregates (n_purged x n_kept) into one audit row per table — "
     "4 rows total, never a row multiplier",
