@@ -298,7 +298,10 @@ def interval_lookup_join_binned(
     p = points.withColumn(
         "_bin", F.floor(F.col(point_col).cast("double") / F.lit(w))
     )
-    iv = intervals.withColumn(
+    # drop inverted intervals BEFORE the explode: they match nothing, and
+    # sequence(start, stop) with start > stop would otherwise generate a
+    # DESCENDING bin list — |lo-hi|/w useless rows per bad interval
+    iv = intervals.filter(F.col(lo_col) <= F.col(hi_col)).withColumn(
         "_bin",
         F.explode(
             F.sequence(

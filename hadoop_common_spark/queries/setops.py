@@ -249,7 +249,7 @@ def events_audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = sk.select("event_type").distinct()
     pairs = (
         types.select(F.col("event_type").alias("type_a"))
-        .crossJoin(types.select(F.col("event_type").alias("type_b")))
+        .crossJoin(F.broadcast(types.select(F.col("event_type").alias("type_b"))))
         .filter(F.col("type_a") < F.col("type_b"))
     )
     in_a = F.array_contains("ts", F.col("type_a"))

@@ -125,6 +125,18 @@ def get_spark(app_name: str = "hadoop_common_spark", shuffle_partitions: int | N
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Long sessions (the 195-query strict sweep, the ~130-plan bench)
+        # fill the JVM's default 240 MB code cache with whole-stage-codegen
+        # classes; once full, HotSpot disables the JIT and late queries run
+        # interpreted (measured: corpus_dsir_weights 16s late-session vs
+        # 3s in a fresh JVM, reproducibly). Must be set before the driver
+        # JVM launches — get_spark is the process's first session builder.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=1g"
+            ),
+        )
     )
     if not os.environ.get("SPARK_MASTER") and "local" not in os.environ.get("MASTER", ""):
         builder = builder.master(f"local[{cpus}]")

@@ -220,3 +220,78 @@ def test_fuzz_cooccurrence_window_matches_duckdb(spark, seed):
     dcols = [d[0] for d in res.description]
     drows = _rowset(dcols, res.fetchall(), _norm)
     assert srows == drows, f"seed={seed} max_dist={max_dist}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_interval_lookup_join_matches_duckdb(spark, seed):
+    """Binned-interval family (#7): random points and random [lo, hi]
+    intervals (negative values, zero-width, bin-boundary-aligned edges,
+    occasional empty sides, optional block column) through
+    interval_lookup_join_binned at a random bin width, vs DuckDB's bare
+    BETWEEN theta join. The binning is a pure execution strategy — this
+    family pins that it never changes the match set, whatever the bin
+    alignment."""
+    import pandas as pd
+
+    from hadoop_common_spark.operators.joins import interval_lookup_join_binned
+
+    rng = random.Random(9000 + seed)
+    blocked = rng.random() < 0.5
+    width = rng.choice([0.5, 1.0, 3.0, 10.0, 25.0])
+    n_pts, n_iv = rng.randrange(0, 60), rng.randrange(0, 40)
+
+    def val():
+        # mix of round numbers (exact bin edges) and arbitrary doubles
+        v = rng.uniform(-50, 50)
+        return float(round(v)) if rng.random() < 0.4 else v
+
+    pts = pd.DataFrame(
+        {
+            "pid": range(n_pts),
+            "blk": [rng.randrange(3) if blocked else 0 for _ in range(n_pts)],
+            "v": [val() for _ in range(n_pts)],
+        }
+    )
+    los = [val() for _ in range(n_iv)]
+    ivs = pd.DataFrame(
+        {
+            "iid": range(n_iv),
+            "blk": [rng.randrange(3) if blocked else 0 for _ in range(n_iv)],
+            "lo": los,
+            # zero-width sometimes; inverted (empty) intervals sometimes
+            "hi": [
+                lo if rng.random() < 0.2 else lo + rng.uniform(-2.0, 3.0 * width)
+                for lo in los
+            ],
+        }
+    )
+    schema_p = "pid int, blk int, v double"
+    schema_i = "iid int, blk int, lo double, hi double"
+    sp = (
+        spark.createDataFrame(pts, schema=schema_p)
+        if n_pts
+        else spark.createDataFrame([], schema_p)
+    )
+    si = (
+        spark.createDataFrame(ivs, schema=schema_i)
+        if n_iv
+        else spark.createDataFrame([], schema_i)
+    )
+    out = interval_lookup_join_binned(
+        sp, si, "v", "lo", "hi", bin_width=width,
+        block_cols=["blk"] if blocked else None,
+    ).select("pid", "iid")
+    srows = _rowset(out.columns, [tuple(r) for r in out.collect()], _norm)
+
+    con = duckdb.connect()
+    con.register("fz_pts", pts)
+    con.register("fz_ivs", ivs)
+    blk = "AND p.blk = i.blk" if blocked else ""
+    res = con.execute(
+        f"""
+        SELECT p.pid, i.iid FROM fz_pts p JOIN fz_ivs i
+        ON p.v >= i.lo AND p.v <= i.hi {blk}
+        """
+    )
+    drows = _rowset([d[0] for d in res.description], res.fetchall(), _norm)
+    assert srows == drows, f"seed={seed} width={width} blocked={blocked}"

@@ -156,6 +156,35 @@ REPRESENTATIVE = {
         "two-snapshot diff ships only (id, md5 digest) through the one "
         "full-outer hash join; text never leaves the map side"
     ),
+    "entity_link_fuzzy_ids": (
+        "SymSpell blocking: both sides explode len+1 deletion keys map-side, "
+        "the candidate join is a hash SortMergeJoin/ShuffledHashJoin on the "
+        "key (NO BroadcastNestedLoopJoin), distinct prunes duplicate "
+        "collisions before the exact levenshtein verify"
+    ),
+    "supplier_balance_band_match": (
+        "point-in-interval as an equi-join: intervals explode to covered "
+        "bins, points keep one bin, hash join on (nation, bin) + exact "
+        "BETWEEN filter — the bare theta predicate would plan a nested loop"
+    ),
+    "embedding_kcenter_seeds": (
+        "k=4 farthest-first rounds: each a full scan + partial_max "
+        "struct-aggregate (no Window, no Sort anywhere); every new seed "
+        "rides a one-row broadcast; the running LEAST(d2, d2_new) keeps "
+        "rounds from re-touching earlier seeds"
+    ),
+    "events_hll_distinct_users": (
+        "HLL registers: rows ship once to the (type, register) partial "
+        "aggregate (64 groups/type), the harmonic fold is an integer sum "
+        "over register rows — the estimate costs one bounded second "
+        "aggregate; the exact count-distinct leg exists only for the eval"
+    ),
+    "events_audience_overlap_kmv": (
+        "KMV signatures: corpus-scale data flows only through distinct + "
+        "the two-phase bottom-k (per-partition heaps); the pairwise "
+        "matrix's nested loop is sample-sized on BOTH sides "
+        "(|types|^2/2 pairs x |types|*64 signature rows)"
+    ),
 }
 
 
