@@ -534,12 +534,15 @@ def main() -> None:
             # of each table pays /tmp page-cache first-touch, which showed
             # up as phantom 1.5-2.5x "drift" on whichever queries ran
             # early (measured: 17.8s cold vs 3.4s steady for the same
-            # query back-to-back). One full-scan count per table makes
-            # every timing steady-state — the number the plan deserves.
+            # query back-to-back). NOTE count() would NOT work here — a
+            # parquet count is served from row-group metadata with a
+            # zero-column ReadSchema and never touches the data pages —
+            # so each table is pushed through the noop sink, which
+            # materializes every column.
             from hadoop_common_spark.tables import load_tables
 
             for _df in load_tables(spark, scale_dir).values():
-                _df.count()
+                _run_noop(_df)
             for name in SCALE_QUERIES:
                 qd = registry.get(name)
                 if qd is None:

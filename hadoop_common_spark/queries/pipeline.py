@@ -1162,11 +1162,29 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per event type. New family: privacy/compliance auditing — the same
 # engine that builds the corpus must prove what it publishes.
 _KANON_K = 5
+
+# THE quasi-identifier definition — events_k_anonymity and
+# events_l_diversity must group by the IDENTICAL tuple or the two
+# privacy reports silently stop being comparable (the split_90_5_5
+# one-definition rule); both queries and both oracles render from these
+# two helpers.
+_QI_SQL = """event_type,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS INT) AS hour,
+         CAST(FLOOR(value / 50.0) AS INT) AS value_band"""
+
+
+def _qi_cols() -> list:
+    e = F.expr("CAST(ts AS LONG)")
+    return [
+        F.col("event_type"),
+        ((e % 86400) / 3600).cast("int").alias("hour"),
+        F.floor(F.col("value") / 50.0).cast("int").alias("value_band"),
+    ]
+
+
 _KANON_ORACLE = f"""
 WITH qi AS (
-  SELECT event_type,
-         CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS INT) AS hour,
-         CAST(FLOOR(value / 50.0) AS INT) AS value_band,
+  SELECT {_QI_SQL},
          COUNT(*) AS n
   FROM events GROUP BY 1, 2, 3
 )
@@ -1194,14 +1212,9 @@ def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two partial-aggregated shuffles, the second over at most
     |event_type| x 24 x bands groups — the QI groupBy is the only pass
     that touches every row."""
-    e = F.expr("CAST(ts AS LONG)")
     qi = (
         spark.table("events")
-        .groupBy(
-            "event_type",
-            ((e % 86400) / 3600).cast("int").alias("hour"),
-            F.floor(F.col("value") / 50.0).cast("int").alias("value_band"),
-        )
+        .groupBy(*_qi_cols())
         .agg(F.count(F.lit(1)).alias("n"))
     )
     viol = F.col("n") < _KANON_K
@@ -1415,9 +1428,7 @@ def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LDIV_L = 3
 _LDIV_ORACLE = f"""
 WITH qi AS (
-  SELECT event_type,
-         CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS INT) AS hour,
-         CAST(FLOOR(value / 50.0) AS INT) AS value_band,
+  SELECT {_QI_SQL},
          COUNT(*) AS n,
          COUNT(DISTINCT user_id) AS n_subjects
   FROM events GROUP BY 1, 2, 3
@@ -1442,17 +1453,11 @@ def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass (groupBy QI+user, then QI) — the standard two-level exact
     count-distinct that never ships raw rows twice; the final rollup
     aggregates at most |event_type| x 24 x bands groups."""
-    e = F.expr("CAST(ts AS LONG)")
-    qi_cols = [
-        F.col("event_type"),
-        ((e % 86400) / 3600).cast("int").alias("hour"),
-        F.floor(F.col("value") / 50.0).cast("int").alias("value_band"),
-    ]
     # exact count-distinct as two partial-aggregated levels: rows ship
     # once to (QI, user), the second level counts within QI groups
     per_user = (
         spark.table("events")
-        .groupBy(*qi_cols, F.col("user_id"))
+        .groupBy(*_qi_cols(), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
     qi = per_user.groupBy("event_type", "hour", "value_band").agg(

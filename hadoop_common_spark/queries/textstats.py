@@ -1175,11 +1175,45 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QLIN_B = 4096
 
 
-def _qlin_oracle() -> str:
+def _qlin_w_sql() -> str:
+    """DuckDB weight-of-token fragment — THE scorer definition's SQL
+    rendering; text_quality_linear_score and text_score_calibration must
+    score identically (the split_90_5_5 one-definition rule), so both
+    oracles render from this helper."""
     from hadoop_common_spark.operators.dedup import hash60_sql
 
     bucket = hash60_sql("t") + f" % {_QLIN_B}"
-    w = hash60_sql(f"'qlw:' || CAST({bucket} AS VARCHAR)") + " % 2001 - 1000"
+    return hash60_sql(f"'qlw:' || CAST({bucket} AS VARCHAR)") + " % 2001 - 1000"
+
+
+def _qlin_toks_col():
+    """Token array of lower(trim(text)) — Spark side of the scorer."""
+    return F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+
+
+def _qlin_score_col(toks):
+    """Exact-BIGINT hashed-feature score over a token array column."""
+    from hadoop_common_spark.operators.dedup import hash60
+
+    def w(t):
+        bucket = F.pmod(hash60(t), F.lit(_QLIN_B))
+        return (
+            F.pmod(
+                hash60(F.concat(F.lit("qlw:"), bucket.cast("string"))),
+                F.lit(2001),
+            )
+            - 1000
+        )
+
+    return F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + w(t).cast("bigint")
+    )
+
+
+def _qlin_oracle() -> str:
+    w = _qlin_w_sql()
     return f"""
 WITH toks AS (
   SELECT doc_id,
@@ -1206,24 +1240,8 @@ def text_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ZERO shuffles, no UDF, no vocabulary join (the hashing trick); the
     plan is a single projected scan, which is why this filter is
     affordable as the first pass over 100 TB."""
-    from hadoop_common_spark.operators.dedup import hash60
-
-    def w(t):
-        bucket = F.pmod(hash60(t), F.lit(_QLIN_B))
-        return (
-            F.pmod(
-                hash60(F.concat(F.lit("qlw:"), bucket.cast("string"))),
-                F.lit(2001),
-            )
-            - 1000
-        )
-
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
-    )
-    score = F.aggregate(
-        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + w(t).cast("bigint")
-    )
+    toks = _qlin_toks_col()
+    score = _qlin_score_col(toks)
     return (
         spark.table("documents")
         .filter(F.trim(F.col("text")) != "")
@@ -1281,24 +1299,7 @@ def text_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed-feature map-side pass; the calibration adds exactly ONE
     partial-aggregated shuffle over |bins| groups (dozens of rows
     whatever the corpus size)."""
-    from hadoop_common_spark.operators.dedup import hash60
-
-    def w(t):
-        bucket = F.pmod(hash60(t), F.lit(_QLIN_B))
-        return (
-            F.pmod(
-                hash60(F.concat(F.lit("qlw:"), bucket.cast("string"))),
-                F.lit(2001),
-            )
-            - 1000
-        )
-
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
-    )
-    score = F.aggregate(
-        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + w(t).cast("bigint")
-    )
+    score = _qlin_score_col(_qlin_toks_col())
     return (
         spark.table("documents")
         .filter(F.trim(F.col("text")) != "")

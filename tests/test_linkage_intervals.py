@@ -508,9 +508,13 @@ def test_kmv_jaccard_estimate_tracks_exact(spark):
         (r.type_a, r.type_b): r.jaccard_est
         for r in _run(spark, "events_audience_overlap_kmv").collect()
     }
-    assert set(exact) == set(est)
-    for k, j in exact.items():
-        assert abs(est[k] - j) < 0.25, (k, j, est[k])
+    # the exact query emits only pairs with >=1 common cell (inner join);
+    # the KMV query emits every type pair — a disjoint pair's exact
+    # jaccard is 0, so compare over the KMV side's superset
+    assert set(exact) <= set(est)
+    for k, e in est.items():
+        j = exact.get(k, 0.0)
+        assert abs(e - j) < 0.25, (k, j, e)
 
 
 def test_kmv_quantiles_match_python(spark):
