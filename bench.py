@@ -132,6 +132,7 @@ HEADLINE = [
     "events_hll_distinct_users",    # oracle-backed mergeable HLL (r6 cont.)
     "events_audience_overlap_kmv",  # bottom-k sketched Jaccard matrix (r6 cont.)
     "events_value_kmv_quantiles",   # mergeable bottom-k quantile sketch (r6 cont.)
+    "events_distinct_users_kmv",    # KMV cardinality + signature-union est (r6 cont.)
 ]
 
 
@@ -222,6 +223,7 @@ SCALE_QUERIES = [
     "events_hll_distinct_users",
     "events_audience_overlap_kmv",
     "events_value_kmv_quantiles",
+    "events_distinct_users_kmv",
 ]
 
 

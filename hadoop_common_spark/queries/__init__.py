@@ -80,18 +80,19 @@ _QUERY_MODULES = [
 # registry in dict order and has a bounded budget (~50 rows/round), so the
 # order is part of the evidence strategy. Round-6 rotation: every query's
 # newest driver row is now r02+ (the r01 tail closed in r5). Window = the
-# 42 r6 NEWCOMERS (no driver row yet — first claim; the continuation
+# 43 r6 NEWCOMERS (no driver row yet — first claim; the continuation
 # batches kept prepending here, displacing the window tail into the
 # overflow head), then the six queries whose newest row is r02 (oldest
-# evidence; they spilled out of the r5 window cap), then 2 of the
+# evidence; they spilled out of the r5 window cap), then 1 of the
 # r03-green rows ordered most-churned-module first (similarity/dedup
 # kernels were re-vectorized in r5/r6; TPC-H subquery shapes untouched,
 # so they sit at the boundary where a budget cut costs least —
-# 42+6+2 = the 50-entry window). Names not in either list are slotted
+# 43+6+1 = the 50-entry window). Names not in either list are slotted
 # right after the window block, BEFORE the overflow, so a new query is
 # never silently pushed out of the checked window.
 PRIORITY_WINDOW: list[str] = [
     # -- r6 NEWCOMERS: no driver row yet --
+    "events_distinct_users_kmv",
     "events_audience_overlap_kmv",
     "events_value_kmv_quantiles",
     "events_hll_distinct_users",
@@ -144,7 +145,6 @@ PRIORITY_WINDOW: list[str] = [
     # -- newest row r03, churned modules first (similarity/dedup kernels
     #    re-vectorized in r5/r6, graph/windows re-kernelized in r5) --
     "dedup_embedding_cosine",
-    "similarity_ivfpq_topk",
 ]
 
 # ---- 50-entry checked-window boundary ----
@@ -156,6 +156,7 @@ PRIORITY_WINDOW: list[str] = [
 PRIORITY_OVERFLOW: list[str] = [
     # -- displaced from the r6 window by the continuation newcomers;
     #    r7 rotation head together with the r03 spill below --
+    "similarity_ivfpq_topk",
     "similarity_lsh_multiprobe_topk",
     "dedup_winnow_pairs",
     "dedup_exact_normalized",

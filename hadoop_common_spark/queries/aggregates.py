@@ -331,8 +331,8 @@ def events_mode_band_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # small-range linear-counting correction is intentionally omitted
 # (needs ln; counts here sit far above 2.5m) — n_empty is emitted so a
 # consumer can apply it.
-_HLL_M = 64
-_HLL_NUM = repr(0.709 * (_HLL_M * _HLL_M) * float(1 << 55))  # alpha*m^2*2^55
+from hadoop_common_spark.operators.sketches import HLL_M as _HLL_M
+from hadoop_common_spark.operators.sketches import HLL_NUM as _HLL_NUM
 
 
 def _hll_oracle() -> str:
@@ -380,41 +380,19 @@ def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     forever). Scale: rows ship once to (type, register) — 64·|types|
     partial groups — then fold per type; the exact leg is the two-level
     count-distinct kept only for the eval (a production pipeline drops
-    it and this becomes sub-shuffle-sized)."""
-    from hadoop_common_spark.operators.dedup import hash60
+    it and this becomes sub-shuffle-sized). Register build / merge /
+    fold live in operators/sketches.py — the streaming maintainer
+    (streaming/jobs.hll_incremental) folds the SAME registers, so the
+    one-definition rule holds across batch and stream."""
+    from hadoop_common_spark.operators.sketches import hll_estimate, hll_registers
 
-    h = hash60(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
-    hashed = spark.table("events").select(
-        "event_type",
-        "user_id",
-        F.pmod(h, F.lit(_HLL_M)).alias("reg"),
-        F.shiftright(h, 6).alias("v"),
-    )
-    rank = F.when(F.col("v") == 0, F.lit(55)).otherwise(
-        F.lit(55) - F.length(F.bin(F.col("v")))
-    )
-    ranked = hashed.groupBy("event_type", "reg").agg(F.max(rank).alias("m"))
-    folded = ranked.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_hit"),
-        # SQL-expr form: the DataFrame shiftleft() only takes a literal
-        # shift amount, not a per-row column
-        F.sum(F.expr("shiftleft(cast(1 as bigint), 55 - m)"))
-        .cast("bigint")
-        .alias("s_present"),
-        F.sum("m").cast("bigint").alias("register_sum"),
-    )
+    regs = hll_registers(spark.table("events"), ["event_type"], "user_id")
+    est = hll_estimate(regs, ["event_type"])
     exact = spark.table("events").groupBy("event_type").agg(
         F.countDistinct("user_id").cast("bigint").alias("n_exact")
     )
-    s_total = F.col("s_present") + (
-        F.lit(_HLL_M) - F.col("n_hit")
-    ).cast("bigint") * F.lit(1 << 55).cast("bigint")
-    return folded.join(exact, "event_type").select(
-        "event_type",
-        "n_exact",
-        (F.lit(float(_HLL_NUM)) / s_total.cast("double")).alias("hll_estimate"),
-        (F.lit(_HLL_M) - F.col("n_hit")).cast("bigint").alias("n_empty"),
-        "register_sum",
+    return est.join(exact, "event_type").select(
+        "event_type", "n_exact", "hll_estimate", "n_empty", "register_sum"
     )
 
 
@@ -519,4 +497,100 @@ def events_value_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(ex, "event_type").select(
         "event_type", "n_rows", "n_sample",
         "p50_est", "p90_est", "p50_exact", "p90_exact",
+    )
+
+
+# KMV distinct-cardinality estimator (r6) — completes the sketch
+# algebra: HLL counts per group, THIS estimates per-group AND union
+# cardinality from the same bottom-k signatures the Jaccard sketch
+# uses. The union row is computed FROM THE SIGNATURES (bottom-k of the
+# merged bottom-k's — the monoid property), which is the point: union
+# anything (types, days, shards) without re-touching raw data.
+_KMVU_K = 64
+
+
+def _kmv_union_oracle() -> str:
+    from hadoop_common_spark.operators.dedup import hash60_sql
+
+    h = hash60_sql("'kmvu:' || CAST(user_id AS VARCHAR)")
+    num = repr(float((_KMVU_K - 1) * (1 << 60)))
+    est = (
+        f"CASE WHEN cnt < {_KMVU_K} THEN CAST(cnt AS DOUBLE) "
+        f"ELSE {num} / CAST(hkk AS DOUBLE) END"
+    )
+    return f"""
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+hashed AS (SELECT event_type, user_id, {h} AS hk FROM tu),
+sig AS (
+  SELECT event_type, user_id, hk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY hk, user_id) AS r
+    FROM hashed
+  ) WHERE r <= {_KMVU_K}
+),
+usig AS (
+  SELECT user_id, hk FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY hk, user_id) AS r
+    FROM (SELECT DISTINCT user_id, hk FROM sig)
+  ) WHERE r <= {_KMVU_K}
+),
+per_type AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt, MAX(hk) AS hkk
+  FROM sig GROUP BY event_type
+),
+uni AS (
+  SELECT '__all__' AS event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+         MAX(hk) AS hkk
+  FROM usig
+),
+exact_t AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT '__all__', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+)
+SELECT e.event_type, n_exact, cnt AS n_signature, {est} AS kmv_estimate
+FROM (SELECT * FROM per_type UNION ALL SELECT * FROM uni) s
+JOIN exact_t e ON s.event_type = e.event_type
+"""
+
+
+@query("events_distinct_users_kmv", oracle=_kmv_union_oracle())
+def events_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct-user estimate from 64-hash bottom-k signatures,
+    plus the '__all__' UNION estimate computed by merging the per-type
+    signatures (never re-reading raw events — the mergeability that
+    lets a 100 TB pipeline union daily sketches forever). Below k
+    members the signature is the set and the estimate is exact;
+    otherwise (k-1)*2^60/h_(k). The exact leg rides along for the eval
+    only. Scale: one distinct + the two-phase bottom-k touch raw rows;
+    everything else is signature-sized."""
+    from hadoop_common_spark.operators.sketches import (
+        kmv_cardinality,
+        kmv_signature,
+    )
+
+    ev = spark.table("events")
+    sig = kmv_signature(ev, ["event_type"], "user_id", _KMVU_K, "kmvu:")
+    per_type = kmv_cardinality(sig, ["event_type"], _KMVU_K)
+    union_sig = (
+        sig.select(F.lit("__all__").alias("event_type"), "_id", "_hk")
+        .dropDuplicates(["_id"])
+        .orderBy("_hk", "_id")
+        .limit(_KMVU_K)
+    )
+    uni = kmv_cardinality(union_sig, ["event_type"], _KMVU_K)
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+        .unionByName(
+            ev.agg(
+                F.countDistinct("user_id").cast("bigint").alias("n_exact")
+            ).select(F.lit("__all__").alias("event_type"), "n_exact")
+        )
+    )
+    return (
+        per_type.unionByName(uni)
+        .join(exact, "event_type")
+        .select("event_type", "n_exact", "n_signature", "kmv_estimate")
     )

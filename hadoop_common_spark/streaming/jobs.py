@@ -411,3 +411,54 @@ def cdc_snapshot_incremental(
         .start()
         .awaitTermination()
     )
+
+
+def hll_incremental(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    group_col: str,
+    id_col: str,
+) -> None:
+    """Incrementally maintained HyperLogLog registers over a stream —
+    the "distinct users ever seen, per key, forever" job at O(m) state
+    per key. Registers are a MAX-MONOID (operators/sketches.py), so
+    folding each micro-batch's partial registers into the stored set by
+    max yields EXACTLY the batch HLL of everything ingested (pinned by
+    test — not an approximation of the sketch, the identical sketch),
+    under any batch partitioning, and redelivered batches are idempotent
+    (max twice == max once). State is at most m rows per group however
+    long the stream runs; estimates read off the stored registers with
+    sketches.hll_estimate at any time without touching history."""
+    from pyspark.errors import AnalysisException
+
+    from hadoop_common_spark.operators.sketches import hll_merge, hll_registers
+
+    spark = stream_df.sparkSession
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        regs = hll_registers(batch_df, [group_col], id_col)
+        try:
+            prev = spark.read.parquet(out_path)
+        except AnalysisException as e:
+            # ONLY a missing path is "first batch" — any other read error
+            # must fail the batch so the checkpoint retries (swallowing
+            # it would wipe accumulated registers; the CDC/A-ES
+            # maintainers' state-wipe guard)
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            prev = None
+        merged = regs if prev is None else hll_merge(
+            prev.unionByName(regs), [group_col]
+        )
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            out_path
+        )
+
+    (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -556,3 +556,27 @@ def test_kmv_bottomk_merge_is_lossless():
         k = 16
         bk = lambda s: sorted(s, key=key)[:k]
         assert bk(a | b) == bk(set(bk(a)) | set(bk(b)))
+
+
+def test_kmv_cardinality_matches_python(spark):
+    got = {
+        r.event_type: (r.n_exact, r.n_signature, r.kmv_estimate)
+        for r in _run(spark, "events_distinct_users_kmv").collect()
+    }
+    ev = pd.read_parquet(SF_DIR + "/events.parquet")
+    sets: dict[str, set] = {}
+    for t, u in zip(ev.event_type, ev.user_id):
+        sets.setdefault(t, set()).add(u)
+    sets["__all__"] = set().union(*sets.values())
+    K = 64
+    want = {}
+    for t, users in sets.items():
+        sig = sorted(users, key=lambda u: (_h60("kmvu:" + str(u)), u))[:K]
+        if len(sig) < K:
+            est = float(len(sig))
+        else:
+            est = float((K - 1) * (1 << 60)) / float(
+                max(_h60("kmvu:" + str(u)) for u in sig)
+            )
+        want[t] = (len(users), len(sig), est)
+    assert got == want

@@ -608,3 +608,69 @@ def test_incremental_weighted_sample_equals_batch(spark, sf_dir, tmp_path):
     weighted_sample_incremental(stream2, out, ckpt, 50, "n_chars", "doc_id")
     got2 = {(r._id, r._w) for r in spark.read.parquet(out).collect()}
     assert got2 == got
+
+
+def test_incremental_hll_equals_batch(spark, sf_dir, tmp_path):
+    """Draining events through the incremental HLL maintainer in 4
+    interleaved micro-batches (id % 4 file split — adversarial batch
+    partitioning) must produce EXACTLY the batch registers (max is a
+    monoid, so the fold is the identical sketch, not an approximation),
+    and therefore the identical estimate; a re-drain with the same
+    checkpoint is a no-op."""
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from hadoop_common_spark.streaming.jobs import hll_incremental
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "src")
+    for i in range(4):
+        ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        hll_incremental(
+            stream, str(tmp_path / "regs"), str(tmp_path / "ckpt"),
+            "event_type", "user_id",
+        )
+
+    drain()
+    got_regs = {
+        (r.event_type, r.reg): r.m
+        for r in spark.read.parquet(str(tmp_path / "regs")).collect()
+    }
+    want_regs = {
+        (r.event_type, r.reg): r.m
+        for r in hll_registers(ev, ["event_type"], "user_id").collect()
+    }
+    assert got_regs == want_regs and len(got_regs) > 0
+
+    got_est = {
+        r.event_type: r.hll_estimate
+        for r in hll_estimate(
+            spark.read.parquet(str(tmp_path / "regs")), ["event_type"]
+        ).collect()
+    }
+    want_est = {
+        r.event_type: r.hll_estimate
+        for r in hll_estimate(
+            hll_registers(ev, ["event_type"], "user_id"), ["event_type"]
+        ).collect()
+    }
+    assert got_est == want_est  # bit-identical, not approximately
+
+    drain()  # checkpoint replays nothing
+    got2 = {
+        (r.event_type, r.reg): r.m
+        for r in spark.read.parquet(str(tmp_path / "regs")).collect()
+    }
+    assert got2 == got_regs
