@@ -133,6 +133,8 @@ HEADLINE = [
     "events_audience_overlap_kmv",  # bottom-k sketched Jaccard matrix (r6 cont.)
     "events_value_kmv_quantiles",   # mergeable bottom-k quantile sketch (r6 cont.)
     "events_distinct_users_kmv",    # KMV cardinality + signature-union est (r6 cont.)
+    "events_value_ohlc_hourly",     # struct-min/max OHLC bars (r6 cont.)
+    "events_wau_rolling_7d",        # exploded-visibility rolling distinct (r6 cont.)
 ]
 
 
@@ -224,6 +226,10 @@ SCALE_QUERIES = [
     "events_audience_overlap_kmv",
     "events_value_kmv_quantiles",
     "events_distinct_users_kmv",
+    # r6 continuation: the rolling-WAU explode is facts x 7 — linear or
+    # bust as events grow; OHLC is one partial-agg pass
+    "events_value_ohlc_hourly",
+    "events_wau_rolling_7d",
 ]
 
 

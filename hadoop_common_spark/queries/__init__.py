@@ -80,18 +80,17 @@ _QUERY_MODULES = [
 # registry in dict order and has a bounded budget (~50 rows/round), so the
 # order is part of the evidence strategy. Round-6 rotation: every query's
 # newest driver row is now r02+ (the r01 tail closed in r5). Window = the
-# 43 r6 NEWCOMERS (no driver row yet — first claim; the continuation
+# 45 r6 NEWCOMERS (no driver row yet — first claim; the continuation
 # batches kept prepending here, displacing the window tail into the
-# overflow head), then the six queries whose newest row is r02 (oldest
-# evidence; they spilled out of the r5 window cap), then 1 of the
-# r03-green rows ordered most-churned-module first (similarity/dedup
-# kernels were re-vectorized in r5/r6; TPC-H subquery shapes untouched,
-# so they sit at the boundary where a budget cut costs least —
-# 43+6+1 = the 50-entry window). Names not in either list are slotted
+# overflow head), then five of the six r02-latest
+# queries (oldest evidence; the displaced sixth and the r03 block lead
+# the overflow as the r7 rotation head — 45+5 = the 50-entry window). Names not in either list are slotted
 # right after the window block, BEFORE the overflow, so a new query is
 # never silently pushed out of the checked window.
 PRIORITY_WINDOW: list[str] = [
     # -- r6 NEWCOMERS: no driver row yet --
+    "events_value_ohlc_hourly",
+    "events_wau_rolling_7d",
     "events_distinct_users_kmv",
     "events_audience_overlap_kmv",
     "events_value_kmv_quantiles",
@@ -141,10 +140,6 @@ PRIORITY_WINDOW: list[str] = [
     "returnflag_priority_pivot",
     "rollup_region_nation_revenue",
     "cube_status_priority",
-    "grouping_sets_events",
-    # -- newest row r03, churned modules first (similarity/dedup kernels
-    #    re-vectorized in r5/r6, graph/windows re-kernelized in r5) --
-    "dedup_embedding_cosine",
 ]
 
 # ---- 50-entry checked-window boundary ----
@@ -156,6 +151,8 @@ PRIORITY_WINDOW: list[str] = [
 PRIORITY_OVERFLOW: list[str] = [
     # -- displaced from the r6 window by the continuation newcomers;
     #    r7 rotation head together with the r03 spill below --
+    "grouping_sets_events",
+    "dedup_embedding_cosine",
     "similarity_ivfpq_topk",
     "similarity_lsh_multiprobe_topk",
     "dedup_winnow_pairs",

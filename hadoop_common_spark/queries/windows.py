@@ -1043,3 +1043,128 @@ def events_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.col("next_ts").isNull().cast("int").alias("is_current"),
     )
+
+
+# OHLC bars (r6) — the financial/telemetry candlestick rollup: per
+# (type, hour) the first, highest, lowest, and last value. Open/close
+# are the keep-first/keep-last idiom as ONE struct-min/struct-max
+# partial aggregate over the (sec, event_id, value) tuple (the
+# relational secondary sort — no window, no per-bucket sort); the
+# oracle's ROW_NUMBER rendering is the semantic spec, not the plan.
+_OHLC_ORACLE = f"""
+WITH b AS (
+  SELECT event_type,
+         {EPOCH_SQL} // 3600 AS hour_bucket,
+         value, {EPOCH_SQL} AS sec, event_id
+  FROM events
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, hour_bucket
+                            ORDER BY sec, event_id) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY event_type, hour_bucket
+                            ORDER BY sec DESC, event_id DESC) AS rd
+  FROM b
+)
+SELECT event_type, hour_bucket,
+       MAX(CASE WHEN ra = 1 THEN value END) AS open,
+       MAX(value) AS high, MIN(value) AS low,
+       MAX(CASE WHEN rd = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM r GROUP BY event_type, hour_bucket
+"""
+
+
+@query("events_value_ohlc_hourly", oracle=_OHLC_ORACLE)
+def events_value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars of `value` per event type. Scale: ONE
+    partial-aggregated shuffle on (type, hour); open/close ride
+    struct-min/struct-max keyed by the tie-free (sec, event_id) order,
+    so each map task contributes one candidate tuple per bucket and no
+    bucket ever sorts its rows. Values pass through untouched (no float
+    accumulation); epoch-integer hour math (timezone-proof)."""
+    e = F.expr(EPOCH)
+    b = spark.table("events").select(
+        "event_type",
+        F.expr(f"({EPOCH}) div 3600").alias("hour_bucket"),
+        e.alias("sec"),
+        "event_id",
+        "value",
+    )
+    first = F.min(F.struct("sec", "event_id", "value")).alias("_o")
+    last = F.max(F.struct("sec", "event_id", "value")).alias("_c")
+    return (
+        b.groupBy("event_type", "hour_bucket")
+        .agg(
+            first,
+            last,
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "hour_bucket",
+            F.col("_o.value").alias("open"),
+            "high",
+            "low",
+            F.col("_c.value").alias("close"),
+            "n_events",
+        )
+    )
+
+
+# Rolling 7-day active users (r6) — the DAU/WAU engagement dashboard:
+# for each active day, distinct users in the trailing 7-day window.
+# A bare windowed COUNT(DISTINCT) can't partial-aggregate; the
+# relational form EXPLODES each (day, user) fact to the <=7 future days
+# it is visible to (the binning idea from the range joins, applied in
+# time) and then runs the ordinary two-level exact count-distinct —
+# linear in facts x 7, no per-day re-scan of history.
+_WAU_ORACLE = f"""
+WITH du AS (
+  SELECT DISTINCT {EPOCH_SQL} // 86400 AS day, user_id FROM events
+),
+vis AS (
+  SELECT day + d AS vis_day, user_id
+  FROM du, LATERAL (SELECT unnest(generate_series(0, 6)) AS d) ds
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT v.vis_day AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+FROM vis v JOIN days dy ON dy.day = v.vis_day
+GROUP BY v.vis_day
+"""
+
+
+@query("events_wau_rolling_7d", oracle=_WAU_ORACLE)
+def events_wau_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per active day. Scale: one
+    distinct over (day, user), a 7-way map-side explode, a semi join
+    against the (bounded, broadcast) active-day list, then the
+    two-level exact count-distinct — every pass partial-aggregates;
+    nothing re-reads history per output day, which is what kills the
+    naive per-day subquery at corpus scale."""
+    du = (
+        spark.table("events")
+        .select(
+            F.expr(f"({EPOCH}) div 86400").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    vis = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + 6)
+        ).alias("vis_day"),
+        "user_id",
+    )
+    return (
+        vis.join(
+            F.broadcast(days.select(F.col("day").alias("vis_day"))), "vis_day"
+        )
+        .groupBy("vis_day", "user_id")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy(F.col("vis_day").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
+    )

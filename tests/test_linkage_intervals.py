@@ -580,3 +580,46 @@ def test_kmv_cardinality_matches_python(spark):
             )
         want[t] = (len(users), len(sig), est)
     assert got == want
+
+
+# ------------------------------------ batch F: OHLC bars / rolling WAU
+
+
+def test_ohlc_matches_python(spark):
+    got = {
+        (r.event_type, r.hour_bucket): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in _run(spark, "events_value_ohlc_hourly").collect()
+    }
+    ev = pd.read_parquet(SF_DIR + "/events.parquet")
+    buckets: dict[tuple, list] = {}
+    for r in ev.itertuples(index=False):
+        sec = int(r.ts.timestamp())
+        buckets.setdefault((r.event_type, sec // 3600), []).append(
+            (sec, r.event_id, r.value)
+        )
+    want = {}
+    for k, rows in buckets.items():
+        rows.sort()
+        vals = [v for _, _, v in rows]
+        want[k] = (rows[0][2], max(vals), min(vals), rows[-1][2], len(rows))
+    assert got == want and len(want) > 0
+
+
+def test_ohlc_plan_has_no_window(spark):
+    plan = _run(spark, "events_value_ohlc_hourly")._jdf.queryExecution().toString()
+    assert "Window" not in plan  # open/close are struct-min/max, not ROW_NUMBER
+
+
+def test_wau_rolling_matches_python(spark):
+    got = {r.day: r.wau for r in _run(spark, "events_wau_rolling_7d").collect()}
+    ev = pd.read_parquet(SF_DIR + "/events.parquet")
+    du = {(int(ts.timestamp()) // 86400, u) for ts, u in zip(ev.ts, ev.user_id)}
+    days = {d for d, _ in du}
+    want = {
+        d: len({u for (dd, u) in du if d - 6 <= dd <= d}) for d in days
+    }
+    assert got == want and len(want) > 0
+    # a window must be able to exceed any single day's actives
+    assert max(want.values()) >= max(
+        len({u for (dd, u) in du if dd == d}) for d in days
+    )
