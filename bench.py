@@ -516,11 +516,25 @@ def main() -> None:
         host_slowdown = prev_dfsio["write_mb_s"] / dfsio["write_mb_s"]
 
     # De-noise: single-shot timings on a shared host can spike 2-10x from
-    # CPU contention (measured: same query 4.9s and 51s across two runs).
-    # Re-time only the queries that look regressed vs the previous round
-    # and keep the faster of the two runs — a real regression reproduces,
-    # a scheduling fluke doesn't.
-    for name in _regressions(timings, prev_q, host_slowdown):
+    # CPU contention (measured: same query 4.9s and 51s across two runs;
+    # contention windows poison CONTIGUOUS stretches of the run). Re-time
+    # the queries that look regressed vs the previous round, PLUS any
+    # query with no previous-round entry whose time is an outlier against
+    # this run's own median (>4x) — a query added THIS round has no
+    # baseline, so without the self-referential check a contention spike
+    # on it is invisible (measured: corpus_dsir_weights 31.2s vs 3.5s
+    # steady, unflagged because r05 never timed it). Keep the min —
+    # a real cost reproduces, a scheduling fluke doesn't.
+    retime = set(_regressions(timings, prev_q, host_slowdown))
+    positive = sorted(v for v in timings.values() if v > 0)
+    if positive:
+        median = positive[len(positive) // 2]
+        retime.update(
+            n
+            for n, v in timings.items()
+            if v > 4 * median and n not in prev_q
+        )
+    for name in retime:
         t0 = time.time()
         try:
             if name == "terasort_equivalent":
@@ -574,6 +588,17 @@ def main() -> None:
                     key=lambda n: -scale_timings[n],
                 )[:3]
             )
+            # same no-baseline outlier rule as the headline tier: a query
+            # added this round has no prev_scale entry, so a contention
+            # spike on it is invisible to _regressions
+            s_pos = sorted(v for v in scale_timings.values() if v > 0)
+            if s_pos:
+                s_median = s_pos[len(s_pos) // 2]
+                retime.update(
+                    n
+                    for n, v in scale_timings.items()
+                    if v > 4 * s_median and n not in prev_scale
+                )
             for name in retime:
                 t0 = time.time()
                 try:
