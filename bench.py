@@ -135,6 +135,8 @@ HEADLINE = [
     "events_distinct_users_kmv",    # KMV cardinality + signature-union est (r6 cont.)
     "events_value_ohlc_hourly",     # struct-min/max OHLC bars (r6 cont.)
     "events_wau_rolling_7d",        # exploded-visibility rolling distinct (r6 cont.)
+    "bloom_fpr_eval",               # measured Bloom FPR, bit-array oracle (r6 cont.)
+    "events_wau_rolling_kmv",       # sketch algebra over time windows (r6 cont.)
 ]
 
 
@@ -230,6 +232,9 @@ SCALE_QUERIES = [
     # bust as events grow; OHLC is one partial-agg pass
     "events_value_ohlc_hourly",
     "events_wau_rolling_7d",
+    # r6 continuation: the sketched WAU must keep raw events to ONE
+    # touch as they grow (daily signatures do the window work)
+    "events_wau_rolling_kmv",
 ]
 
 

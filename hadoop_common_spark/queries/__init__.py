@@ -80,15 +80,17 @@ _QUERY_MODULES = [
 # registry in dict order and has a bounded budget (~50 rows/round), so the
 # order is part of the evidence strategy. Round-6 rotation: every query's
 # newest driver row is now r02+ (the r01 tail closed in r5). Window = the
-# 45 r6 NEWCOMERS (no driver row yet — first claim; the continuation
+# 47 r6 NEWCOMERS (no driver row yet — first claim; the continuation
 # batches kept prepending here, displacing the window tail into the
-# overflow head), then five of the six r02-latest
-# queries (oldest evidence; the displaced sixth and the r03 block lead
-# the overflow as the r7 rotation head — 45+5 = the 50-entry window). Names not in either list are slotted
+# overflow head), then three of the six r02-latest
+# queries (oldest evidence; the displaced three and the r03 block lead
+# the overflow as the r7 rotation head — 47+3 = the 50-entry window). Names not in either list are slotted
 # right after the window block, BEFORE the overflow, so a new query is
 # never silently pushed out of the checked window.
 PRIORITY_WINDOW: list[str] = [
     # -- r6 NEWCOMERS: no driver row yet --
+    "bloom_fpr_eval",
+    "events_wau_rolling_kmv",
     "events_value_ohlc_hourly",
     "events_wau_rolling_7d",
     "events_distinct_users_kmv",
@@ -138,8 +140,6 @@ PRIORITY_WINDOW: list[str] = [
     "zorder_layout_keys",
     "join_semi_anti",
     "returnflag_priority_pivot",
-    "rollup_region_nation_revenue",
-    "cube_status_priority",
 ]
 
 # ---- 50-entry checked-window boundary ----
@@ -151,6 +151,8 @@ PRIORITY_WINDOW: list[str] = [
 PRIORITY_OVERFLOW: list[str] = [
     # -- displaced from the r6 window by the continuation newcomers;
     #    r7 rotation head together with the r03 spill below --
+    "rollup_region_nation_revenue",
+    "cube_status_priority",
     "grouping_sets_events",
     "dedup_embedding_cosine",
     "similarity_ivfpq_topk",

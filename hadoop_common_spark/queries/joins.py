@@ -357,3 +357,105 @@ def supplier_balance_band_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("sum_matched_bal"),
         )
     )
+
+
+# Bloom false-positive-rate eval (r6) — the measured-error member for
+# the membership sketch (the recall/accuracy evals cover LSH, MinHash,
+# PQ, kNN, HLL, KMV; Bloom's figure of merit is FPR). The filter is
+# deliberately undersized (m=2^14 for ~3k members at sf0.01) so the
+# false-positive rate is visible and the oracle must reproduce the BIT
+# ARRAY exactly — positions, words, and probes are the same
+# Kirsch-Mitzenmacher double-hash arithmetic on both engines.
+_BLOOM_M = 1 << 14
+_BLOOM_K = 5
+
+
+def _bloom_fpr_oracle() -> str:
+    from hadoop_common_spark.operators.dedup import hash60_sql
+
+    base = hash60_sql("CAST(o_orderkey AS VARCHAR)")
+    h1 = f"({base} % 1073741824)"
+    h2 = f"({base} // 1073741824)"
+    pos = [
+        f"(({h1} + {i} * {h2} + {i * i}) % {_BLOOM_M})" for i in range(_BLOOM_K)
+    ]
+    # engine divergence: DuckDB's << is range-checked (1<<63 raises)
+    # while Spark's shiftleft wraps into the sign bit — bit 63 needs the
+    # explicit LONG_MIN literal on the DuckDB side
+    return f"""
+WITH members AS (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+mbits AS (
+  SELECT unnest([{', '.join(pos)}]) AS b FROM members
+),
+words AS (
+  SELECT b // 64 AS widx,
+         bit_or(CASE WHEN b % 64 = 63 THEN -9223372036854775808
+                     ELSE 1::BIGINT << CAST(b % 64 AS INT) END) AS word
+  FROM mbits GROUP BY 1
+),
+probes AS (
+  SELECT o_orderkey,
+         o_orderpriority = '1-URGENT' AS is_member,
+         unnest([{', '.join(pos)}]) AS b
+  FROM orders
+),
+checked AS (
+  SELECT o_orderkey, is_member,
+         bool_and((COALESCE(w.word, 0)
+                   & (CASE WHEN p.b % 64 = 63 THEN -9223372036854775808
+                           ELSE 1::BIGINT << CAST(p.b % 64 AS INT) END))
+                  <> 0) AS may
+  FROM probes p LEFT JOIN words w ON w.widx = p.b // 64
+  GROUP BY o_orderkey, is_member
+)
+SELECT CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(CASE WHEN may AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       CAST(SUM(CASE WHEN NOT may AND is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_neg,
+       CAST(SUM(CASE WHEN may AND NOT is_member THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS DOUBLE)
+         AS fpr
+FROM checked
+"""
+
+
+@query("bloom_fpr_eval", oracle=_bloom_fpr_oracle())
+def bloom_fpr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured false-positive rate of the relational Bloom filter
+    (operators/bloom.py) over urgent-order keys, probed with every
+    order key: n_false_neg MUST be 0 (the no-false-negative guarantee,
+    here hash-checked on both engines rather than asserted), and fpr
+    tracks (1-e^(-kn/m))^k for the deliberately undersized m. Scale:
+    the build is one explode + map-side-combined bit_or (<= m/64 rows);
+    the probe is one narrow broadcast pass over orders; the eval
+    aggregate is one partial-agg row."""
+    from hadoop_common_spark.operators.bloom import bloom_build, bloom_flag
+
+    orders = spark.table("orders")
+    members = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    bloom = bloom_build(members, "o_orderkey", m_bits=_BLOOM_M, k=_BLOOM_K)
+    probes = orders.select(
+        "o_orderkey",
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_member"),
+    )
+    flagged = bloom_flag(
+        probes, "o_orderkey", bloom, "_may", m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    fp = (F.col("_may") & ~F.col("is_member")).cast("int")
+    fn = (~F.col("_may") & F.col("is_member")).cast("int")
+    return flagged.agg(
+        F.sum(F.col("is_member").cast("int")).cast("bigint").alias("n_members"),
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(fp).cast("bigint").alias("n_false_pos"),
+        F.sum(fn).cast("bigint").alias("n_false_neg"),
+        (
+            F.sum(fp).cast("double")
+            / F.sum((~F.col("is_member")).cast("int")).cast("double")
+        ).alias("fpr"),
+    )

@@ -1168,3 +1168,100 @@ def events_wau_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("vis_day").alias("day"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
     )
+
+
+# Sketched rolling WAU (r6) — the KMV form of events_wau_rolling_7d:
+# one 64-hash signature per DAY, each window's estimate computed by
+# MERGING the trailing 7 daily signatures (bottom-k of the union is
+# computable from the parts). This is sketch algebra over TIME — the
+# production shape when per-window distinct counts are too large to
+# re-aggregate: daily signatures persist once; any window (7d, 28d,
+# quarter) folds them without touching raw events.
+_WAUK_K = 64
+
+
+def _wau_kmv_oracle() -> str:
+    from hadoop_common_spark.operators.dedup import hash60_sql
+
+    h = hash60_sql("'wau:' || CAST(user_id AS VARCHAR)")
+    num = repr(float((_WAUK_K - 1) * (1 << 60)))
+    est = (
+        f"CASE WHEN cnt < {_WAUK_K} THEN CAST(cnt AS DOUBLE) "
+        f"ELSE {num} / CAST(hkk AS DOUBLE) END"
+    )
+    return f"""
+WITH du AS (
+  SELECT DISTINCT {EPOCH_SQL} // 86400 AS day, user_id FROM events
+),
+daysig AS (
+  SELECT day, user_id, hk FROM (
+    SELECT day, user_id, {h} AS hk,
+           ROW_NUMBER() OVER (PARTITION BY day ORDER BY {h}, user_id) AS r
+    FROM du
+  ) WHERE r <= {_WAUK_K}
+),
+vis AS (
+  SELECT day + d AS vis_day, user_id, hk
+  FROM daysig, LATERAL (SELECT unnest(generate_series(0, 6)) AS d) ds
+),
+days AS (SELECT DISTINCT day FROM du),
+merged AS (
+  SELECT vis_day, user_id, hk FROM (
+    SELECT v.vis_day, v.user_id, v.hk,
+           ROW_NUMBER() OVER (PARTITION BY v.vis_day
+                              ORDER BY v.hk, v.user_id) AS r
+    FROM (SELECT DISTINCT vis_day, user_id, hk FROM vis) v
+    JOIN days dy ON dy.day = v.vis_day
+  ) WHERE r <= {_WAUK_K}
+)
+SELECT vis_day AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_signature,
+       (SELECT {est} FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+                                  MAX(hk) AS hkk
+                           FROM merged mm WHERE mm.vis_day = m.vis_day))
+         AS wau_estimate
+FROM merged m GROUP BY vis_day
+"""
+
+
+@query("events_wau_rolling_kmv", oracle=_wau_kmv_oracle())
+def events_wau_rolling_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active-user ESTIMATE per day from merged daily
+    KMV signatures ((k-1)*2^60/h_(k), exact below k). Scale: raw events
+    are touched exactly once (distinct + per-day two-phase bottom-k);
+    the visibility explode, the per-window re-merge, and the estimate
+    all run on signature rows (<= 7k per window) — the exact twin
+    (events_wau_rolling_7d) explodes EVERY fact x 7, this explodes 64
+    rows per day. The signatures themselves are the persistable
+    artifact: any other window size folds the same daily sketches."""
+    from pyspark.sql import Window as W
+
+    from hadoop_common_spark.operators.sketches import (
+        kmv_cardinality,
+        kmv_signature,
+    )
+
+    du = (
+        spark.table("events")
+        .select(F.expr(f"({EPOCH}) div 86400").alias("day"), "user_id")
+        .distinct()
+    )
+    daysig = kmv_signature(du, ["day"], "user_id", _WAUK_K, "wau:")
+    days = du.select("day").distinct()
+    vis = daysig.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("vis_day"),
+        "_id",
+        "_hk",
+    ).dropDuplicates(["vis_day", "_id"])
+    w = W.partitionBy("vis_day").orderBy("_hk", "_id")
+    merged = (
+        vis.join(F.broadcast(days.select(F.col("day").alias("vis_day"))), "vis_day")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= _WAUK_K)
+        .drop("_r")
+    )
+    return kmv_cardinality(merged, ["vis_day"], _WAUK_K).select(
+        F.col("vis_day").alias("day"),
+        "n_signature",
+        F.col("kmv_estimate").alias("wau_estimate"),
+    )

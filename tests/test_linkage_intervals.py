@@ -623,3 +623,74 @@ def test_wau_rolling_matches_python(spark):
     assert max(want.values()) >= max(
         len({u for (dd, u) in du if dd == d}) for d in days
     )
+
+
+# --------------------------------- batch G: Bloom FPR / sketched WAU
+
+
+def test_bloom_fpr_matches_python(spark):
+    r = _run(spark, "bloom_fpr_eval").collect()[0]
+    orders = pd.read_parquet(SF_DIR + "/orders.parquet")
+    M, K = 1 << 14, 5
+    words: dict[int, int] = {}
+    for ok_, prio in zip(orders.o_orderkey, orders.o_orderpriority):
+        if prio != "1-URGENT":
+            continue
+        base = _h60(str(ok_))
+        h1, h2 = base % (1 << 30), base >> 30
+        for i in range(K):
+            b = (h1 + i * h2 + i * i) % M
+            words[b // 64] = words.get(b // 64, 0) | (1 << (b % 64))
+    fp = fn = members = 0
+    for ok_, prio in zip(orders.o_orderkey, orders.o_orderpriority):
+        is_m = prio == "1-URGENT"
+        members += int(is_m)
+        base = _h60(str(ok_))
+        h1, h2 = base % (1 << 30), base >> 30
+        may = all(
+            words.get(((h1 + i * h2 + i * i) % M) // 64, 0)
+            >> (((h1 + i * h2 + i * i) % M) % 64)
+            & 1
+            for i in range(K)
+        )
+        fp += int(may and not is_m)
+        fn += int(not may and is_m)
+    n = len(orders)
+    assert (r.n_members, r.n_probes, r.n_false_pos, r.n_false_neg) == (
+        members, n, fp, fn
+    )
+    assert r.n_false_neg == 0  # the Bloom guarantee
+    assert r.fpr == fp / (n - members)
+
+
+def test_wau_kmv_matches_python_and_tracks_exact(spark):
+    got = {
+        r.day: (r.n_signature, r.wau_estimate)
+        for r in _run(spark, "events_wau_rolling_kmv").collect()
+    }
+    ev = pd.read_parquet(SF_DIR + "/events.parquet")
+    du = {(int(ts.timestamp()) // 86400, u) for ts, u in zip(ev.ts, ev.user_id)}
+    days = {d for d, _ in du}
+    K = 64
+    daysig: dict[int, list] = {}
+    for d in days:
+        users = {u for (dd, u) in du if dd == d}
+        daysig[d] = sorted(users, key=lambda u: (_h60("wau:" + str(u)), u))[:K]
+    want = {}
+    exact = {}
+    for d in days:
+        pool = {
+            u for dd in range(d - 6, d + 1) if dd in daysig for u in daysig[dd]
+        }
+        sig = sorted(pool, key=lambda u: (_h60("wau:" + str(u)), u))[:K]
+        if len(sig) < K:
+            est = float(len(sig))
+        else:
+            est = float((K - 1) * (1 << 60)) / float(
+                max(_h60("wau:" + str(u)) for u in sig)
+            )
+        want[d] = (len(sig), est)
+        exact[d] = len({u for (dd, u) in du if d - 6 <= dd <= d})
+    assert got == want
+    for d, (_, est) in got.items():
+        assert abs(est - exact[d]) / exact[d] < 0.5, (d, est, exact[d])

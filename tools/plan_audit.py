@@ -120,6 +120,7 @@ _add(
     "relational Bloom membership: the broadcast side is the bit-slice "
     "table of one Bloom filter (fixed, tiny); the probe side streams",
     "parts_in_urgent_orders",
+    "bloom_fpr_eval",
 )
 _add(
     "cartesian",
