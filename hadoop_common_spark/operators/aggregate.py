@@ -107,3 +107,56 @@ def value_histogram(df: DataFrame, key_cols: list[str], value_col: str) -> DataF
             / n.cast("double")
         ).alias("stddev_count"),
     )
+
+
+def ohlc_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    sec_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """OHLC partial state per group: (group_cols..., _o, _c, high, low,
+    n_events) with open/close carried through ONE struct-min/struct-max
+    over the tie-free (sec, id, value) tuple — the relational
+    keep-first/keep-last, no window. Every component is a MONOID
+    (min/max/sum), which is what makes the state stream-maintainable:
+    fold micro-batches with :func:`ohlc_merge` and the result equals
+    the batch aggregate of everything ingested, exactly."""
+    tup = F.struct(
+        F.col(sec_col).alias("s"), F.col(id_col).alias("i"),
+        F.col(value_col).alias("v"),
+    )
+    return df.groupBy(*group_cols).agg(
+        F.min(tup).alias("_o"),
+        F.max(tup).alias("_c"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+def ohlc_merge(states: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge OHLC partial states (the monoid op): min first-tuple, max
+    last-tuple, max high, min low, summed count."""
+    return states.groupBy(*group_cols).agg(
+        F.min("_o").alias("_o"),
+        F.max("_c").alias("_c"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+def ohlc_finalize(states: DataFrame) -> DataFrame:
+    """Project the user-facing bar columns from the mergeable state."""
+    keep = [c for c in states.columns if c not in ("_o", "_c")]
+    front = [c for c in keep if c not in ("high", "low", "n_events")]
+    return states.select(
+        *front,
+        F.col("_o.v").alias("open"),
+        "high",
+        "low",
+        F.col("_c.v").alias("close"),
+        "n_events",
+    )

@@ -1083,35 +1083,22 @@ def events_value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     so each map task contributes one candidate tuple per bucket and no
     bucket ever sorts its rows. Values pass through untouched (no float
     accumulation); epoch-integer hour math (timezone-proof)."""
-    e = F.expr(EPOCH)
+    from hadoop_common_spark.operators.aggregate import (
+        ohlc_aggregate,
+        ohlc_finalize,
+    )
+
     b = spark.table("events").select(
         "event_type",
         F.expr(f"({EPOCH}) div 3600").alias("hour_bucket"),
-        e.alias("sec"),
+        F.expr(EPOCH).alias("sec"),
         "event_id",
         "value",
     )
-    first = F.min(F.struct("sec", "event_id", "value")).alias("_o")
-    last = F.max(F.struct("sec", "event_id", "value")).alias("_c")
-    return (
-        b.groupBy("event_type", "hour_bucket")
-        .agg(
-            first,
-            last,
-            F.max("value").alias("high"),
-            F.min("value").alias("low"),
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        )
-        .select(
-            "event_type",
-            "hour_bucket",
-            F.col("_o.value").alias("open"),
-            "high",
-            "low",
-            F.col("_c.value").alias("close"),
-            "n_events",
-        )
+    state = ohlc_aggregate(
+        b, ["event_type", "hour_bucket"], "sec", "event_id", "value"
     )
+    return ohlc_finalize(state)
 
 
 # Rolling 7-day active users (r6) — the DAU/WAU engagement dashboard:

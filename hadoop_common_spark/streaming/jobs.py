@@ -462,3 +462,55 @@ def hll_incremental(
         .start()
         .awaitTermination()
     )
+
+
+def ohlc_incremental(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    group_cols: list[str],
+    sec_col: str,
+    id_col: str,
+    value_col: str,
+) -> None:
+    """Incrementally maintained OHLC bars over a stream — the live
+    candlestick/telemetry dashboard job. Every component of the bar
+    state is a monoid (open/close ride struct-min/struct-max over the
+    tie-free (sec, id, value) tuple; high/low/n are max/min/sum —
+    operators/aggregate.ohlc_aggregate), so folding each micro-batch
+    into the stored state with ohlc_merge yields EXACTLY the batch
+    bars of everything ingested, under any batch partitioning (pinned);
+    redelivery is idempotent for min/max and guarded for the count by
+    the checkpoint's exactly-once batch ids. State is one row per
+    (group, bucket) — bounded by bucket cardinality, never stream
+    history; read bars off the state with ohlc_finalize any time."""
+    from pyspark.errors import AnalysisException
+
+    from hadoop_common_spark.operators.aggregate import ohlc_aggregate, ohlc_merge
+
+    spark = stream_df.sparkSession
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        state = ohlc_aggregate(batch_df, group_cols, sec_col, id_col, value_col)
+        try:
+            prev = spark.read.parquet(out_path)
+        except AnalysisException as e:
+            # ONLY a missing path is "first batch" (the state-wipe guard
+            # shared by every maintainer in this module)
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            prev = None
+        merged = state if prev is None else ohlc_merge(
+            prev.unionByName(state), group_cols
+        )
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            out_path
+        )
+
+    (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -674,3 +674,61 @@ def test_incremental_hll_equals_batch(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "regs")).collect()
     }
     assert got2 == got_regs
+
+
+def test_incremental_ohlc_equals_batch(spark, sf_dir, tmp_path):
+    """Draining events through the OHLC maintainer in 4 interleaved
+    micro-batches must produce EXACTLY the batch bars (every state
+    component is a monoid), and a re-drain is a no-op."""
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.operators.aggregate import (
+        ohlc_aggregate,
+        ohlc_finalize,
+    )
+    from hadoop_common_spark.streaming.jobs import ohlc_incremental
+    from hadoop_common_spark.tables import load_tables
+
+    # bare parquet reads may yield TIMESTAMP_NTZ (on which CAST AS LONG
+    # is an analysis error) — load_tables normalizes to an instant type
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_type",
+        (F.col("ts").cast("long") / 3600).cast("bigint").alias("hour_bucket"),
+        F.col("ts").cast("long").alias("sec"),
+        "event_id",
+        "value",
+    )
+    src = str(tmp_path / "src")
+    for i in range(4):
+        ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ohlc_incremental(
+            stream, str(tmp_path / "bars"), str(tmp_path / "ckpt"),
+            ["event_type", "hour_bucket"], "sec", "event_id", "value",
+        )
+
+    def bars(df):
+        return {
+            (r.event_type, r.hour_bucket): (r.open, r.high, r.low, r.close, r.n_events)
+            for r in ohlc_finalize(df).collect()
+        }
+
+    drain()
+    got = bars(spark.read.parquet(str(tmp_path / "bars")))
+    want = bars(
+        ohlc_aggregate(
+            ev, ["event_type", "hour_bucket"], "sec", "event_id", "value"
+        )
+    )
+    assert got == want and len(got) > 100
+
+    drain()
+    assert bars(spark.read.parquet(str(tmp_path / "bars"))) == got
