@@ -137,6 +137,7 @@ HEADLINE = [
     "events_wau_rolling_7d",        # exploded-visibility rolling distinct (r6 cont.)
     "bloom_fpr_eval",               # measured Bloom FPR, bit-array oracle (r6 cont.)
     "events_wau_rolling_kmv",       # sketch algebra over time windows (r6 cont.)
+    "entity_link_clusters",         # linkage -> CC -> resolved entities (r6 cont.)
 ]
 
 

@@ -80,15 +80,16 @@ _QUERY_MODULES = [
 # registry in dict order and has a bounded budget (~50 rows/round), so the
 # order is part of the evidence strategy. Round-6 rotation: every query's
 # newest driver row is now r02+ (the r01 tail closed in r5). Window = the
-# 47 r6 NEWCOMERS (no driver row yet — first claim; the continuation
+# 48 r6 NEWCOMERS (no driver row yet — first claim; the continuation
 # batches kept prepending here, displacing the window tail into the
-# overflow head), then three of the six r02-latest
-# queries (oldest evidence; the displaced three and the r03 block lead
-# the overflow as the r7 rotation head — 47+3 = the 50-entry window). Names not in either list are slotted
+# overflow head), then two of the six r02-latest
+# queries (oldest evidence; the displaced four and the r03 block lead
+# the overflow as the r7 rotation head — 48+2 = the 50-entry window). Names not in either list are slotted
 # right after the window block, BEFORE the overflow, so a new query is
 # never silently pushed out of the checked window.
 PRIORITY_WINDOW: list[str] = [
     # -- r6 NEWCOMERS: no driver row yet --
+    "entity_link_clusters",
     "bloom_fpr_eval",
     "events_wau_rolling_kmv",
     "events_value_ohlc_hourly",
@@ -139,7 +140,6 @@ PRIORITY_WINDOW: list[str] = [
     # -- newest row r02 (oldest evidence; r5 window-cap spill) --
     "zorder_layout_keys",
     "join_semi_anti",
-    "returnflag_priority_pivot",
 ]
 
 # ---- 50-entry checked-window boundary ----
@@ -151,6 +151,7 @@ PRIORITY_WINDOW: list[str] = [
 PRIORITY_OVERFLOW: list[str] = [
     # -- displaced from the r6 window by the continuation newcomers;
     #    r7 rotation head together with the r03 spill below --
+    "returnflag_priority_pivot",
     "rollup_region_nation_revenue",
     "cube_status_priority",
     "grouping_sets_events",

@@ -459,3 +459,82 @@ def bloom_fpr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum((~F.col("is_member")).cast("int")).cast("double")
         ).alias("fpr"),
     )
+
+
+# Entity-resolution clusters (r6) — the END-TO-END record-linkage
+# pipeline: fuzzy-id candidate pairs (SymSpell blocking + levenshtein
+# verify, as entity_link_fuzzy_ids) become edges of a bipartite typo
+# graph, connected components resolve transitive matches (A~B, B~C =>
+# one entity even when A!~C), and each cluster reports its composition.
+# Customers and suppliers share the integer key space, so nodes are
+# disambiguated as 2*custkey / 2*suppkey+1. Matching additionally
+# requires the SAME NATION (attribute blocking, the standard ER move):
+# without it the dense digit space chains transitively into one giant
+# cluster — blocking is what keeps clusters meaningful AND bounds the
+# closure's component sizes at scale.
+_LINK_CLUSTER_ORACLE = """
+WITH RECURSIVE pairs AS (
+  SELECT c.c_custkey * 2 AS u, s.s_suppkey * 2 + 1 AS v
+  FROM customer c JOIN supplier s
+  ON c.c_nationkey = s.s_nationkey
+ AND levenshtein(substr(c.c_name, 10), substr(s.s_name, 10)) <= 1
+),
+sym AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+lbl AS (
+  SELECT u AS node, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_customers,
+       CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_suppliers
+FROM lbl GROUP BY cluster_id
+"""
+
+
+@query("entity_link_clusters", oracle=_LINK_CLUSTER_ORACLE)
+def entity_link_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolved entity clusters over the fuzzy-id typo graph: component
+    id (min node) with member counts per side. Scale: candidate pairs
+    come from the lossless deletion-neighborhood blocking (linear in
+    input + matches, no nested loop), and the transitive closure is the
+    pinned pointer-jumping BSP components operator — one neighbor-min
+    shuffle per round over (node, label), O(log n) rounds; the final
+    rollup aggregates one row per node. The oracle computes the same
+    fixpoint with a recursive CTE."""
+    from hadoop_common_spark.operators.dedup import deletion1_keys
+    from hadoop_common_spark.operators.graph import connected_components
+
+    c = spark.table("customer").select(
+        (F.col("c_custkey") * 2).alias("u"),
+        F.col("c_nationkey").alias("_nk"),
+        F.substring(F.col("c_name"), 10, 9).alias("_ca"),
+        F.explode(deletion1_keys(F.substring(F.col("c_name"), 10, 9))).alias("_k"),
+    )
+    s = spark.table("supplier").select(
+        (F.col("s_suppkey") * 2 + 1).alias("v"),
+        F.col("s_nationkey").alias("_nk"),
+        F.substring(F.col("s_name"), 10, 9).alias("_cb"),
+        F.explode(deletion1_keys(F.substring(F.col("s_name"), 10, 9))).alias("_k"),
+    )
+    pairs = (
+        c.join(s, ["_k", "_nk"])
+        .select("u", "v", "_ca", "_cb")
+        .distinct()
+        .filter(F.levenshtein("_ca", "_cb") <= 1)
+        .select("u", "v")
+    )
+    comp = connected_components(pairs, "u", "v")
+    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum((F.col("node") % 2 == 0).cast("int")).cast("bigint").alias("n_customers"),
+        F.sum((F.col("node") % 2 == 1).cast("int")).cast("bigint").alias("n_suppliers"),
+    )

@@ -694,3 +694,46 @@ def test_wau_kmv_matches_python_and_tracks_exact(spark):
     assert got == want
     for d, (_, est) in got.items():
         assert abs(est - exact[d]) / exact[d] < 0.5, (d, est, exact[d])
+
+
+def test_entity_link_clusters_match_python(spark):
+    got = {
+        r.cluster_id: (r.n_members, r.n_customers, r.n_suppliers)
+        for r in _run(spark, "entity_link_clusters").collect()
+    }
+    cust = pd.read_parquet(SF_DIR + "/customer.parquet")
+    supp = pd.read_parquet(SF_DIR + "/supplier.parquet")
+    # brute-force pairs with nation blocking, then union-find
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for ck, cn, cnk in zip(cust.c_custkey, cust.c_name, cust.c_nationkey):
+        for sk, sn, snk in zip(supp.s_suppkey, supp.s_name, supp.s_nationkey):
+            if cnk == snk and _lev(cn[9:], sn[9:]) <= 1:
+                union(ck * 2, sk * 2 + 1)
+    clusters: dict[int, list] = {}
+    for node in list(parent):
+        clusters.setdefault(find(node), []).append(node)
+    want = {
+        root: (
+            len(m),
+            sum(1 for n in m if n % 2 == 0),
+            sum(1 for n in m if n % 2 == 1),
+        )
+        for root, m in clusters.items()
+    }
+    assert got == want and len(want) > 0
+    # every cluster holds at least one linked pair (transitive >2-member
+    # clusters appear from sf0.01 up — largest is 12 there — but sf0.001's
+    # sparse id space only yields pairs)
+    assert max(v[0] for v in want.values()) >= 2
