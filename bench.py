@@ -138,6 +138,9 @@ HEADLINE = [
     "bloom_fpr_eval",               # measured Bloom FPR, bit-array oracle (r6 cont.)
     "events_wau_rolling_kmv",       # sketch algebra over time windows (r6 cont.)
     "entity_link_clusters",         # linkage -> CC -> resolved entities (r6 cont.)
+    "orders_revenue_mom",           # period-over-period over month agg (r6 cont.)
+    "customers_revenue_gini",       # concentration via block-parallel rank (r6 cont.)
+    "events_first3_journeys",       # onboarding path analysis, no window (r6 cont.)
 ]
 
 
@@ -236,6 +239,9 @@ SCALE_QUERIES = [
     # r6 continuation: the sketched WAU must keep raw events to ONE
     # touch as they grow (daily signatures do the window work)
     "events_wau_rolling_kmv",
+    # r6 continuation: the journeys aggregate collects per-user arrays —
+    # user-bounded state that must not blow up as events x10
+    "events_first3_journeys",
 ]
 
 

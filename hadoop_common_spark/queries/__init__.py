@@ -80,15 +80,19 @@ _QUERY_MODULES = [
 # registry in dict order and has a bounded budget (~50 rows/round), so the
 # order is part of the evidence strategy. Round-6 rotation: every query's
 # newest driver row is now r02+ (the r01 tail closed in r5). Window = the
-# 48 r6 NEWCOMERS (no driver row yet — first claim; the continuation
+# 51 r6-newcomer entries (no driver row yet — first claim; the continuation
 # batches kept prepending here, displacing the window tail into the
-# overflow head), then two of the six r02-latest
-# queries (oldest evidence; the displaced four and the r03 block lead
-# the overflow as the r7 rotation head — 48+2 = the 50-entry window). Names not in either list are slotted
+# overflow head), with the oldest-evidence r02
+# rows and the r03 block leading the overflow as the r7 rotation head
+# (the 50-entry window is now all first-claim newcomers; one r5-checked
+# newcomer spilled to the overflow head). Names not in either list are slotted
 # right after the window block, BEFORE the overflow, so a new query is
 # never silently pushed out of the checked window.
 PRIORITY_WINDOW: list[str] = [
     # -- r6 NEWCOMERS: no driver row yet --
+    "orders_revenue_mom",
+    "customers_revenue_gini",
+    "events_first3_journeys",
     "entity_link_clusters",
     "bloom_fpr_eval",
     "events_wau_rolling_kmv",
@@ -136,10 +140,6 @@ PRIORITY_WINDOW: list[str] = [
     "dedup_shared_span_pairs",
     "events_close_pairs",
     "corpus_ngram_novelty",
-    "similarity_matryoshka_recall_eval",
-    # -- newest row r02 (oldest evidence; r5 window-cap spill) --
-    "zorder_layout_keys",
-    "join_semi_anti",
 ]
 
 # ---- 50-entry checked-window boundary ----
@@ -151,6 +151,9 @@ PRIORITY_WINDOW: list[str] = [
 PRIORITY_OVERFLOW: list[str] = [
     # -- displaced from the r6 window by the continuation newcomers;
     #    r7 rotation head together with the r03 spill below --
+    "similarity_matryoshka_recall_eval",
+    "zorder_layout_keys",
+    "join_semi_anti",
     "returnflag_priority_pivot",
     "rollup_region_nation_revenue",
     "cube_status_priority",

@@ -243,3 +243,123 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("mon").alias("segment_revenue"),
         )
     )
+
+
+# Period-over-period (r6) — the month-over-month BI primitive: monthly
+# revenue with previous-month delta and percent change. The LAG runs
+# over the MONTH AGGREGATE (dozens of rows — whitelisted single
+# partition), never over orders.
+_MOM_ORACLE = """
+WITH m AS (
+  SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       revenue - LAG(revenue) OVER (ORDER BY month) AS mom_delta,
+       (revenue - LAG(revenue) OVER (ORDER BY month))
+         / LAG(revenue) OVER (ORDER BY month) AS mom_pct
+FROM m
+"""
+
+
+@query("orders_revenue_mom", oracle=_MOM_ORACLE)
+def orders_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue + month-over-month delta/percent. Scale: one
+    partial-aggregated shuffle to |months| rows; the lag window sorts
+    only that bounded aggregate. Revenue is the exact-decimal dsum
+    (order-independent); delta and pct are fixed IEEE ops on the
+    already-identical doubles."""
+    from hadoop_common_spark.functions.exact import dsum
+
+    from pyspark.sql import Window
+
+    m = (
+        spark.table("orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        (F.col("revenue") - prev).alias("mom_delta"),
+        ((F.col("revenue") - prev) / prev).alias("mom_pct"),
+    )
+
+
+# Gini concentration (r6) — the inequality/concentration dashboard
+# number ("what share of revenue sits in the top customers" as one
+# scalar): G = 2*sum(i*x_(i)) / (n*sum(x)) - (n+1)/n over rank-ordered
+# per-customer revenue. DETERMINISM: revenue has exactly 2 decimals, so
+# cents are EXACT BIGINTs; the rank comes from the pinned block-parallel
+# global_row_number (no single-partition funnel over customers); W =
+# sum(i * cents) stays below 2^63 through ~sf1 (docstring bound) and
+# reaches double through single correctly-rounded BIGINT conversions.
+_GINI_ORACLE = """
+WITH cr AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i FROM cr
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         CAST(SUM(i * cents) AS BIGINT) AS weighted_cents
+  FROM r
+)
+SELECT n, total_cents,
+       2.0 * CAST(weighted_cents AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(total_cents AS DOUBLE))
+         - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+FROM s
+"""
+
+
+@query("customers_revenue_gini", oracle=_GINI_ORACLE)
+def customers_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer order revenue. Scale: one
+    groupBy to customers, the block-parallel global rank (two bounded
+    shuffles, no single-partition sort of customer rows), one partial
+    aggregate to a single row. Exactness: cents are exact BIGINTs;
+    W = sum(i*cents) < 2^63 through ~sf1 (1.5e5 customers x 1.5e5 rank
+    x 1e7 cents ~ 2e17) — past that, switch W to decimal(38,0) and keep
+    the same single-conversion story."""
+    from hadoop_common_spark.operators.sort import global_row_number
+
+    cr = (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    # block = coarse monotone prefix of the order key (cents div 1e6 ~
+    # hundreds of blocks), the global_row_number contract
+    ranked = global_row_number(
+        cr,
+        [F.col("cents"), F.col("o_custkey")],
+        F.floor(F.col("cents") / F.lit(1_000_000)),
+        pos_col="i",
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("weighted_cents"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        "n",
+        "total_cents",
+        (
+            F.lit(2.0) * F.col("weighted_cents").cast("double")
+            / (n * F.col("total_cents").cast("double"))
+            - (n + F.lit(1.0)) / n
+        ).alias("gini"),
+    )

@@ -1252,3 +1252,51 @@ def events_wau_rolling_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_signature",
         F.col("kmv_estimate").alias("wau_estimate"),
     )
+
+
+# First-3-event journeys (r6) — the onboarding/path-analysis shape:
+# each user's first three events (by time) as a '>'-joined path, counted
+# across users. The per-user "first k" is a sorted-array slice inside
+# ONE aggregate — no window, no per-user sort job; per-user state is
+# that user's events, and only the first 3 survive the projection.
+_JOURNEY_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY {EPOCH_SQL}, event_id) AS rn
+  FROM events
+),
+j AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ordered WHERE rn <= 3 GROUP BY user_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM j GROUP BY path
+"""
+
+
+@query("events_first3_journeys", oracle=_JOURNEY_ORACLE)
+def events_first3_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count of users per first-three-events path. Scale: one
+    hash-partitioned groupBy on user_id whose aggregate sorts each
+    user's collected (sec, event_id, type) tuples and keeps 3 (array
+    expression, map-side combinable only at the collect level — the
+    per-user array is user-bounded); the path rollup is a second
+    partial aggregate over |paths| <= |types|^3 groups. The oracle's
+    ROW_NUMBER form is the spec, not the plan."""
+    tup = F.struct(
+        F.expr(EPOCH).alias("s"), F.col("event_id").alias("i"),
+        F.col("event_type").alias("t"),
+    )
+    first3 = F.slice(F.array_sort(F.collect_list(tup)), 1, 3)
+    path = F.array_join(
+        F.transform(first3, lambda x: x["t"]), ">"
+    )
+    j = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(path.alias("path"))
+    )
+    return j.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )

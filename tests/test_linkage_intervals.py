@@ -737,3 +737,76 @@ def test_entity_link_clusters_match_python(spark):
     # clusters appear from sf0.01 up — largest is 12 there — but sf0.001's
     # sparse id space only yields pairs)
     assert max(v[0] for v in want.values()) >= 2
+
+
+# ------------------------------ batch H: MoM / Gini / first-3 journeys
+
+
+def test_revenue_mom_matches_python(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = {
+        r.month: (r.revenue, r.mom_delta, r.mom_pct)
+        for r in _run(spark, "orders_revenue_mom").collect()
+    }
+    od = pd.read_parquet(SF_DIR + "/orders.parquet")
+    q6 = Decimal("0.000001")
+    by_m: dict[str, Decimal] = {}
+    for d, p in zip(od.o_orderdate, od.o_totalprice):
+        m = f"{d.year:04d}-{d.month:02d}"
+        by_m[m] = by_m.get(m, Decimal(0)) + Decimal(p).quantize(
+            q6, rounding=ROUND_HALF_UP
+        )
+    months = sorted(by_m)
+    want = {}
+    prev = None
+    for m in months:
+        rev = float(by_m[m])
+        want[m] = (
+            rev,
+            None if prev is None else rev - prev,
+            None if prev is None else (rev - prev) / prev,
+        )
+        prev = rev
+    assert got == want and len(want) > 10
+
+
+def test_revenue_gini_matches_python(spark):
+    r = _run(spark, "customers_revenue_gini").collect()[0]
+    od = pd.read_parquet(SF_DIR + "/orders.parquet")
+    cents: dict[int, int] = {}
+    for ck, p in zip(od.o_custkey, od.o_totalprice):
+        cents[ck] = cents.get(ck, 0) + int(round(p * 100))
+    ranked = sorted(cents.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(ranked)
+    total = sum(v for _, v in ranked)
+    weighted = sum(i * v for i, (_, v) in enumerate(ranked, 1))
+    gini = 2.0 * float(weighted) / (float(n) * float(total)) - (
+        float(n) + 1.0
+    ) / float(n)
+    assert (r.n, r.total_cents) == (n, total)
+    assert r.gini == gini
+    assert 0.0 <= r.gini < 1.0
+
+
+def test_first3_journeys_match_python(spark):
+    got = {
+        r.path: r.n_users for r in _run(spark, "events_first3_journeys").collect()
+    }
+    ev = pd.read_parquet(SF_DIR + "/events.parquet")
+    per_user: dict[int, list] = {}
+    for r in ev.itertuples(index=False):
+        per_user.setdefault(r.user_id, []).append(
+            (int(r.ts.timestamp()), r.event_id, r.event_type)
+        )
+    want: dict[str, int] = {}
+    for rows in per_user.values():
+        rows.sort()
+        p = ">".join(t for _, _, t in rows[:3])
+        want[p] = want.get(p, 0) + 1
+    assert got == want and len(want) > 0
+
+
+def test_first3_journeys_plan_has_no_window(spark):
+    plan = _run(spark, "events_first3_journeys")._jdf.queryExecution().toString()
+    assert "Window" not in plan  # sorted-array slice, not ROW_NUMBER

@@ -161,6 +161,13 @@ _add(
     "test_global_shuffle_enumerates_without_global_funnel",
     "corpus_global_shuffle",
     "customers_rfm_segments",
+    "customers_revenue_gini",
+)
+_add(
+    "single_partition",
+    "LAG over the per-MONTH aggregate (dozens of rows however large "
+    "orders grows), never order rows",
+    "orders_revenue_mom",
 )
 
 
