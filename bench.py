@@ -141,6 +141,9 @@ HEADLINE = [
     "orders_revenue_mom",           # period-over-period over month agg (r6 cont.)
     "customers_revenue_gini",       # concentration via block-parallel rank (r6 cont.)
     "events_first3_journeys",       # onboarding path analysis, no window (r6 cont.)
+    "events_ab_value_ttest",        # Welch t^2 from exact sufficient stats (r6 cont.)
+    "events_signup_conversion_latency",  # time-to-event histogram (r6 cont.)
+    "nation_share_of_region",       # share-of-parent contribution (r6 cont.)
 ]
 
 

@@ -90,6 +90,9 @@ _QUERY_MODULES = [
 # never silently pushed out of the checked window.
 PRIORITY_WINDOW: list[str] = [
     # -- r6 NEWCOMERS: no driver row yet --
+    "events_ab_value_ttest",
+    "events_signup_conversion_latency",
+    "nation_share_of_region",
     "orders_revenue_mom",
     "customers_revenue_gini",
     "events_first3_journeys",
@@ -137,9 +140,6 @@ PRIORITY_WINDOW: list[str] = [
     "similarity_pq_recall_eval",
     "local_supplier_volume",
     "forecast_revenue_change",
-    "dedup_shared_span_pairs",
-    "events_close_pairs",
-    "corpus_ngram_novelty",
 ]
 
 # ---- 50-entry checked-window boundary ----
@@ -151,6 +151,9 @@ PRIORITY_WINDOW: list[str] = [
 PRIORITY_OVERFLOW: list[str] = [
     # -- displaced from the r6 window by the continuation newcomers;
     #    r7 rotation head together with the r03 spill below --
+    "dedup_shared_span_pairs",
+    "events_close_pairs",
+    "corpus_ngram_novelty",
     "similarity_matryoshka_recall_eval",
     "zorder_layout_keys",
     "join_semi_anti",

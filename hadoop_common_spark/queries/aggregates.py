@@ -594,3 +594,102 @@ def events_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact, "event_type")
         .select("event_type", "n_exact", "n_signature", "kmv_estimate")
     )
+
+
+# A/B experiment analysis (r6) — the experimentation-analytics shape:
+# users deterministically hash-split into two arms, per-arm mean of a
+# per-user metric (total purchase value), and Welch's t² from exact
+# sufficient statistics. DETERMINISM: the metric is pre-scaled (/100)
+# so every decimal sum's micro-integer stays below 2^53 (the
+# correlation query's DECIMAL->DOUBLE lesson; t is scale-invariant),
+# and t² is one fixed IEEE expression over identically-cast doubles.
+def _ab_oracle() -> str:
+    from hadoop_common_spark.operators.dedup import hash60_sql
+
+    h = hash60_sql("'ab:' || CAST(user_id AS VARCHAR)")
+    return f"""
+WITH u AS (
+  SELECT user_id, {h} % 2 AS arm,
+         CAST(SUM(CAST(CASE WHEN event_type = 'purchase'
+                            THEN value / 100.0 ELSE 0.0 END
+                       AS DECIMAL(30,6))) AS DOUBLE) AS x
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT arm,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx
+  FROM u GROUP BY arm
+),
+w AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+         MAX(CASE WHEN arm = 0 THEN sx END) AS sx0,
+         MAX(CASE WHEN arm = 0 THEN sxx END) AS sxx0,
+         MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+         MAX(CASE WHEN arm = 1 THEN sx END) AS sx1,
+         MAX(CASE WHEN arm = 1 THEN sxx END) AS sxx1
+  FROM s
+)
+SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+       sx0 / n0 AS mean_a, sx1 / n1 AS mean_b,
+       (sx0 / n0 - sx1 / n1) * (sx0 / n0 - sx1 / n1)
+         / ((sxx0 - sx0 * sx0 / n0) / (n0 - 1.0) / n0
+            + (sxx1 - sx1 * sx1 / n1) / (n1 - 1.0) / n1) AS t_squared
+FROM w
+"""
+
+
+@query("events_ab_value_ttest", oracle=_ab_oracle())
+def events_ab_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch t² between hash-assigned arms on per-user purchase value
+    (an A/A test here — the arms are random, so t² should be small;
+    the OPERATOR is the point). Scale: one groupBy to users, one to the
+    two arms; the statistic is per-row scalar math over a two-row
+    aggregate. Everything cross-row is an exact decimal sum."""
+    from hadoop_common_spark.functions.exact import dsum
+    from hadoop_common_spark.operators.dedup import hash60
+
+    arm = F.pmod(
+        hash60(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), F.lit(2)
+    )
+    u = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            dsum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value") / 100.0
+                ).otherwise(F.lit(0.0))
+            ).alias("x")
+        )
+        .withColumn("arm", arm)
+    )
+    s = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("x").alias("sx"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    pick = lambda a, c: F.max(F.when(F.col("arm") == a, F.col(c)))
+    w = s.agg(
+        pick(0, "n").alias("n0"), pick(0, "sx").alias("sx0"),
+        pick(0, "sxx").alias("sxx0"),
+        pick(1, "n").alias("n1"), pick(1, "sx").alias("sx1"),
+        pick(1, "sxx").alias("sxx1"),
+    )
+    n0, sx0, sxx0 = F.col("n0"), F.col("sx0"), F.col("sxx0")
+    n1, sx1, sxx1 = F.col("n1"), F.col("sx1"), F.col("sxx1")
+    m0, m1 = sx0 / n0, sx1 / n1
+    return w.select(
+        n0.cast("bigint").alias("n_a"),
+        n1.cast("bigint").alias("n_b"),
+        m0.alias("mean_a"),
+        m1.alias("mean_b"),
+        (
+            (m0 - m1) * (m0 - m1)
+            / (
+                (sxx0 - sx0 * sx0 / n0) / (n0 - F.lit(1.0)) / n0
+                + (sxx1 - sx1 * sx1 / n1) / (n1 - F.lit(1.0)) / n1
+            )
+        ).alias("t_squared"),
+    )

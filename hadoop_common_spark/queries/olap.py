@@ -363,3 +363,57 @@ def customers_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (n + F.lit(1.0)) / n
         ).alias("gini"),
     )
+
+
+# Contribution / share-of-parent (r6) — the percent-of-total BI shape
+# at two hierarchy levels: each nation's revenue as a share of its
+# region's. Unlike rollup (which emits the subtotals), this RELATES the
+# child row to its parent total — one broadcast join of the bounded
+# region aggregate back onto nations.
+_SHARE_ORACLE = """
+WITH nat AS (
+  SELECT r_name AS region, n_name AS nation,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+),
+reg AS (
+  SELECT region, CAST(SUM(CAST(revenue AS DECIMAL(30,6))) AS DOUBLE)
+           AS region_revenue
+  FROM nat GROUP BY region
+)
+SELECT nation, n.region, revenue, region_revenue,
+       revenue / region_revenue AS share_of_region
+FROM nat n JOIN reg USING (region)
+"""
+
+
+@query("nation_share_of_region", oracle=_SHARE_ORACLE)
+def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue and its share of the region total. Scale: the
+    fact table aggregates ONCE to |nations| rows; the parent level
+    re-aggregates that bounded result (never re-scanning orders) and
+    broadcasts back. Exact-decimal sums at both levels; the share is a
+    single division of identical doubles."""
+    from hadoop_common_spark.functions.exact import dsum
+
+    orders, customer = spark.table("orders"), spark.table("customer")
+    nation, region = spark.table("nation"), spark.table("region")
+    nat = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    reg = nat.groupBy("region").agg(dsum("revenue").alias("region_revenue"))
+    return nat.join(F.broadcast(reg), "region").select(
+        "nation",
+        "region",
+        "revenue",
+        "region_revenue",
+        (F.col("revenue") / F.col("region_revenue")).alias("share_of_region"),
+    )

@@ -1300,3 +1300,62 @@ def events_first3_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("path").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+# Conversion latency (r6) — time-to-event analysis: days from a user's
+# first signup to their first purchase AT OR AFTER it, as a histogram
+# (-1 = signed up, never converted). The funnel family's "how fast", to
+# events_funnel's "how many".
+_CONV_LATENCY_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, MIN({EPOCH_SQL}) AS s_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN({EPOCH_SQL}) AS p_ts
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND {EPOCH_SQL} >= s.s_ts
+  GROUP BY e.user_id
+),
+lat AS (
+  SELECT s.user_id,
+         CASE WHEN p.p_ts IS NULL THEN -1
+              ELSE CAST((p.p_ts - s.s_ts) // 86400 AS INT) END AS latency_days
+  FROM s LEFT JOIN p ON s.user_id = p.user_id
+)
+SELECT latency_days, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM lat GROUP BY latency_days
+"""
+
+
+@query("events_signup_conversion_latency", oracle=_CONV_LATENCY_ORACLE)
+def events_signup_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users per signup→first-purchase latency day bucket (-1 = never
+    converted). Scale: two per-user min-aggregates; the only join keys
+    on user_id with per-user purchase fan-out (the >= filter rides the
+    join, not a theta plan); the histogram is a bounded final
+    aggregate. Epoch-integer day math (timezone-proof)."""
+    e = F.expr(EPOCH)
+    ev = spark.table("events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(e).alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", e.alias("p_ts"))
+        .join(s, "user_id")
+        .filter(F.col("p_ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("p_ts"))
+    )
+    lat = s.join(p, "user_id", "left").select(
+        F.when(F.col("p_ts").isNull(), F.lit(-1))
+        .otherwise(F.expr("(p_ts - s_ts) div 86400"))
+        .cast("int")
+        .alias("latency_days")
+    )
+    return lat.groupBy("latency_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )

@@ -810,3 +810,74 @@ def test_first3_journeys_match_python(spark):
 def test_first3_journeys_plan_has_no_window(spark):
     plan = _run(spark, "events_first3_journeys")._jdf.queryExecution().toString()
     assert "Window" not in plan  # sorted-array slice, not ROW_NUMBER
+
+
+# ------------------------- batch I: A/B t-test / latency / share
+
+
+def test_ab_ttest_matches_python(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    r = _run(spark, "events_ab_value_ttest").collect()[0]
+    ev = pd.read_parquet(SF_DIR + "/events.parquet")
+    q6 = Decimal("0.000001")
+
+    def snap(v):
+        return Decimal(v).quantize(q6, rounding=ROUND_HALF_UP)
+
+    per_user: dict[int, Decimal] = {}
+    for u, t, v in zip(ev.user_id, ev.event_type, ev.value):
+        per_user[u] = per_user.get(u, Decimal(0)) + snap(
+            v / 100.0 if t == "purchase" else 0.0
+        )
+    arms: dict[int, list] = {0: [Decimal(0)] * 3, 1: [Decimal(0)] * 3}
+    for u, x in per_user.items():
+        a = _h60("ab:" + str(u)) % 2
+        xf = float(x)
+        arms[a][0] += 1
+        arms[a][1] += snap(xf)
+        arms[a][2] += snap(xf * xf)
+    (n0, sx0, sxx0), (n1, sx1, sxx1) = (
+        tuple(map(float, arms[0])),
+        tuple(map(float, arms[1])),
+    )
+    m0, m1 = sx0 / n0, sx1 / n1
+    t2 = (m0 - m1) * (m0 - m1) / (
+        (sxx0 - sx0 * sx0 / n0) / (n0 - 1.0) / n0
+        + (sxx1 - sx1 * sx1 / n1) / (n1 - 1.0) / n1
+    )
+    assert (r.n_a, r.n_b) == (int(n0), int(n1))
+    assert (r.mean_a, r.mean_b, r.t_squared) == (m0, m1, t2)
+    assert r.t_squared < 15  # A/A split: no real effect
+
+
+def test_conversion_latency_matches_python(spark):
+    got = {
+        r.latency_days: r.n_users
+        for r in _run(spark, "events_signup_conversion_latency").collect()
+    }
+    ev = pd.read_parquet(SF_DIR + "/events.parquet")
+    s: dict[int, int] = {}
+    p: dict[int, list] = {}
+    for u, t, ts in zip(ev.user_id, ev.event_type, ev.ts):
+        sec = int(ts.timestamp())
+        if t == "signup":
+            s[u] = min(s.get(u, sec), sec)
+        elif t == "purchase":
+            p.setdefault(u, []).append(sec)
+    want: dict[int, int] = {}
+    for u, s_ts in s.items():
+        after = [x for x in p.get(u, []) if x >= s_ts]
+        b = (min(after) - s_ts) // 86400 if after else -1
+        want[b] = want.get(b, 0) + 1
+    assert got == want and len(want) > 1
+
+
+def test_share_of_region_sums_to_one(spark):
+    rows = _run(spark, "nation_share_of_region").collect()
+    by_region: dict[str, float] = {}
+    for r in rows:
+        by_region[r.region] = by_region.get(r.region, 0.0) + r.share_of_region
+    assert len(rows) == 25
+    for region, s in by_region.items():
+        assert abs(s - 1.0) < 1e-9, (region, s)
