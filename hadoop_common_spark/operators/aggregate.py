@@ -150,7 +150,12 @@ def ohlc_merge(states: DataFrame, group_cols: list[str]) -> DataFrame:
 
 def ohlc_finalize(states: DataFrame) -> DataFrame:
     """Project the user-facing bar columns from the mergeable state."""
-    keep = [c for c in states.columns if c not in ("_o", "_c")]
+    # drop bookkeeping columns (e.g. the streaming maintainer's _bid
+    # replay high-water mark) along with the internal tuples
+    keep = [
+        c for c in states.columns
+        if c not in ("_o", "_c") and not c.startswith("_")
+    ]
     front = [c for c in keep if c not in ("high", "low", "n_events")]
     return states.select(
         *front,

@@ -111,7 +111,7 @@ def kmv_signature(
 
 def kmv_cardinality(
     signature: DataFrame, group_cols: list[str], k: int
-) -> Column | DataFrame:
+) -> DataFrame:
     """Distinct-count estimate from a bottom-k signature: with fewer
     than k members the signature IS the set (exact count); otherwise
     D_est = (k-1) * 2^60 / h_(k) (k-th smallest hash — the classic KMV

@@ -1264,10 +1264,9 @@ def text_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # division and floor are exact — avoids the Spark `div`-truncates vs
 # DuckDB `//`-floors divergence on negatives).
 def _calib_oracle() -> str:
-    from hadoop_common_spark.operators.dedup import hash60_sql
-
-    bucket = hash60_sql("t") + f" % {_QLIN_B}"
-    w = hash60_sql(f"'qlw:' || CAST({bucket} AS VARCHAR)") + " % 2001 - 1000"
+    # renders THE scorer (_qlin_w_sql) — never a local copy, so a scorer
+    # tune can't silently leave the calibration measuring the old model
+    w = _qlin_w_sql()
     return f"""
 WITH toks AS (
   SELECT doc_id, n_chars,

@@ -291,6 +291,66 @@ def neardup_candidates_stream(
     )
 
 
+def _fold_state_batch(spark, state, out_path, merge_states, batch_id=None):
+    """One micro-batch fold of the state-maintainer protocol shared by
+    every incremental job in this module: read the stored state
+    (PATH_NOT_FOUND is the ONLY error that means "first batch" — any
+    other read failure must raise so the checkpoint retries, or a
+    transient FS blip would silently wipe accumulated state), merge via
+    the caller's monoid, localCheckpoint (so the overwrite never reads
+    the files it is deleting), overwrite.
+
+    ``batch_id`` (when not None) arms the REPLAY GUARD for folds whose
+    monoid is not idempotent (e.g. a count summed in OHLC state):
+    foreachBatch is at-least-once, so a crash after the state write but
+    before the checkpoint commit redelivers the same batch — the stored
+    ``_bid`` high-water mark detects that and skips the duplicate fold.
+    Idempotent folds (max / latest-by-seq / dedupe-top-k) don't need it.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        prev = spark.read.parquet(out_path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        prev = None
+    if batch_id is not None and prev is not None:
+        last = prev.agg(F.max("_bid")).collect()[0][0]
+        if last is not None and batch_id <= last:
+            return  # redelivered batch: its rows are already in state
+        prev = prev.drop("_bid")
+    merged = merge_states(state if prev is None else prev.unionByName(state))
+    if batch_id is not None:
+        merged = merged.withColumn("_bid", F.lit(batch_id))
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(out_path)
+
+
+def _run_state_maintainer(
+    stream_df, out_path, checkpoint, batch_to_state, merge_states,
+    guard_batch_ids=False,
+):
+    """foreachBatch driver for the fold protocol (availableNow drain)."""
+    spark = stream_df.sparkSession
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_state_batch(
+            spark,
+            batch_to_state(batch_df),
+            out_path,
+            merge_states,
+            batch_id if guard_batch_ids else None,
+        )
+
+    (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def weighted_sample_incremental(
     stream_df: DataFrame,
     out_path: str,
@@ -317,41 +377,20 @@ def weighted_sample_incremental(
     stream has run; nothing here grows with stream history."""
     from hadoop_common_spark.operators.sort import weighted_sample_keys
 
-    spark = stream_df.sparkSession
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        keyed = batch_df.select(
+    _run_state_maintainer(
+        stream_df,
+        out_path,
+        checkpoint,
+        batch_to_state=lambda b: b.select(
             F.col(id_col).alias("_id"),
             F.col(weight_col).cast("bigint").alias("_w"),
             weighted_sample_keys(F.col(weight_col), F.col(id_col)).alias("_k"),
-        )
-        try:
-            prev = spark.read.parquet(out_path)
-        except AnalysisException as e:
-            # ONLY a missing path is "first batch"; any other read error
-            # (partial files from a crashed overwrite, FS blip) must fail
-            # the batch so the checkpoint retries — swallowing it would
-            # reset the accumulated sample to this batch alone
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
-            prev = None
-        merged = keyed if prev is None else prev.unionByName(keyed)
-        new_top = (
-            merged.dropDuplicates(["_id"])
-            .orderBy(F.col("_k").desc(), F.col("_id").asc())
-            .limit(k)
-            .localCheckpoint(eager=True)
-        )
-        new_top.write.mode("overwrite").parquet(out_path)
-
-    (
-        stream_df.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+        ),
+        # dedupe on the id (redelivered rows carry identical keys and
+        # collapse — idempotent), keep the running top-k
+        merge_states=lambda m: m.dropDuplicates(["_id"])
+        .orderBy(F.col("_k").desc(), F.col("_id").asc())
+        .limit(k),
     )
 
 
@@ -383,33 +422,13 @@ def cdc_snapshot_incremental(
     snapshot with ``spark.read.parquet(out).filter(op != 'D')``."""
     from hadoop_common_spark.operators.cdc import latest_ops
 
-    spark = stream_df.sparkSession
     args = (key, seq_cols, op_col, payload_cols)
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        b = latest_ops(batch_df, *args)
-        try:
-            prev = spark.read.parquet(out_path)
-        except AnalysisException as e:
-            # ONLY a missing path means "first batch" — any other read
-            # failure (FS hiccup, partial files from a crashed overwrite)
-            # must fail the batch so the checkpoint retries it; treating
-            # it as first-batch would overwrite and silently wipe all
-            # accumulated state and tombstones
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
-            prev = None
-        merged = b if prev is None else latest_ops(prev.unionByName(b), *args)
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(out_path)
-
-    (
-        stream_df.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+    _run_state_maintainer(
+        stream_df,
+        out_path,
+        checkpoint,
+        batch_to_state=lambda b: latest_ops(b, *args),
+        merge_states=lambda m: latest_ops(m, *args),
     )
 
 
@@ -430,37 +449,14 @@ def hll_incremental(
     (max twice == max once). State is at most m rows per group however
     long the stream runs; estimates read off the stored registers with
     sketches.hll_estimate at any time without touching history."""
-    from pyspark.errors import AnalysisException
-
     from hadoop_common_spark.operators.sketches import hll_merge, hll_registers
 
-    spark = stream_df.sparkSession
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        regs = hll_registers(batch_df, [group_col], id_col)
-        try:
-            prev = spark.read.parquet(out_path)
-        except AnalysisException as e:
-            # ONLY a missing path is "first batch" — any other read error
-            # must fail the batch so the checkpoint retries (swallowing
-            # it would wipe accumulated registers; the CDC/A-ES
-            # maintainers' state-wipe guard)
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
-            prev = None
-        merged = regs if prev is None else hll_merge(
-            prev.unionByName(regs), [group_col]
-        )
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            out_path
-        )
-
-    (
-        stream_df.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+    _run_state_maintainer(
+        stream_df,
+        out_path,
+        checkpoint,
+        batch_to_state=lambda b: hll_registers(b, [group_col], id_col),
+        merge_states=lambda m: hll_merge(m, [group_col]),
     )
 
 
@@ -480,37 +476,23 @@ def ohlc_incremental(
     operators/aggregate.ohlc_aggregate), so folding each micro-batch
     into the stored state with ohlc_merge yields EXACTLY the batch
     bars of everything ingested, under any batch partitioning (pinned);
-    redelivery is idempotent for min/max and guarded for the count by
-    the checkpoint's exactly-once batch ids. State is one row per
+    redelivery of min/max is idempotent, and the count (a sum — NOT
+    idempotent) is protected by the _bid replay guard: a batch whose id
+    is already folded into the stored state is skipped. State is one row per
     (group, bucket) — bounded by bucket cardinality, never stream
     history; read bars off the state with ohlc_finalize any time."""
-    from pyspark.errors import AnalysisException
-
     from hadoop_common_spark.operators.aggregate import ohlc_aggregate, ohlc_merge
 
-    spark = stream_df.sparkSession
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        state = ohlc_aggregate(batch_df, group_cols, sec_col, id_col, value_col)
-        try:
-            prev = spark.read.parquet(out_path)
-        except AnalysisException as e:
-            # ONLY a missing path is "first batch" (the state-wipe guard
-            # shared by every maintainer in this module)
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
-            prev = None
-        merged = state if prev is None else ohlc_merge(
-            prev.unionByName(state), group_cols
-        )
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            out_path
-        )
-
-    (
-        stream_df.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+    _run_state_maintainer(
+        stream_df,
+        out_path,
+        checkpoint,
+        batch_to_state=lambda b: ohlc_aggregate(
+            b, group_cols, sec_col, id_col, value_col
+        ),
+        merge_states=lambda m: ohlc_merge(m, group_cols),
+        # n_events is a SUM — the one non-idempotent component among the
+        # maintainers, so redelivered batches must be detected, not
+        # re-folded (min/max alone would tolerate replay)
+        guard_batch_ids=True,
     )

@@ -732,3 +732,32 @@ def test_incremental_ohlc_equals_batch(spark, sf_dir, tmp_path):
 
     drain()
     assert bars(spark.read.parquet(str(tmp_path / "bars"))) == got
+
+
+def test_fold_state_batch_replay_guard(spark, tmp_path):
+    """A redelivered batch_id must NOT re-fold: n_events is a sum, so
+    without the _bid guard a replayed OHLC batch double-counts (the
+    at-least-once crash-between-write-and-commit window)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.operators.aggregate import ohlc_aggregate, ohlc_merge
+    from hadoop_common_spark.streaming.jobs import _fold_state_batch
+
+    out = str(tmp_path / "state")
+    rows = spark.createDataFrame(
+        [("a", 1, 10, 1, 5.0), ("a", 1, 11, 2, 7.0)],
+        "g string, bkt int, sec long, id long, v double",
+    )
+    state = ohlc_aggregate(rows, ["g", "bkt"], "sec", "id", "v")
+    merge = lambda m: ohlc_merge(m, ["g", "bkt"])
+
+    _fold_state_batch(spark, state, out, merge, batch_id=0)
+    first = spark.read.parquet(out).collect()
+    # replay of batch 0: must be a no-op
+    _fold_state_batch(spark, state, out, merge, batch_id=0)
+    assert spark.read.parquet(out).collect() == first
+    assert first[0].n_events == 2
+    # a genuinely new batch folds and advances the high-water mark
+    _fold_state_batch(spark, state, out, merge, batch_id=1)
+    after = spark.read.parquet(out).collect()
+    assert after[0].n_events == 4 and after[0]._bid == 1
