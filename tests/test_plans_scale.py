@@ -441,6 +441,10 @@ def test_static_antipattern_sweep():
         "sources/tfile.py": "binaryFile LISTING metadata (path+length only)",
         "sources/readers.py": "1-row format-magic sniff",
         "operators/bpe.py": "ONE learned-merge row per training round",
+        "streaming/jobs.py": (
+            "replay guard: ONE-row max(_bid) high-water read per "
+            "micro-batch in _fold_state_batch"
+        ),
     }
     for py in sorted(root.rglob("*.py")):
         text = py.read_text()
