@@ -294,6 +294,19 @@ def interval_lookup_join_binned(
     columns must not collide; block columns appear once).
     """
     blocks = list(block_cols or [])
+    clash = sorted(
+        (set(points.columns) & set(intervals.columns)) - set(blocks)
+    )
+    if clash:
+        # fail fast with the actual names: letting these through yields
+        # either a confusing ambiguous-reference error at the BETWEEN
+        # filter, or (if lo/hi/point themselves collide) a silently
+        # wrong filter on the other side's column
+        raise ValueError(
+            "interval_lookup_join_binned: non-block column collision "
+            f"between points and intervals: {clash}; rename or drop "
+            "them on one side first"
+        )
     w = float(bin_width)
     p = points.withColumn(
         "_bin", F.floor(F.col(point_col).cast("double") / F.lit(w))

@@ -28,6 +28,17 @@ from pyspark.sql import functions as F
 from hadoop_common_spark.operators.dedup import hash60
 
 HLL_M = 64  # registers; relative error ~ 1.04/sqrt(m) ~ 13%
+# The register index is pmod(h, HLL_M) and the rank suffix is
+# shiftright(h, HLL_REG_BITS): both derive from HLL_M so they can never
+# desynchronize. The 55-bit rank constants here, in hll_estimate, and in
+# every HLL oracle SQL are 60 - log2(64) + 1 == 55: changing HLL_M also
+# means re-deriving those (hence the hard pin below).
+assert HLL_M & (HLL_M - 1) == 0, "HLL_M must be a power of two"
+HLL_REG_BITS = HLL_M.bit_length() - 1
+assert HLL_M == 64, (
+    "the 55-bit rank constants in hll_registers/hll_estimate and the "
+    "registry oracle SQL are derived from m=64; update them together"
+)
 HLL_NUM = repr(0.709 * (HLL_M * HLL_M) * float(1 << 55))  # alpha*m^2*2^55
 
 
@@ -44,7 +55,7 @@ def hll_registers(
     hashed = df.select(
         *group_cols,
         F.pmod(h, F.lit(HLL_M)).alias("reg"),
-        F.shiftright(h, 6).alias("_v"),
+        F.shiftright(h, HLL_REG_BITS).alias("_v"),
     )
     rank = F.when(F.col("_v") == 0, F.lit(55)).otherwise(
         F.lit(55) - F.length(F.bin(F.col("_v")))

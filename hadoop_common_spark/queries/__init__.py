@@ -78,89 +78,30 @@ _QUERY_MODULES = [
 
 # Driver-facing iteration order. The external correctness harness walks the
 # registry in dict order and has a bounded budget (~50 rows/round), so the
-# order is part of the evidence strategy. Round-6 rotation: every query's
-# newest driver row is now r02+ (the r01 tail closed in r5). Window = the
-# 51 r6-newcomer entries (no driver row yet — first claim; the continuation
-# batches kept prepending here, displacing the window tail into the
-# overflow head), with the oldest-evidence r02
-# rows and the r03 block leading the overflow as the r7 rotation head
-# (the 50-entry window is now all first-claim newcomers; one r5-checked
-# newcomer spilled to the overflow head). Names not in either list are slotted
-# right after the window block, BEFORE the overflow, so a new query is
-# never silently pushed out of the checked window.
+# order is part of the evidence strategy. Round-7 rotation (derived from
+# the union of CORRECTNESS_r01..r06, oldest-newest-row-first): the 4
+# never-driver-checked queries lead, then the 6 r02-era rows, then the 48
+# r03-era rows (pure-compute shapes last so a budget truncation costs the
+# least). Overflow = r04 -> r05 -> r06, so the r8 rotation head is simply
+# the current overflow head. Names not in either list are slotted right
+# after the window block, BEFORE the overflow, so a new query is never
+# silently pushed out of the checked window.
 PRIORITY_WINDOW: list[str] = [
-    # -- r6 NEWCOMERS: no driver row yet --
-    "events_ab_value_ttest",
-    "events_signup_conversion_latency",
-    "nation_share_of_region",
-    "orders_revenue_mom",
-    "customers_revenue_gini",
-    "events_first3_journeys",
-    "entity_link_clusters",
-    "bloom_fpr_eval",
-    "events_wau_rolling_kmv",
-    "events_value_ohlc_hourly",
-    "events_wau_rolling_7d",
-    "events_distinct_users_kmv",
-    "events_audience_overlap_kmv",
-    "events_value_kmv_quantiles",
-    "events_hll_distinct_users",
-    "events_cdc_scd2_history",
-    "embedding_kcenter_seeds",
-    "events_audience_overlap",
-    "lineitem_qty_price_correlation",
-    "events_mode_band_by_type",
-    "corpus_weighted_sample_by_source",
-    "entity_link_fuzzy_ids",
-    "supplier_balance_band_match",
-    "text_score_calibration",
-    "events_l_diversity",
-    "embedding_drift_by_label",
-    "corpus_version_diff",
-    "privacy_erasure_cascade",
-    "graph_bfs_distances",
-    "embedding_kmeans_step",
-    "text_quality_linear_score",
-    "events_k_anonymity",
-    "events_cdc_merge",
-    "corpus_dsir_weights",
-    "orders_market_basket",
-    "events_user_ewma",
-    "customers_rfm_segments",
-    "similarity_knn_label_eval",
-    "events_key_skew_report",
-    "tpch_fk_integrity",
-    "text_inverted_index",
-    "corpus_weighted_sample",
-    "text_pmi_pairs",
-    "dedup_containment_pairs",
-    "dedup_canonical_quality",
-    "corpus_dedup_rate_by_source",
-    "corpus_temperature_mixture",
-    "similarity_pq_recall_eval",
-    "local_supplier_volume",
-    "forecast_revenue_change",
-]
-
-# ---- 50-entry checked-window boundary ----
-# (the driver checks ~50 rows/round — the window must fit; unlisted
-# newcomers auto-slot right after it, BEFORE the overflow)
-# The eight r03 TPC-H-subquery shapes that spilled out of the 50-cap lead
-# the overflow (r7 rotation head — untouched trivial scans, cheapest to
-# defer), then r04-green, then r05-green (freshest hard rows).
-PRIORITY_OVERFLOW: list[str] = [
-    # -- displaced from the r6 window by the continuation newcomers;
-    #    r7 rotation head together with the r03 spill below --
+    # -- r7 rotation: 4 never-driver-checked queries lead (first claim) --
     "dedup_shared_span_pairs",
     "events_close_pairs",
     "corpus_ngram_novelty",
     "similarity_matryoshka_recall_eval",
+    # -- r02-era rows (oldest hard signal in the fleet) --
     "zorder_layout_keys",
     "join_semi_anti",
     "returnflag_priority_pivot",
     "rollup_region_nation_revenue",
     "cube_status_priority",
     "grouping_sets_events",
+    # -- r03-era rows; pure-compute/synthetic shapes last (untouched since
+    #    r3, lowest-risk if the ~50-row budget truncates the window;
+    #    flagship is additionally smoke-checked every round via entry()) --
     "dedup_embedding_cosine",
     "similarity_ivfpq_topk",
     "similarity_lsh_multiprobe_topk",
@@ -194,15 +135,6 @@ PRIORITY_OVERFLOW: list[str] = [
     "lineitem_unpivot_measures",
     "multimodal_audio_features",
     "multimodal_resize_plan",
-    # -- r03-green spill (r7 rotation head; flagship is also smoke-checked
-    #    every round via entry(); sudoku/pentomino are pure compute,
-    #    untouched since r3 — lowest-risk deferrals) --
-    "flagship_revenue_by_nation",
-    "sudoku_distributed",
-    "pentomino_count",
-    "bbp_pi_digits",
-    "random_text_wordcount",
-    "terasort_head",
     "pivot_status_priority",
     "above_avg_balance",
     "above_nation_avg_balance",
@@ -212,7 +144,22 @@ PRIORITY_OVERFLOW: list[str] = [
     "important_parts_share",
     "waiting_suppliers",
     "min_cost_supplier",
-    # -- r04-green (checked two rounds ago) --
+    "flagship_revenue_by_nation",
+    "random_text_wordcount",
+    "terasort_head",
+    "sudoku_distributed",
+    "pentomino_count",
+    "bbp_pi_digits",
+]
+
+# ---- 50-entry checked-window boundary ----
+# (the driver checks ~50 rows/round — the window must fit; unlisted
+# newcomers auto-slot right after it, BEFORE the overflow)
+# The eight r03 TPC-H-subquery shapes that spilled out of the 50-cap lead
+# the overflow (r7 rotation head — untouched trivial scans, cheapest to
+# defer), then r04-green, then r05-green (freshest hard rows).
+PRIORITY_OVERFLOW: list[str] = [
+    # -- r04-green (r8 rotation head) --
     "teragen_checksum",
     "montecarlo_pi",
     "asof_join_last_purchase",
@@ -258,12 +205,11 @@ PRIORITY_OVERFLOW: list[str] = [
     "large_volume_orders",
     "inactive_rich_customers",
     "disjunctive_bracket_revenue",
-    # -- r04-green newcomers (oracle-backed, landed in r4) --
     "similarity_lsh_recall_eval",
     "corpus_boilerplate_strip",
     "graph_label_propagation",
     "events_enrich_segment",
-    # -- r05-green (freshest hard rows — checked last round) --
+    # -- r05-green --
     "supplier_diversity_by_part",
     "bulk_suppliers_of_brand",
     "intersect_nations",
@@ -314,6 +260,57 @@ PRIORITY_OVERFLOW: list[str] = [
     "multimodal_metadata",
     "multimodal_fake_decode",
     "multimodal_frame_sample",
+    # -- r06-green (freshest hard rows — checked last round) --
+    "events_ab_value_ttest",
+    "events_signup_conversion_latency",
+    "nation_share_of_region",
+    "orders_revenue_mom",
+    "customers_revenue_gini",
+    "events_first3_journeys",
+    "entity_link_clusters",
+    "bloom_fpr_eval",
+    "events_wau_rolling_kmv",
+    "events_value_ohlc_hourly",
+    "events_wau_rolling_7d",
+    "events_distinct_users_kmv",
+    "events_audience_overlap_kmv",
+    "events_value_kmv_quantiles",
+    "events_hll_distinct_users",
+    "events_cdc_scd2_history",
+    "embedding_kcenter_seeds",
+    "events_audience_overlap",
+    "lineitem_qty_price_correlation",
+    "events_mode_band_by_type",
+    "corpus_weighted_sample_by_source",
+    "entity_link_fuzzy_ids",
+    "supplier_balance_band_match",
+    "text_score_calibration",
+    "events_l_diversity",
+    "embedding_drift_by_label",
+    "corpus_version_diff",
+    "privacy_erasure_cascade",
+    "graph_bfs_distances",
+    "embedding_kmeans_step",
+    "text_quality_linear_score",
+    "events_k_anonymity",
+    "events_cdc_merge",
+    "corpus_dsir_weights",
+    "orders_market_basket",
+    "events_user_ewma",
+    "customers_rfm_segments",
+    "similarity_knn_label_eval",
+    "events_key_skew_report",
+    "tpch_fk_integrity",
+    "text_inverted_index",
+    "corpus_weighted_sample",
+    "text_pmi_pairs",
+    "dedup_containment_pairs",
+    "dedup_canonical_quality",
+    "corpus_dedup_rate_by_source",
+    "corpus_temperature_mixture",
+    "similarity_pq_recall_eval",
+    "local_supplier_volume",
+    "forecast_revenue_change",
 ]
 
 

@@ -119,6 +119,13 @@ def get_spark(app_name: str = "hadoop_common_spark", shuffle_partitions: int | N
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    # transformWithState needs google.protobuf in every worker process;
+    # on wheel-less runtimes the bridge rides in via PYTHONPATH, which
+    # the JVM inherits from THIS process — so provision before launch.
+    # Best-effort: False just means TWS self-reports unavailable later.
+    from hadoop_common_spark.streaming.stateful import ensure_protobuf
+
+    ensure_protobuf()
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

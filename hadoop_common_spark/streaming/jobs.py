@@ -291,14 +291,94 @@ def neardup_candidates_stream(
     )
 
 
+def _state_fs(spark, path: str):
+    """Hadoop FileSystem + Path for a state directory (works for any
+    Hadoop-supported scheme, not just local FS)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm
+
+
+def _rename_or_raise(fs, src, dst) -> None:
+    # Hadoop FileSystem.rename reports failure by returning false, not
+    # by raising — a swallowed failure here would corrupt the swap.
+    if not fs.rename(src, dst):
+        raise RuntimeError(f"state swap rename failed: {src} -> {dst}")
+
+
+def _committed(fs, jvm, path: str) -> bool:
+    """A state dir counts as committed only if the FileOutputCommitter's
+    _SUCCESS marker is present — a directory that exists without it is a
+    write that crashed partway and must never be read as state."""
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return bool(fs.exists(p)) and bool(
+        fs.exists(jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS"))
+    )
+
+
+def _read_state_committed(spark, out_path):
+    """Read maintainer state with crash recovery. The writer protocol
+    (see ``_fold_state_batch``) only ever materializes ``out_path`` by
+    renaming a fully-committed staging dir, so on read we either see a
+    committed dir, or one of the two swap-crash windows, both of which
+    are repaired here:
+
+    - ``out_path`` missing, staging committed -> the crash happened
+      between ``out -> old`` and ``staging -> out``: finish the swap
+      (staging holds the NEWER state).
+    - ``out_path`` missing, staging absent/uncommitted, old committed ->
+      the staging write itself crashed after ``out`` was already moved
+      aside: restore the previous state.
+    - ``out_path`` present but uncommitted -> unrecoverable partial
+      write (legacy in-place overwrite that crashed); raise loudly
+      rather than fold onto truncated state.
+    """
+    fs, jvm = _state_fs(spark, out_path)
+    staging, old = out_path + "__staging", out_path + "__old"
+    P = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(P(out_path)):
+        if _committed(fs, jvm, staging):
+            _rename_or_raise(fs, P(staging), P(out_path))
+        elif _committed(fs, jvm, old):
+            _rename_or_raise(fs, P(old), P(out_path))
+        else:
+            return None  # genuinely first batch
+    if not _committed(fs, jvm, out_path):
+        raise RuntimeError(
+            f"maintainer state at {out_path} exists without _SUCCESS — "
+            "a previous in-place overwrite crashed mid-write; the state "
+            "is partial and cannot be folded onto. Rebuild it from the "
+            "source stream (delete the dir and replay)."
+        )
+    return spark.read.parquet(out_path)
+
+
+def _swap_state(spark, out_path) -> None:
+    """Atomically (per Hadoop FS rename) promote ``out_path__staging``
+    to ``out_path``, keeping the previous state at ``out_path__old``
+    until the promotion has succeeded so every crash window is
+    recoverable by ``_read_state_committed``."""
+    fs, jvm = _state_fs(spark, out_path)
+    staging, old = out_path + "__staging", out_path + "__old"
+    P = jvm.org.apache.hadoop.fs.Path
+    fs.delete(P(old), True)
+    if fs.exists(P(out_path)):
+        _rename_or_raise(fs, P(out_path), P(old))
+    _rename_or_raise(fs, P(staging), P(out_path))
+    fs.delete(P(old), True)
+
+
 def _fold_state_batch(spark, state, out_path, merge_states, batch_id=None):
     """One micro-batch fold of the state-maintainer protocol shared by
-    every incremental job in this module: read the stored state
-    (PATH_NOT_FOUND is the ONLY error that means "first batch" — any
-    other read failure must raise so the checkpoint retries, or a
-    transient FS blip would silently wipe accumulated state), merge via
-    the caller's monoid, localCheckpoint (so the overwrite never reads
-    the files it is deleting), overwrite.
+    every incremental job in this module: read the stored state via the
+    committed-snapshot reader (``_read_state_committed`` — only a
+    missing dir means "first batch"; a partial dir raises), merge via
+    the caller's monoid, write the merged state to a STAGING dir, then
+    rename-swap it into place. The staged write means the fold never
+    deletes the files it is reading (no localCheckpoint materialization
+    needed) and a crash at any point leaves either the old or the new
+    committed state readable — never a partial one.
 
     ``batch_id`` (when not None) arms the REPLAY GUARD for folds whose
     monoid is not idempotent (e.g. a count summed in OHLC state):
@@ -306,16 +386,13 @@ def _fold_state_batch(spark, state, out_path, merge_states, batch_id=None):
     before the checkpoint commit redelivers the same batch — the stored
     ``_bid`` high-water mark detects that and skips the duplicate fold.
     Idempotent folds (max / latest-by-seq / dedupe-top-k) don't need it.
+    State written before the guard existed (no ``_bid`` column) is
+    treated as pre-guard: the fold proceeds and stamps ``_bid`` from
+    here on (one redelivered batch could double-fold across that
+    migration boundary — explicit and bounded, vs. failing forever).
     """
-    from pyspark.errors import AnalysisException
-
-    try:
-        prev = spark.read.parquet(out_path)
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e):
-            raise
-        prev = None
-    if batch_id is not None and prev is not None:
+    prev = _read_state_committed(spark, out_path)
+    if batch_id is not None and prev is not None and "_bid" in prev.columns:
         last = prev.agg(F.max("_bid")).collect()[0][0]
         if last is not None and batch_id <= last:
             return  # redelivered batch: its rows are already in state
@@ -323,7 +400,8 @@ def _fold_state_batch(spark, state, out_path, merge_states, batch_id=None):
     merged = merge_states(state if prev is None else prev.unionByName(state))
     if batch_id is not None:
         merged = merged.withColumn("_bid", F.lit(batch_id))
-    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(out_path)
+    merged.write.mode("overwrite").parquet(out_path + "__staging")
+    _swap_state(spark, out_path)
 
 
 def _run_state_maintainer(

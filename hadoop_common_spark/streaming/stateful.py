@@ -52,18 +52,65 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def transform_with_state_available() -> bool:
-    """transformWithState's driver-side state-schema worker imports
-    google.protobuf (Spark Connect proto plumbing) even in classic mode;
-    a runtime without it crashes the query at schema validation. Probe
-    once so callers (and tests) can fall back to
-    applyInPandasWithState instead of failing mid-stream."""
+def protobuf_bridge_dir() -> str:
+    """Path of the repo's google.protobuf bridge package (see its
+    docstring): a sys.path entry that serves the Cloud SDK's vendored
+    pure-Python protobuf runtime as ``google.protobuf`` on runtimes
+    without the wheel."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "third_party",
+        "protobuf_bridge",
+    )
+
+
+def ensure_protobuf() -> bool:
+    """Make ``google.protobuf`` importable in THIS process and in every
+    Python worker Spark will spawn, or report False.
+
+    Order: a real protobuf wheel wins (the bridge is never put on the
+    path when one exists, so it cannot shadow a genuine install); else
+    the bridge package is added to sys.path (driver side) and to the
+    PYTHONPATH environment variable — worker processes (task workers and
+    the TWS driver worker) are launched by the JVM with the environment
+    the JVM inherited from this process, so this must run BEFORE the
+    first SparkSession is built to cover them (session.get_spark does).
+    """
+    import os
+    import sys
+
     try:
         from google.protobuf import descriptor  # noqa: F401
 
         return True
     except ImportError:
+        pass
+    bridge = protobuf_bridge_dir()
+    if bridge not in sys.path:
+        sys.path.insert(0, bridge)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        sys.path.remove(bridge)
         return False
+    existing = os.environ.get("PYTHONPATH", "")
+    if bridge not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            bridge + os.pathsep + existing if existing else bridge
+        )
+    return True
+
+
+def transform_with_state_available() -> bool:
+    """transformWithState needs google.protobuf in every Python process
+    of the query (the driver-side state-schema worker and the task
+    workers import StateMessage_pb2); a runtime without it crashes the
+    query at schema validation. Probe (and, where possible, provision
+    via the bridge) so callers and tests can fall back to
+    applyInPandasWithState instead of failing mid-stream."""
+    return ensure_protobuf()
 
 
 def distinct_event_types_tws(events: DataFrame) -> DataFrame:

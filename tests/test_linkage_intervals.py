@@ -881,3 +881,28 @@ def test_share_of_region_sums_to_one(spark):
     assert len(rows) == 25
     for region, s in by_region.items():
         assert abs(s - 1.0) < 1e-9, (region, s)
+
+
+def test_interval_lookup_join_rejects_column_collision(spark):
+    """Shared non-block column names must fail fast with the collision
+    named, not surface later as an ambiguous-reference error (or a
+    silently wrong BETWEEN if lo/hi/point themselves collide)."""
+    import pytest
+
+    from hadoop_common_spark.operators.joins import interval_lookup_join_binned
+
+    pts = spark.createDataFrame([(1, 5.0, "x")], "pid int, v double, tag string")
+    ivs = spark.createDataFrame(
+        [(1, 0.0, 10.0, "y")], "iid int, lo double, hi double, tag string"
+    )
+    with pytest.raises(ValueError, match=r"collision.*\['tag'\]"):
+        interval_lookup_join_binned(pts, ivs, "v", "lo", "hi", bin_width=10.0)
+    # block columns are allowed to (and must) be shared
+    pts2 = spark.createDataFrame([(1, 5.0)], "blk int, v double")
+    ivs2 = spark.createDataFrame([(1, 0.0, 10.0)], "blk int, lo double, hi double")
+    assert (
+        interval_lookup_join_binned(
+            pts2, ivs2, "v", "lo", "hi", bin_width=10.0, block_cols=["blk"]
+        ).count()
+        == 1
+    )

@@ -496,8 +496,9 @@ def test_transform_with_state_distinct_types_matches_batch(spark, sf_dir):
     availableNow drain of the MapState-backed distinct-type counter must
     equal batch count_distinct per user. outputMode=update emits a row
     per (batch, touched user); the LAST row per user is the final state.
-    Skipped where the runtime lacks protobuf (the TWS driver worker
-    imports it); the applyInPandasWithState twin below covers that."""
+    protobuf comes from the real wheel or the third_party bridge
+    (ensure_protobuf); only a runtime with neither skips — the
+    applyInPandasWithState twin below covers that case."""
     from pyspark.sql import functions as F
 
     from hadoop_common_spark.streaming.stateful import (
@@ -509,15 +510,31 @@ def test_transform_with_state_distinct_types_matches_batch(spark, sf_dir):
         pytest.skip("google.protobuf unavailable: TWS driver worker cannot start")
 
     stream = read_events_stream(spark, sf_dir)
-    q = (
-        distinct_event_types_tws(stream)
-        .writeStream.format("memory")
-        .queryName("t_tws_distinct")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    # TWS keeps one column family per state variable; the default
+    # HDFSBacked provider is single-family, so the query needs RocksDB
+    # (what a production deployment runs anyway). Scoped to this query:
+    # the provider is captured at query start from the session conf.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    q.awaitTermination()
+    try:
+        q = (
+            distinct_event_types_tws(stream)
+            .writeStream.format("memory")
+            .queryName("t_tws_distinct")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
     # single-source availableNow drain → one batch → one row per user
     got = {r.user_id: r.n_types for r in spark.table("t_tws_distinct").collect()}
     batch = {
@@ -761,3 +778,73 @@ def test_fold_state_batch_replay_guard(spark, tmp_path):
     _fold_state_batch(spark, state, out, merge, batch_id=1)
     after = spark.read.parquet(out).collect()
     assert after[0].n_events == 4 and after[0]._bid == 1
+
+
+def test_fold_state_crash_recovery(spark, tmp_path):
+    """The staged-write swap protocol must survive every crash window:
+    a committed staging dir with out_path missing is promoted (newer
+    state wins), a committed __old with nothing newer is restored, and
+    a partial out_path (no _SUCCESS — the legacy in-place overwrite's
+    failure mode) raises instead of silently folding onto truncation."""
+    import shutil
+
+    import pytest
+
+    from hadoop_common_spark.operators.aggregate import ohlc_aggregate, ohlc_merge
+    from hadoop_common_spark.streaming.jobs import (
+        _fold_state_batch,
+        _read_state_committed,
+    )
+
+    out = str(tmp_path / "state")
+    rows = spark.createDataFrame(
+        [("a", 1, 10, 1, 5.0), ("a", 1, 11, 2, 7.0)],
+        "g string, bkt int, sec long, id long, v double",
+    )
+    state = ohlc_aggregate(rows, ["g", "bkt"], "sec", "id", "v")
+    merge = lambda m: ohlc_merge(m, ["g", "bkt"])
+    _fold_state_batch(spark, state, out, merge, batch_id=0)
+    committed = spark.read.parquet(out).collect()
+
+    # crash window 1: out renamed away, staging committed -> promote it
+    shutil.move(out, out + "__staging")
+    got = _read_state_committed(spark, out)
+    assert got is not None and got.collect() == committed
+
+    # crash window 2: staging write died AFTER out moved to __old
+    shutil.move(out, out + "__old")
+    (tmp_path / "state__staging").mkdir()  # partial staging, no _SUCCESS
+    got = _read_state_committed(spark, out)
+    assert got is not None and got.collect() == committed
+    shutil.rmtree(str(tmp_path / "state__staging"))
+
+    # partial out_path itself (legacy overwrite crash): loud failure
+    (tmp_path / "state" / "_SUCCESS").unlink()
+    with pytest.raises(RuntimeError, match="_SUCCESS"):
+        _read_state_committed(spark, out)
+
+
+def test_fold_state_legacy_guardless_state(spark, tmp_path):
+    """guard_batch_ids over state written BEFORE the guard existed (no
+    _bid column) must fold as pre-guard state and start stamping _bid,
+    not die on an unresolved-column AnalysisException forever."""
+    from hadoop_common_spark.operators.aggregate import ohlc_aggregate, ohlc_merge
+    from hadoop_common_spark.streaming.jobs import _fold_state_batch
+
+    out = str(tmp_path / "state")
+    rows = spark.createDataFrame(
+        [("a", 1, 10, 1, 5.0), ("a", 1, 11, 2, 7.0)],
+        "g string, bkt int, sec long, id long, v double",
+    )
+    state = ohlc_aggregate(rows, ["g", "bkt"], "sec", "id", "v")
+    merge = lambda m: ohlc_merge(m, ["g", "bkt"])
+    # legacy: guardless fold leaves no _bid column
+    _fold_state_batch(spark, state, out, merge, batch_id=None)
+    assert "_bid" not in spark.read.parquet(out).columns
+    # guarded fold over it migrates instead of raising
+    _fold_state_batch(spark, state, out, merge, batch_id=3)
+    after = spark.read.parquet(out).collect()
+    assert after[0].n_events == 4 and after[0]._bid == 3
+    # and the guard is live from here on
+    _fold_state_batch(spark, state, out, merge, batch_id=3)
+    assert spark.read.parquet(out).collect() == after
