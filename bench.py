@@ -97,6 +97,10 @@ HEADLINE = [
                                     # in replica multiplicity — the measured
                                     # output bound (104s), not a plan defect;
                                     # max_gram_df is the production knob)
+    "dedup_shared_span_pairs_capped",  # the max_gram_df=8 preset (r7) —
+                                    # the skew knob itself benched; scale
+                                    # tier carries it where the uncapped
+                                    # form is output-bound
     "forecast_revenue_change",      # pure pruned-scan benchmark (Q6, r6)
     "local_supplier_volume",        # 6-way local-supplier join (Q5, r6)
     "events_close_pairs",           # binned range self-join (r6)
@@ -245,6 +249,54 @@ SCALE_QUERIES = [
     # r6 continuation: the journeys aggregate collects per-user arrays —
     # user-bounded state that must not blow up as events x10
     "events_first3_journeys",
+    # r7 (VERDICT r6 #5): the capped shared-span preset — hot grams
+    # dropped at max_gram_df=8, so the gram join's fan-out is bounded
+    # where the uncapped form's output is quadratic in replica
+    # multiplicity (the knob finally has its own scale row)
+    "dedup_shared_span_pairs_capped",
+]
+
+
+# ---- 100x scale tier (VERDICT r6 #4) -------------------------------------
+# The r5/r6 100x spot checks (BENCH_NOTES) kept finding the real bounds
+# (containment OOM, the KMV exact-leg sort, the pair-output walls) that
+# neither sf0.1 nor the 10x tier can see — promoted to a standing tier
+# with round-over-round gating. Queries are the spot-check set: every
+# entry is linear-or-sublinear by design (output-bound pair reporters are
+# exactly what this tier must NOT carry uncapped — their capped presets
+# carry the flag instead). N=2 keep-min per query (the first run pays
+# python-worker/Arrow first-touch), tables warmed before timing.
+
+SCALE100_REPLICAS = 100
+SCALE100_QUERIES = [
+    "dedup_exact",                    # scan-bound hash dedup
+    "text_repetition_stats",          # zero-shuffle projection
+    "corpus_global_shuffle",          # two bounded shuffles
+    "window_sessionize",              # per-user session windows
+    "dedup_simhash_pairs",            # banded Hamming (linear in candidates)
+    "corpus_ngram_novelty",           # corpus-wide first-seen aggregation
+    "events_close_pairs",             # binned range self-join
+    "corpus_dsir_weights",            # bounded-dictionary broadcast
+    "text_pmi_pairs",                 # map-side zip_with pair-gen
+    "embedding_kmeans_step",          # map-side assign + 2 partial-agg shuffles
+    "text_quality_linear_score",      # zero-shuffle hash-trick scorer
+    "events_k_anonymity",             # two bounded aggregates
+    "events_cdc_merge",               # struct-max partial agg + one join
+    "events_hll_distinct_users",      # register partial-agg
+    "events_l_diversity",             # two-level count-distinct
+    "text_score_calibration",         # scorer + bounded bins
+    "events_audience_overlap",        # bounded-fan-out self-join
+    "events_audience_overlap_kmv",    # two-phase bottom-k
+    "events_value_kmv_quantiles",     # sketch + exact eval leg (documented sort)
+    "corpus_weighted_sample_by_source",  # two-phase grouped A-ES
+    "events_cdc_scd2_history",        # user-bounded per-key sort
+    "embedding_kcenter_seeds",        # k fixed linear passes
+    "events_value_ohlc_hourly",       # one partial-agg pass
+    "events_wau_rolling_7d",          # facts x 7 explode (linear)
+    "events_wau_rolling_kmv",         # one raw touch + signature algebra
+    "events_distinct_users_kmv",      # distinct + two-phase bottom-k
+    "dedup_shared_span_pairs_capped", # the skew knob at the density that
+                                      # makes the uncapped form quadratic
 ]
 
 
@@ -388,13 +440,14 @@ def _current_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
-def _prev_round_baseline(sf: float) -> tuple[str | None, dict, dict, dict]:
+def _prev_round_baseline(sf: float) -> tuple[str | None, dict, dict, dict, dict]:
     """Per-query baseline from the previous ROUND (not the previous run of
     this round — VERDICT r4 "What's wrong" #1): the newest archived
     BENCH_DETAIL_r{N}.json with N < current round, falling back to parsing
     BENCH_r{N}.json files (skipping any whose "queries" values are not
     numeric — the compact stdout format carries only a detail pointer).
-    Returns (label, headline_timings, scale_timings, dfsio)."""
+    Returns (label, headline_timings, scale_timings, scale100_timings,
+    dfsio)."""
     import glob
     import re
 
@@ -414,6 +467,7 @@ def _prev_round_baseline(sf: float) -> tuple[str | None, dict, dict, dict]:
                     os.path.basename(p),
                     q,
                     d.get("scale_queries") or {},
+                    d.get("scale100_queries") or {},
                     d.get("dfsio") or {},
                 )
         except (OSError, json.JSONDecodeError, ValueError, AttributeError):
@@ -450,11 +504,12 @@ def _prev_round_baseline(sf: float) -> tuple[str | None, dict, dict, dict]:
                     os.path.basename(p),
                     q,
                     prev.get("scale_queries") or {},
+                    prev.get("scale100_queries") or {},
                     prev.get("dfsio") or {},
                 )
         except (OSError, json.JSONDecodeError, ValueError, AttributeError):
             continue
-    return (None, {}, {}, {})
+    return (None, {}, {}, {}, {})
 
 
 def _regressions(
@@ -479,6 +534,107 @@ def _regressions(
                 "ratio_norm": round(norm, 2),
             }
     return out
+
+
+def _fresh_jvm_confirm(
+    sf_dir: str,
+    sf: float,
+    headline_names: list[str],
+    scale_names: list[str],
+    scale100_names: list[str],
+    scale_dir: str | None,
+    scale100_dir: str | None,
+) -> dict:
+    """Re-time flagged queries in a SUBPROCESS (fresh JVM): see the call
+    site for why an in-process 'fresh session' is not fresh enough.
+    Returns {"headline": {name: best_sec}, "scale": ..., "scale100": ...}
+    (empty on subprocess failure — the in-session numbers then stand,
+    which can only make the gate MORE likely to flag, never less)."""
+    import subprocess
+    import tempfile
+
+    req = {
+        "sf_dir": sf_dir,
+        "sf": sf,
+        "headline": headline_names,
+        "scale": scale_names,
+        "scale100": scale100_names,
+        "scale_dir": scale_dir,
+        "scale100_dir": scale100_dir,
+    }
+    fd, path = tempfile.mkstemp(suffix=".json", prefix="hcs_bench_confirm_")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(req, f)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--confirm", path],
+            capture_output=True,
+            text=True,
+            timeout=2400,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("CONFIRM_JSON:"):
+                return json.loads(line[len("CONFIRM_JSON:"):])
+        print(
+            f"# bench confirm subprocess gave no result (rc={proc.returncode}): "
+            f"{proc.stderr[-500:] if proc.stderr else ''}",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"# bench confirm subprocess failed: {type(e).__name__}: {e}", file=sys.stderr)
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+    return {}
+
+
+def confirm_main(req_path: str) -> None:
+    """Subprocess entry for the fresh-JVM confirmation pass: time each
+    requested query twice (keep-min) per tier in a brand-new JVM and
+    print one CONFIRM_JSON line for the parent to merge."""
+    with open(req_path) as f:
+        req = json.load(f)
+    sf = float(req.get("sf") or 0)
+
+    from hadoop_common_spark.queries import load_all
+    from hadoop_common_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark("bench-confirm")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{req['sf_dir']}/lineitem.parquet").limit(1).collect()
+
+    out: dict[str, dict[str, float]] = {"headline": {}, "scale": {}, "scale100": {}}
+    for tier, data_dir in (
+        ("headline", req.get("sf_dir")),
+        ("scale", req.get("scale_dir")),
+        ("scale100", req.get("scale100_dir")),
+    ):
+        if not data_dir:
+            continue
+        for name in req.get(tier) or []:
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                try:
+                    if name == "terasort_equivalent":
+                        bench_terasort(spark, n_rows=int(2_000_000 * max(sf, 0.001) / 0.1))
+                    else:
+                        _run_noop(registry[name].fn(spark, data_dir))
+                except Exception as e:
+                    print(
+                        f"# confirm error {tier}/{name}: {type(e).__name__}: {e}",
+                        file=sys.stderr,
+                    )
+                    break
+                el = round(time.time() - t0, 3)
+                best = el if best is None else min(best, el)
+            if best is not None:
+                out[tier][name] = best
+    print("CONFIRM_JSON:" + json.dumps(out))
+    spark.stop()
 
 
 def main() -> None:
@@ -525,7 +681,7 @@ def main() -> None:
         print(f"# bench error dfsio: {type(e).__name__}: {e}", file=sys.stderr)
         dfsio = {}
 
-    prev_label, prev_q, prev_scale, prev_dfsio = _prev_round_baseline(sf)
+    prev_label, prev_q, prev_scale, prev_scale100, prev_dfsio = _prev_round_baseline(sf)
     host_slowdown = 1.0
     if prev_dfsio.get("write_mb_s") and dfsio.get("write_mb_s"):
         host_slowdown = prev_dfsio["write_mb_s"] / dfsio["write_mb_s"]
@@ -564,6 +720,7 @@ def main() -> None:
     # Regressions invisible under 1-2s of fixed overhead at sf0.1 are
     # measurable here; skip with SPARK_GRAFT_BENCH_SCALE=0.
     scale_timings: dict[str, float] = {}
+    scale_dir = None
     if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
         try:
             scale_dir = build_scale_dir(spark, sf_dir)
@@ -630,58 +787,93 @@ def main() -> None:
         except Exception as e:
             print(f"# bench error scale tier: {type(e).__name__}: {e}", file=sys.stderr)
 
-    # Fresh-session confirmation pass (r5): flags that survive the
-    # in-session re-time get re-measured in a NEW SparkSession before the
-    # gate reports them. Measured on identical code: a long bench session
-    # accumulates per-job slowness (GC / python-worker churn after ~75
-    # jobs) — similarity_lsh_buckets re-timed 4.08s inside the bench
-    # session but 1.61s in a fresh session; corpus_global_shuffle 2.62s
-    # vs 1.25s. A "regression" that vanishes in a fresh session is
-    # session-state noise, not a plan regression; only ones that
-    # reproduce here reach the compact line. Two runs each (the first
-    # pays python-worker/Arrow first-touch), keep-min overall.
+    # ---- 100x scale tier (VERDICT r6 #4): the standing form of the
+    # BENCH_NOTES spot checks. N=2 keep-min per query; tables warmed
+    # first; round-over-round gated like the other tiers. Skip with
+    # SPARK_GRAFT_BENCH_SCALE100=0 (or the tier-wide SCALE=0).
+    scale100_timings: dict[str, float] = {}
+    scale100_dir = None
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0"
+        and os.environ.get("SPARK_GRAFT_BENCH_SCALE100", "1") != "0"
+    ):
+        try:
+            scale100_dir = build_scale_dir(spark, sf_dir, replicas=SCALE100_REPLICAS)
+            from hadoop_common_spark.tables import load_tables
+
+            _scaled = load_tables(spark, scale100_dir)
+            for _name in ("events", "documents", "embeddings"):
+                _run_noop(_scaled[_name])
+            for name in SCALE100_QUERIES:
+                qd = registry.get(name)
+                if qd is None:
+                    continue
+                best = -1.0
+                for _ in range(2):
+                    t0 = time.time()
+                    try:
+                        _run_noop(qd.fn(spark, scale100_dir))
+                    except Exception as e:
+                        print(
+                            f"# bench error scale100/{name}: {type(e).__name__}: {e}",
+                            file=sys.stderr,
+                        )
+                        break
+                    el = round(time.time() - t0, 3)
+                    best = el if best < 0 else min(best, el)
+                scale100_timings[name] = best
+        except Exception as e:
+            print(f"# bench error scale100 tier: {type(e).__name__}: {e}", file=sys.stderr)
+
+    # Fresh-JVM confirmation pass (r7, replacing r5's in-process fresh
+    # SESSION): flags that survive the in-session re-time get re-measured
+    # in a SUBPROCESS — a genuinely fresh JVM — before the gate reports
+    # them. Rationale (BENCH_NOTES r6): spark.stop()+getOrCreate() reuses
+    # the py4j JVM, so JIT code-cache and GC state leak into "fresh
+    # session" numbers; two rounds running, flags were burned on
+    # long-session artifacts that a fresh JVM does not reproduce (e.g.
+    # corpus_semantic_dedup [12.4, 5.7, 4.2, 3.4]s fresh vs 10.6s
+    # in-session keep-min). Two runs each (the first pays python-worker/
+    # Arrow first-touch), keep-min merged into the tier timings.
     flagged = set(_regressions(timings, prev_q, host_slowdown))
     scale_flagged = (
         set(_regressions(scale_timings, prev_scale, host_slowdown))
         if scale_timings
         else set()
     )
-    if flagged or scale_flagged:
-        spark.stop()
-        spark = get_spark("bench-confirm")
-        spark.range(1_000_000).selectExpr("sum(id)").collect()
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
-        for name in sorted(flagged):
-            for _ in range(2):
-                t0 = time.time()
-                try:
-                    if name == "terasort_equivalent":
-                        bench_terasort(
-                            spark, n_rows=int(2_000_000 * max(sf, 0.001) / 0.1)
-                        )
-                    else:
-                        _run_noop(registry[name].fn(spark, sf_dir))
-                    timings[name] = min(timings[name], round(time.time() - t0, 3))
-                except Exception:
-                    break
-        for name in sorted(scale_flagged):
-            for _ in range(2):
-                t0 = time.time()
-                try:
-                    _run_noop(registry[name].fn(spark, scale_dir))
-                    scale_timings[name] = min(
-                        scale_timings[name], round(time.time() - t0, 3)
-                    )
-                except Exception:
-                    break
+    scale100_flagged = (
+        set(_regressions(scale100_timings, prev_scale100, host_slowdown))
+        if scale100_timings
+        else set()
+    )
+    if flagged or scale_flagged or scale100_flagged:
+        confirmed = _fresh_jvm_confirm(
+            sf_dir,
+            sf,
+            sorted(flagged),
+            sorted(scale_flagged),
+            sorted(scale100_flagged),
+            scale_dir if scale_timings else None,
+            scale100_dir,
+        )
+        for name, v in confirmed.get("headline", {}).items():
+            timings[name] = min(timings[name], v)
+        for name, v in confirmed.get("scale", {}).items():
+            scale_timings[name] = min(scale_timings[name], v)
+        for name, v in confirmed.get("scale100", {}).items():
+            scale100_timings[name] = min(scale100_timings[name], v)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     scale_total = round(sum(v for v in scale_timings.values() if v >= 0), 3)
+    scale100_total = round(sum(v for v in scale100_timings.values() if v >= 0), 3)
     vs_prev = {
         "prev_round": prev_label,
         "host_slowdown": round(host_slowdown, 3),
         "regressions": _regressions(timings, prev_q, host_slowdown),
         "scale_regressions": _regressions(scale_timings, prev_scale, host_slowdown),
+        "scale100_regressions": _regressions(
+            scale100_timings, prev_scale100, host_slowdown
+        ),
     }
     # Host-normalized work metrics (VERDICT r4 #6): seconds × this host's
     # DFSIO write MB/s. Invariant to host speed to first order — r3 vs r4
@@ -699,6 +891,9 @@ def main() -> None:
         "scale_replicas": SCALE_REPLICAS,
         "scale_queries": scale_timings,
         "scale_total": scale_total,
+        "scale100_replicas": SCALE100_REPLICAS,
+        "scale100_queries": scale100_timings,
+        "scale100_total": scale100_total,
         "dfsio": dfsio,
         "norm_headline_x_write_mb_s": norm_headline,
         "norm_scale_x_write_mb_s": norm_scale,
@@ -720,6 +915,7 @@ def main() -> None:
     all_reg = dict(
         list(vs_prev["regressions"].items())
         + [(f"scale/{k}", v) for k, v in vs_prev["scale_regressions"].items()]
+        + [(f"scale100/{k}", v) for k, v in vs_prev["scale100_regressions"].items()]
     )
     compact = {
         "metric": "headline_queries_total",
@@ -731,6 +927,8 @@ def main() -> None:
         "scale_total": scale_total,
         "scale_replicas": SCALE_REPLICAS,
         "n_scale": sum(1 for v in scale_timings.values() if v >= 0),
+        "scale100_total": scale100_total,
+        "n_scale100": sum(1 for v in scale100_timings.values() if v >= 0),
         "dfsio": dfsio,
         "norm_headline": norm_headline,
         "norm_scale": norm_scale,
@@ -748,4 +946,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--confirm":
+        confirm_main(sys.argv[2])
+    else:
+        main()

@@ -80,18 +80,21 @@ _QUERY_MODULES = [
 # registry in dict order and has a bounded budget (~50 rows/round), so the
 # order is part of the evidence strategy. Round-7 rotation (derived from
 # the union of CORRECTNESS_r01..r06, oldest-newest-row-first): the 4
-# never-driver-checked queries lead, then the 6 r02-era rows, then the 48
-# r03-era rows (pure-compute shapes last so a budget truncation costs the
-# least). Overflow = r04 -> r05 -> r06, so the r8 rotation head is simply
-# the current overflow head. Names not in either list are slotted right
-# after the window block, BEFORE the overflow, so a new query is never
-# silently pushed out of the checked window.
+# never-driver-checked queries lead, then the r7 newcomer, the 6 r02-era
+# rows, and 39 of the 48 r03-era rows (the 9 lowest-risk r03 shapes spill
+# to the overflow head to hold the 50-entry cap). Overflow = r03 spill ->
+# r04 -> r05 -> r06, so the r8 rotation head is simply the current
+# overflow head. Names not in either list are slotted right after the
+# window block, BEFORE the overflow, so a new query is never silently
+# pushed out of the checked window.
 PRIORITY_WINDOW: list[str] = [
     # -- r7 rotation: 4 never-driver-checked queries lead (first claim) --
     "dedup_shared_span_pairs",
     "events_close_pairs",
     "corpus_ngram_novelty",
     "similarity_matryoshka_recall_eval",
+    # -- r7 newcomer (VERDICT r6 #5): first claim --
+    "dedup_shared_span_pairs_capped",
     # -- r02-era rows (oldest hard signal in the fleet) --
     "zorder_layout_keys",
     "join_semi_anti",
@@ -99,9 +102,10 @@ PRIORITY_WINDOW: list[str] = [
     "rollup_region_nation_revenue",
     "cube_status_priority",
     "grouping_sets_events",
-    # -- r03-era rows; pure-compute/synthetic shapes last (untouched since
-    #    r3, lowest-risk if the ~50-row budget truncates the window;
-    #    flagship is additionally smoke-checked every round via entry()) --
+    # -- r03-era rows (9 lowest-risk r03 shapes spilled to the overflow
+    #    head to hold the 50-entry window cap: pure-compute/synthetic
+    #    generators, flagship [entry()-smoked every round], and three
+    #    shapes with an in-window sibling) --
     "dedup_embedding_cosine",
     "similarity_ivfpq_topk",
     "similarity_lsh_multiprobe_topk",
@@ -124,7 +128,6 @@ PRIORITY_WINDOW: list[str] = [
     "events_multires_rollup",
     "events_rolling_1h_stats",
     "events_value_percentiles",
-    "events_value_percentiles_sampled",
     "events_value_ntile_deciles",
     "events_transition_matrix",
     "corpus_pack_sequences",
@@ -135,8 +138,6 @@ PRIORITY_WINDOW: list[str] = [
     "lineitem_unpivot_measures",
     "multimodal_audio_features",
     "multimodal_resize_plan",
-    "pivot_status_priority",
-    "above_avg_balance",
     "above_nation_avg_balance",
     "customers_without_urgent_orders",
     "parts_in_urgent_orders",
@@ -144,22 +145,25 @@ PRIORITY_WINDOW: list[str] = [
     "important_parts_share",
     "waiting_suppliers",
     "min_cost_supplier",
+]
+
+# ---- 50-entry checked-window boundary ----
+# (the driver checks ~50 rows/round — the window must fit; unlisted
+# newcomers auto-slot right after it, BEFORE the overflow)
+# Overflow order = oldest evidence first: the 9 r03 shapes the window cap
+# displaced (r8 rotation head), then r04-green, r05-green, r06-green.
+PRIORITY_OVERFLOW: list[str] = [
+    # -- r03-era spill (r8 rotation head): window-cap displacements --
     "flagship_revenue_by_nation",
     "random_text_wordcount",
     "terasort_head",
     "sudoku_distributed",
     "pentomino_count",
     "bbp_pi_digits",
-]
-
-# ---- 50-entry checked-window boundary ----
-# (the driver checks ~50 rows/round — the window must fit; unlisted
-# newcomers auto-slot right after it, BEFORE the overflow)
-# The eight r03 TPC-H-subquery shapes that spilled out of the 50-cap lead
-# the overflow (r7 rotation head — untouched trivial scans, cheapest to
-# defer), then r04-green, then r05-green (freshest hard rows).
-PRIORITY_OVERFLOW: list[str] = [
-    # -- r04-green (r8 rotation head) --
+    "pivot_status_priority",
+    "events_value_percentiles_sampled",
+    "above_avg_balance",
+    # -- r04-green --
     "teragen_checksum",
     "montecarlo_pi",
     "asof_join_last_purchase",

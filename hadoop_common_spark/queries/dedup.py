@@ -749,3 +749,62 @@ def dedup_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_span_pairs(
         spark.table("documents"), "doc_id", "text", "lang", k=16, min_span=32
     )
+
+
+# The CAPPED preset of the same operator: grams appearing in more than
+# max_gram_df docs per block are excluded from candidate generation, so
+# per-gram join fan-out is bounded by max_gram_df^2/2 — the production
+# knob for the quadratic output wall the uncapped form hits at replica
+# density (BENCH_NOTES r6: 104s at the 10x tier, output-bound). The
+# semantics are deterministic (a pure function of the corpus), so the
+# preset is oracle-checkable like any other query: spans whose every
+# k-window is hot are undetected, runs crossing a hot gram split.
+_SHARED_SPAN_CAPPED_ORACLE = """
+WITH pg AS (
+  SELECT lang, doc_id, i, substr(text, i, 16) AS g
+  FROM documents, LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 15, 0))) AS i)
+),
+cold AS (
+  SELECT lang, g FROM pg GROUP BY lang, g HAVING COUNT(DISTINCT doc_id) <= 8
+),
+pgc AS (
+  SELECT pg.lang, pg.doc_id, pg.i, pg.g
+  FROM pg JOIN cold ON pg.lang = cold.lang AND pg.g = cold.g
+),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS ia, b.i AS ib
+  FROM pgc a JOIN pgc b ON a.lang = b.lang AND a.g = b.g AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT id_a, id_b, ia - ib AS diag, ia,
+         ia - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, ia - ib ORDER BY ia) AS grp
+  FROM m
+),
+runs AS (
+  SELECT id_a, id_b, COUNT(*) + 15 AS span
+  FROM r GROUP BY id_a, id_b, diag, grp
+)
+SELECT id_a, id_b, CAST(MAX(span) AS BIGINT) AS max_span
+FROM runs GROUP BY id_a, id_b HAVING MAX(span) >= 32
+"""
+
+
+@query("dedup_shared_span_pairs_capped", oracle=_SHARED_SPAN_CAPPED_ORACLE)
+def dedup_shared_span_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The max_gram_df=8 production preset of dedup_shared_span_pairs:
+    identical diagonal-run span detection, but grams shared by more than
+    8 docs per block are dropped from candidate generation, bounding the
+    gram join's fan-out at high duplicate density (the knob itself gets
+    a bench row in the replica scale tier, where the uncapped form is
+    output-bound by construction)."""
+    from hadoop_common_spark.operators.dedup import shared_span_pairs
+
+    return shared_span_pairs(
+        spark.table("documents"),
+        "doc_id",
+        "text",
+        "lang",
+        k=16,
+        min_span=32,
+        max_gram_df=8,
+    )

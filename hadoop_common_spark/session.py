@@ -34,7 +34,12 @@ def configure_for_scale(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable scale/determinism confs to an existing session.
 
     Safe to call on a session we did not build (the verify driver's).
+    Memoized per session: each conf.set is a py4j round trip and the
+    query wrappers call this on every query — the confs only need to
+    land once (nothing in the engine mutates them afterwards).
     """
+    if getattr(spark, "_hcs_scale_configured", False):
+        return spark
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -43,6 +48,7 @@ def configure_for_scale(spark: SparkSession) -> SparkSession:
             # query over a tuning knob.
             pass
     _ship_package(spark)
+    spark._hcs_scale_configured = True
     return spark
 
 

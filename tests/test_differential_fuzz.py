@@ -277,8 +277,16 @@ def test_fuzz_interval_lookup_join_matches_duckdb(spark, seed):
         if n_iv
         else spark.createDataFrame([], schema_i)
     )
+    # the operator's contract (enforced up front since r7): non-block
+    # columns must not collide — when unblocked, blk is just an unused
+    # shared name, so drop it from one side like a real caller would
     out = interval_lookup_join_binned(
-        sp, si, "v", "lo", "hi", bin_width=width,
+        sp if blocked else sp.drop("blk"),
+        si,
+        "v",
+        "lo",
+        "hi",
+        bin_width=width,
         block_cols=["blk"] if blocked else None,
     ).select("pid", "iid")
     srows = _rowset(out.columns, [tuple(r) for r in out.collect()], _norm)
