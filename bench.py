@@ -574,7 +574,11 @@ def _fresh_jvm_confirm(
         )
         for line in proc.stdout.splitlines():
             if line.startswith("CONFIRM_JSON:"):
-                return json.loads(line[len("CONFIRM_JSON:"):])
+                result = json.loads(line[len("CONFIRM_JSON:"):])
+                # audit line: a confirm that ran but didn't clear a flag
+                # must be distinguishable from a confirm that never ran
+                print(f"# bench confirm (fresh JVM): {json.dumps(result)}", file=sys.stderr)
+                return result
         print(
             f"# bench confirm subprocess gave no result (rc={proc.returncode}): "
             f"{proc.stderr[-500:] if proc.stderr else ''}",
@@ -804,6 +808,8 @@ def main() -> None:
             _scaled = load_tables(spark, scale100_dir)
             for _name in ("events", "documents", "embeddings"):
                 _run_noop(_scaled[_name])
+            import gc
+
             for name in SCALE100_QUERIES:
                 qd = registry.get(name)
                 if qd is None:
@@ -821,6 +827,10 @@ def main() -> None:
                         break
                     el = round(time.time() - t0, 3)
                     best = el if best < 0 else min(best, el)
+                    # promptly release the run's DataFrame lineage (any
+                    # cached/checkpointed blocks) before the next run —
+                    # at this tier a leaked copy is gigabytes
+                    gc.collect()
                 scale100_timings[name] = best
         except Exception as e:
             print(f"# bench error scale100 tier: {type(e).__name__}: {e}", file=sys.stderr)

@@ -420,13 +420,23 @@ def ngram_jaccard_pairs(
     if max_shingle_df is not None:
         # candidate discovery over COLD shingles only (one extra agg on
         # the exploded frame — map-side combined, same shuffle key)
-        cold = (
-            sh.groupBy("_blk", "_sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
+        # Per-shingle df as a WINDOW count, not a groupBy + join-back:
+        # the join form re-shuffles the exploded shingle table per join
+        # side AND leaves the corpus-sized "cold" relation to the
+        # broadcast planner (AQE broadcasting it blew
+        # spark.driver.maxResultSize at the 100x replica tier). The
+        # window shuffles shingles ONCE on (blk, shingle) — exactly the
+        # partitioning the a/b self-join consumes — and sh has one row
+        # per (doc, distinct shingle), so a plain count IS the df.
+        from pyspark.sql import Window as _W
+
+        sh_cold = (
+            sh.withColumn(
+                "_df", F.count(F.lit(1)).over(_W.partitionBy("_blk", "_sh"))
+            )
             .filter(F.col("_df") <= max_shingle_df)
-            .select("_blk", "_sh")
+            .drop("_df")
         )
-        sh_cold = sh.join(cold, ["_blk", "_sh"])
         a = sh_cold.select(F.col("_blk"), F.col(id_col).alias("id_a"), "_sh")
         b = sh_cold.select(F.col("_blk"), F.col(id_col).alias("id_b"), "_sh")
         cand = (
@@ -515,13 +525,23 @@ def containment_pairs(
     sh = docsh.select("_blk", id_col, F.explode("_shs").alias("_sh"))
 
     if max_shingle_df is not None:
-        cold = (
-            sh.groupBy("_blk", "_sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
+        # Per-shingle df as a WINDOW count, not a groupBy + join-back:
+        # the join form re-shuffles the exploded shingle table per join
+        # side AND leaves the corpus-sized "cold" relation to the
+        # broadcast planner (AQE broadcasting it blew
+        # spark.driver.maxResultSize at the 100x replica tier). The
+        # window shuffles shingles ONCE on (blk, shingle) — exactly the
+        # partitioning the a/b self-join consumes — and sh has one row
+        # per (doc, distinct shingle), so a plain count IS the df.
+        from pyspark.sql import Window as _W
+
+        sh_cold = (
+            sh.withColumn(
+                "_df", F.count(F.lit(1)).over(_W.partitionBy("_blk", "_sh"))
+            )
             .filter(F.col("_df") <= max_shingle_df)
-            .select("_blk", "_sh")
+            .drop("_df")
         )
-        sh_cold = sh.join(cold, ["_blk", "_sh"])
         a = sh_cold.select(F.col("_blk"), F.col(id_col).alias("id_a"), "_sh")
         b = sh_cold.select(F.col("_blk"), F.col(id_col).alias("id_b"), "_sh")
         cand = (
@@ -607,8 +627,13 @@ def shared_span_pairs(
     # core (measured 3s single-threaded vs 0.3s spread at sf0.1); at
     # cluster scale the scan already has many splits and this is a cheap
     # narrow-ish shuffle of raw text relative to the fan-out it balances.
-    # localCheckpoint: BOTH join sides read the gram table — without it
-    # the explode runs twice (same rationale as ngram_jaccard_pairs).
+    # NO localCheckpoint on the gram table (it used to share pg between
+    # the join sides): checkpointing pins O(corpus grams) rows in
+    # block-manager storage — measured AGGREGATE_OUT_OF_MEMORY at the
+    # 100x replica tier (150M positional grams vs a 16 GB heap). Every
+    # consumer instead re-reads the ONE repartition exchange
+    # (ReuseExchange; shuffle files are disk-backed by construction) and
+    # re-runs the explode — linear CPU, no memory floor at any scale.
     par = df.sparkSession.sparkContext.defaultParallelism
     pg = (
         # length >= k filter FIRST: Spark's sequence(1, 0) yields [1, 0]
@@ -619,16 +644,27 @@ def shared_span_pairs(
         .repartition(par)
         .select(F.col(block_col).alias("_blk"), F.col(id_col), F.explode(grams).alias("_x"))
         .select("_blk", id_col, F.col("_x.i").alias("_i"), F.col("_x.g").alias("_g"))
-        .localCheckpoint(eager=False)
     )
     if max_gram_df is not None:
-        cold = (
-            pg.groupBy("_blk", "_g")
-            .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        # Per-gram distinct-doc count as a WINDOW (dense_rank over id,
+        # then max), not a groupBy+join-back: the join form shuffles the
+        # gram table once for the count and once per join side (3+ full
+        # gram shuffles, 91s+ at the 100x replica tier), while the window
+        # form shuffles it ONCE on (blk, gram) — a partitioning the a/b
+        # self-join below then consumes directly, and that both branches
+        # share through exchange reuse. Positions must survive, so a
+        # plain count_distinct can't be folded in (DISTINCT isn't legal
+        # inside a window) — dense_rank's max IS the distinct id count.
+        from pyspark.sql import Window as _W
+
+        wo = _W.partitionBy("_blk", "_g").orderBy(id_col)
+        wp = _W.partitionBy("_blk", "_g")
+        pg = (
+            pg.withColumn("_dr", F.dense_rank().over(wo))
+            .withColumn("_df", F.max("_dr").over(wp))
             .filter(F.col("_df") <= max_gram_df)
-            .select("_blk", "_g")
+            .drop("_dr", "_df")
         )
-        pg = pg.join(cold, ["_blk", "_g"])
     a = pg.select("_blk", F.col(id_col).alias("id_a"), F.col("_i").alias("_ia"), "_g")
     b = pg.select("_blk", F.col(id_col).alias("id_b"), F.col("_i").alias("_ib"), "_g")
     m = (

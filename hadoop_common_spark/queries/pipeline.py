@@ -873,20 +873,30 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.col("text").substr(i, F.lit(k)),
         )
     )
+    # sub-8-char docs: Spark sequence(1, 0) = [1, 0] (descending) —
+    # filter them out to match the oracle's empty generate_series
+    eligible = docs.filter(F.length("text") >= k)
+    # The exploded gram table has exactly ONE consumer (the per-gram min)
+    # and is never materialized: per-doc totals are just size(grams) — a
+    # narrow map-side projection, no explode needed. The previous form
+    # localCheckpointed the full gram table to share it between the two
+    # aggregates, which pins O(corpus grams) rows in block-manager
+    # storage — measured AGGREGATE_OUT_OF_MEMORY at the 100x tier (145M
+    # gram rows vs a 16 GB heap). This shape has no memory floor at any
+    # corpus size: one explode -> one map-side-combined shuffle on the
+    # gram, everything else doc-keyed.
+    totals = eligible.select(
+        "doc_id", F.size(grams).cast("bigint").alias("n_grams")
+    )
     pg = (
-        # sub-8-char docs: Spark sequence(1, 0) = [1, 0] (descending) —
-        # filter them out to match the oracle's empty generate_series
-        docs.filter(F.length("text") >= k)
-        .repartition(par)
+        eligible.repartition(par)
         .select("doc_id", F.explode(grams).alias("_g"))
-        .localCheckpoint(eager=False)
     )
     # NO gram-keyed join back (the naive form re-shuffles every gram a
     # second time — measured 1.5x slower at 10x): a doc's novel-gram
     # count is just how many grams have first_doc == doc, i.e. a second
     # tiny aggregate OVER the per-gram min rows; both remaining joins
     # are doc-keyed (corpus-doc-count sized, not gram sized)
-    totals = pg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     novel = (
         pg.groupBy("_g")
         .agg(F.min("doc_id").alias("doc_id"))
