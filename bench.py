@@ -572,6 +572,12 @@ def _fresh_jvm_confirm(
             text=True,
             timeout=2400,
         )
+        # relay per-query failures from the subprocess (its stderr is
+        # captured, so without this a query that errored inside the
+        # confirm simply keeps its in-session time with no trace)
+        for line in (proc.stderr or "").splitlines():
+            if line.startswith("# confirm error"):
+                print(line, file=sys.stderr)
         for line in proc.stdout.splitlines():
             if line.startswith("CONFIRM_JSON:"):
                 result = json.loads(line[len("CONFIRM_JSON:"):])
@@ -596,8 +602,11 @@ def _fresh_jvm_confirm(
 
 def confirm_main(req_path: str) -> None:
     """Subprocess entry for the fresh-JVM confirmation pass: time each
-    requested query twice (keep-min) per tier in a brand-new JVM and
-    print one CONFIRM_JSON line for the parent to merge."""
+    requested query FOUR times (keep-min) per tier in a brand-new JVM
+    and print one CONFIRM_JSON line for the parent to merge. N=4, not 2:
+    the iterative Arrow-kernel queries take 3-4 executions to reach JIT
+    steady state in a cold JVM (corpus_semantic_dedup measured [12.4,
+    5.7, 4.2, 3.4]s — a 2-run confirm reports warmup as a regression)."""
     with open(req_path) as f:
         req = json.load(f)
     sf = float(req.get("sf") or 0)
@@ -620,7 +629,7 @@ def confirm_main(req_path: str) -> None:
             continue
         for name in req.get(tier) or []:
             best = None
-            for _ in range(2):
+            for _ in range(4):
                 t0 = time.time()
                 try:
                     if name == "terasort_equivalent":
