@@ -646,32 +646,68 @@ def shared_span_pairs(
         .select("_blk", id_col, F.col("_x.i").alias("_i"), F.col("_x.g").alias("_g"))
     )
     if max_gram_df is not None:
-        # Per-gram distinct-doc count as a WINDOW (dense_rank over id,
-        # then max), not a groupBy+join-back: the join form shuffles the
-        # gram table once for the count and once per join side (3+ full
-        # gram shuffles, 91s+ at the 100x replica tier), while the window
-        # form shuffles it ONCE on (blk, gram) — a partitioning the a/b
-        # self-join below then consumes directly, and that both branches
-        # share through exchange reuse. Positions must survive, so a
-        # plain count_distinct can't be folded in (DISTINCT isn't legal
-        # inside a window) — dense_rank's max IS the distinct id count.
+        # CAPPED form: everything happens in ONE pass over ONE
+        # (blk, gram) shuffle — no self-join at all.
+        # 1. Per-gram distinct-doc count as a WINDOW (dense_rank over
+        #    id, then max; DISTINCT isn't legal inside a window) and the
+        #    hot-gram filter. This must precede any per-gram collection:
+        #    it is what bounds group sizes (the groupBy+join-back form
+        #    shuffled the gram table 3+ times, 91s+ at the 100x tier;
+        #    folding the count into a collect-then-filter aggregate
+        #    would build the hottest gram's full occurrence array before
+        #    filtering — the OOM again).
+        # 2. Survivor occurrences collected per gram — bounded by
+        #    construction at <= max_gram_df docs (x their positions) —
+        #    and the (id_a < id_b) pairs generated ARRAY-SIDE. The
+        #    groupBy consumes the window's partitioning (no exchange),
+        #    so the join form's second full sort of the gram table
+        #    disappears with the join (measured 84 -> ~45s at 100x).
         from pyspark.sql import Window as _W
 
         wo = _W.partitionBy("_blk", "_g").orderBy(id_col)
         wp = _W.partitionBy("_blk", "_g")
-        pg = (
+        surv = (
             pg.withColumn("_dr", F.dense_rank().over(wo))
             .withColumn("_df", F.max("_dr").over(wp))
             .filter(F.col("_df") <= max_gram_df)
-            .drop("_dr", "_df")
         )
-    a = pg.select("_blk", F.col(id_col).alias("id_a"), F.col("_i").alias("_ia"), "_g")
-    b = pg.select("_blk", F.col(id_col).alias("id_b"), F.col("_i").alias("_ib"), "_g")
-    m = (
-        a.join(b, ["_blk", "_g"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_ia", "_ib")
-    )
+        occ = surv.groupBy("_blk", "_g").agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("d"), F.col("_i").alias("p"))
+            ).alias("_occ")
+        )
+        pairs = F.flatten(
+            F.transform(
+                F.col("_occ"),
+                lambda x: F.transform(
+                    F.filter(F.col("_occ"), lambda y: y["d"] > x["d"]),
+                    lambda y: F.struct(
+                        x["d"].alias("id_a"),
+                        y["d"].alias("id_b"),
+                        x["p"].alias("ia"),
+                        y["p"].alias("ib"),
+                    ),
+                ),
+            )
+        )
+        m = occ.select(F.explode(pairs).alias("_p")).select(
+            F.col("_p.id_a").alias("id_a"),
+            F.col("_p.id_b").alias("id_b"),
+            F.col("_p.ia").alias("_ia"),
+            F.col("_p.ib").alias("_ib"),
+        )
+    else:
+        a = pg.select(
+            "_blk", F.col(id_col).alias("id_a"), F.col("_i").alias("_ia"), "_g"
+        )
+        b = pg.select(
+            "_blk", F.col(id_col).alias("id_b"), F.col("_i").alias("_ib"), "_g"
+        )
+        m = (
+            a.join(b, ["_blk", "_g"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "_ia", "_ib")
+        )
     from pyspark.sql import Window
 
     diag = (F.col("_ia") - F.col("_ib")).alias("_diag")
