@@ -1053,3 +1053,49 @@ def test_shared_span_sub_k_docs_excluded(spark):
     }
     assert (1, 2) not in got          # sub-k identical docs: no fabricated span
     assert got[(3, 4)] == 40          # real shared 40-char span still exact
+
+
+def test_shared_span_capped_path_equals_join_path(spark):
+    """The capped branch generates pairs ARRAY-SIDE (window filter ->
+    collect per gram -> pair explode) while the uncapped branch is the
+    a/b self-join — structurally different code whose outputs must be
+    IDENTICAL whenever the cap doesn't bite (df <= cap everywhere).
+    Random-ish corpus with within-doc repeated grams (position
+    multiplicity) and df exactly at the cap boundary."""
+    import random
+
+    from hadoop_common_spark.operators.dedup import shared_span_pairs
+
+    rng = random.Random(77)
+    frag = "shared-fragment-0123456789abcdef-end"  # 36 chars
+    rep = "xyxyxyxyxyxyxyxyxyxyxyxy"  # self-repetitive: grams repeat IN-doc
+    rows = []
+    for d in range(6):
+        filler = "".join(rng.choice("qwertyuiop") for _ in range(20))
+        # every doc carries frag (df == 6 == the cap boundary) and rep
+        rows.append((d, f"{filler}.{frag}!{rep}#{filler[::-1]}", "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    un = {
+        (r.id_a, r.id_b): r.max_span
+        for r in shared_span_pairs(
+            docs, "doc_id", "text", "lang", k=8, min_span=16
+        ).collect()
+    }
+    # cap == 6 == every gram's df: nothing drops, outputs must be equal
+    at_cap = {
+        (r.id_a, r.id_b): r.max_span
+        for r in shared_span_pairs(
+            docs, "doc_id", "text", "lang", k=8, min_span=16, max_gram_df=6
+        ).collect()
+    }
+    assert at_cap == un and len(un) == 15  # all C(6,2) pairs share frag
+    # cap == 5 < df: the shared fragment's grams all drop -> pairs whose
+    # only >=16 span was frag/rep disappear entirely
+    below = {
+        (r.id_a, r.id_b): r.max_span
+        for r in shared_span_pairs(
+            docs, "doc_id", "text", "lang", k=8, min_span=16, max_gram_df=5
+        ).collect()
+    }
+    assert below == {}
