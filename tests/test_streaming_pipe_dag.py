@@ -848,3 +848,61 @@ def test_fold_state_legacy_guardless_state(spark, tmp_path):
     # and the guard is live from here on
     _fold_state_batch(spark, state, out, merge, batch_id=3)
     assert spark.read.parquet(out).collect() == after
+
+
+def test_protobuf_bridge_contract():
+    """The bridge's three contractual behaviors, each in a clean
+    subprocess (this process already has google.protobuf live):
+    (1) with no wheel and no SDK, ensure_protobuf reports False instead
+    of raising; (2) the bridge serves a google.protobuf whose
+    StateMessage gencode round-trips on the wire; (3) ensure_protobuf
+    exports PYTHONPATH so JVM-spawned workers inherit the bridge."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(code, env_extra):
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        env.update(env_extra)
+        return subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            env=env, cwd=repo, timeout=120,
+        )
+
+    # (1) negative path: SDK location overridden to nowhere
+    p = run(
+        "from hadoop_common_spark.streaming.stateful import ensure_protobuf;"
+        "print('RESULT', ensure_protobuf())",
+        {"HCS_CLOUDSDK_THIRD_PARTY": "/nonexistent"},
+    )
+    assert "RESULT False" in p.stdout, (p.stdout, p.stderr[-500:])
+
+    # (2)+(3) positive path: bridge activates, pb2 gencode round-trips,
+    # PYTHONPATH carries the bridge dir for workers
+    p = run(
+        """
+from hadoop_common_spark.streaming.stateful import ensure_protobuf, protobuf_bridge_dir
+import os
+ok = ensure_protobuf()
+if not ok:
+    print('RESULT skip')  # machine without wheel or SDK: nothing to test
+else:
+    from pyspark.sql.streaming.proto import StateMessage_pb2 as sm
+    req = sm.StateRequest(version=2)
+    req.statefulProcessorCall.setHandleState.state = sm.HandleState.INITIALIZED
+    back = sm.StateRequest.FromString(req.SerializeToString())
+    assert back.version == 2 and back.WhichOneof('method') == 'statefulProcessorCall'
+    # PYTHONPATH export only required when the bridge (not a wheel) serves it
+    import google.protobuf as gp
+    bridged = 'protobuf_bridge' in (gp.__file__ or '') or 'cloudsdk' in (gp.__file__ or '')
+    path_ok = (not bridged) or protobuf_bridge_dir() in os.environ.get('PYTHONPATH', '')
+    print('RESULT', 'ok' if path_ok else 'no-pythonpath')
+""",
+        {},
+    )
+    assert "RESULT ok" in p.stdout or "RESULT skip" in p.stdout, (
+        p.stdout,
+        p.stderr[-500:],
+    )
