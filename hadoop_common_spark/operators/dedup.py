@@ -361,13 +361,38 @@ def simhash_pairs(
         ck = ck.join(ok, ["chunk", "chunk_val"])
     a = ck.select(F.col(id_col).alias("id_a"), F.col("_fp").alias("_fa"), "chunk", "chunk_val")
     b = ck.select(F.col(id_col).alias("id_b"), F.col("_fp").alias("_fb"), "chunk", "chunk_val")
-    hamming = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).cast("bigint")
+    xor = F.col("_fa").bitwiseXOR(F.col("_fb"))
+    hamming = F.bit_count(xor).cast("bigint")
+    cand = a.join(b, ["chunk", "chunk_val"]).filter(F.col("id_a") < F.col("id_b"))
+    if max_bucket_size is None:
+        # FIRST-MATCH-BAND dedup (the classic LSH trick): a qualifying
+        # pair shares >=1 chunk, so emit it ONLY from its lowest-index
+        # agreeing chunk — a map-side filter that replaces the
+        # .distinct() shuffle over the whole candidate volume (at
+        # near-dup density every true pair agrees on ALL chunks, so the
+        # distinct input was ~(d+1)x the output). NOT valid under
+        # max_bucket_size: a capped-away bucket can be the lowest
+        # agreeing chunk while the pair legitimately survives through a
+        # later band — there the distinct stays.
+        first_eq = F.coalesce(
+            *[
+                F.when(
+                    F.shiftright(xor, j * width).bitwiseAND(F.lit(mask)) == 0,
+                    F.lit(j),
+                )
+                for j in range(chunks)
+            ]
+        )
+        return (
+            cand.filter(first_eq == F.col("chunk"))
+            .withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_distance)
+            .select("id_a", "id_b", "hamming")
+        )
     return (
-        a.join(b, ["chunk", "chunk_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
         # verify BEFORE the dedup shuffle: popcount is a few instructions,
         # and pruning failed candidates early shrinks the distinct input
-        .withColumn("hamming", hamming)
+        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
         .distinct()
