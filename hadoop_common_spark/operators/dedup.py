@@ -233,12 +233,58 @@ def minhash_lsh_pairs(
         ],
         F.collect_set("_one").alias("_shset"),
     )
-    bk = lsh_band_keys(sig, id_col, bands, rows)
-    if max_bucket_size is not None:
+    if max_bucket_size is None:
+        # FIRST-MATCH-BAND candidate dedup (same trick as simhash_pairs):
+        # each bk row carries the doc's FULL band-key vector, and a pair
+        # is emitted only from its lowest agreeing band — a map-side
+        # filter instead of a .distinct() shuffle over the candidate
+        # multiset (near-identical docs agree on ALL bands, so that
+        # multiset is ~bands x the unique pairs at high dup density; the
+        # r5 100x study measured it at 2.2B rows). The carried vector is
+        # bands x 32-char md5 per row — fixed width, never corpus-sized.
+        keys = [
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
+                )
+            )
+            for b in range(bands)
+        ]
+        bk = sig.select(
+            F.col(id_col), F.array(*keys).alias("_keys")
+        ).select(
+            id_col, "_keys", F.posexplode("_keys").alias("band", "band_key")
+        )
+        a = bk.select(
+            F.col(id_col).alias("id_a"), F.col("_keys").alias("_ka"), "band", "band_key"
+        )
+        b = bk.select(
+            F.col(id_col).alias("id_b"), F.col("_keys").alias("_kb"), "band", "band_key"
+        )
+        first_eq = F.coalesce(
+            *[
+                F.when(
+                    F.element_at("_ka", j + 1) == F.element_at("_kb", j + 1),
+                    F.lit(j),
+                )
+                for j in range(bands)
+            ]
+        )
+        cand = (
+            a.join(b, ["band", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(first_eq == F.col("band"))
+            .select("id_a", "id_b")
+        )
+    else:
+        bk = lsh_band_keys(sig, id_col, bands, rows)
         # occupancy guard (skew.capped_self_join_pairs rationale): a
         # degenerate band bucket fans out occ²/2 pairs; capped buckets
         # drop out of candidate generation, their members still pair
-        # through other bands
+        # through other bands. First-match dedup is NOT valid here (a
+        # capped bucket can be the lowest agreeing band), so the
+        # distinct stays.
         ok = (
             bk.groupBy("band", "band_key")
             .agg(F.count(F.lit(1)).alias("_occ"))
@@ -246,14 +292,14 @@ def minhash_lsh_pairs(
             .select("band", "band_key")
         )
         bk = bk.join(ok, ["band", "band_key"])
-    a = bk.select(F.col(id_col).alias("id_a"), "band", "band_key")
-    b = bk.select(F.col(id_col).alias("id_b"), "band", "band_key")
-    cand = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+        a = bk.select(F.col(id_col).alias("id_a"), "band", "band_key")
+        b = bk.select(F.col(id_col).alias("id_b"), "band", "band_key")
+        cand = (
+            a.join(b, ["band", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("_shset").alias("sh_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("_shset").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
