@@ -563,6 +563,8 @@ def _fresh_jvm_confirm(
         "scale100_dir": scale100_dir,
     }
     fd, path = tempfile.mkstemp(suffix=".json", prefix="hcs_bench_confirm_")
+    n_flagged = len(headline_names) + len(scale_names) + len(scale100_names)
+    stdout_text = ""
     try:
         with os.fdopen(fd, "w") as f:
             json.dump(req, f)
@@ -570,15 +572,19 @@ def _fresh_jvm_confirm(
             [sys.executable, os.path.abspath(__file__), "--confirm", path],
             capture_output=True,
             text=True,
-            timeout=2400,
+            # scale with the flag count: 4 runs each, the 100x-tier
+            # queries run ~1-2 min apiece — a fixed window turned one
+            # slow pass into an all-or-nothing loss
+            timeout=600 + 300 * n_flagged,
         )
+        stdout_text = proc.stdout or ""
         # relay per-query failures from the subprocess (its stderr is
         # captured, so without this a query that errored inside the
         # confirm simply keeps its in-session time with no trace)
         for line in (proc.stderr or "").splitlines():
             if line.startswith("# confirm error"):
                 print(line, file=sys.stderr)
-        for line in proc.stdout.splitlines():
+        for line in stdout_text.splitlines():
             if line.startswith("CONFIRM_JSON:"):
                 result = json.loads(line[len("CONFIRM_JSON:"):])
                 # audit line: a confirm that ran but didn't clear a flag
@@ -590,6 +596,11 @@ def _fresh_jvm_confirm(
             f"{proc.stderr[-500:] if proc.stderr else ''}",
             file=sys.stderr,
         )
+    except subprocess.TimeoutExpired as e:
+        stdout_text = (
+            e.stdout.decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        )
+        print("# bench confirm subprocess timed out; harvesting partial results", file=sys.stderr)
     except Exception as e:
         print(f"# bench confirm subprocess failed: {type(e).__name__}: {e}", file=sys.stderr)
     finally:
@@ -597,7 +608,18 @@ def _fresh_jvm_confirm(
             os.unlink(path)
         except OSError:
             pass
-    return {}
+    # no final JSON: harvest whatever per-query parts were emitted
+    partial: dict = {"headline": {}, "scale": {}, "scale100": {}}
+    for line in stdout_text.splitlines():
+        if line.startswith("CONFIRM_PART:"):
+            try:
+                p = json.loads(line[len("CONFIRM_PART:"):])
+                partial[p["tier"]][p["name"]] = p["best"]
+            except (json.JSONDecodeError, KeyError):
+                continue
+    if any(partial.values()):
+        print(f"# bench confirm (partial, fresh JVM): {json.dumps(partial)}", file=sys.stderr)
+    return partial
 
 
 def confirm_main(req_path: str) -> None:
@@ -646,6 +668,14 @@ def confirm_main(req_path: str) -> None:
                 best = el if best is None else min(best, el)
             if best is not None:
                 out[tier][name] = best
+                # incremental record: if the subprocess is killed (parent
+                # timeout, OOM) the parent can still harvest every query
+                # that DID finish instead of discarding the whole pass
+                print(
+                    "CONFIRM_PART:"
+                    + json.dumps({"tier": tier, "name": name, "best": best}),
+                    flush=True,
+                )
     print("CONFIRM_JSON:" + json.dumps(out))
     spark.stop()
 
@@ -852,8 +882,9 @@ def main() -> None:
     # session" numbers; two rounds running, flags were burned on
     # long-session artifacts that a fresh JVM does not reproduce (e.g.
     # corpus_semantic_dedup [12.4, 5.7, 4.2, 3.4]s fresh vs 10.6s
-    # in-session keep-min). Two runs each (the first pays python-worker/
-    # Arrow first-touch), keep-min merged into the tier timings.
+    # in-session keep-min). FOUR runs each (cold-JVM JIT takes 3-4
+    # executions to reach steady state on the iterative Arrow queries),
+    # keep-min merged into the tier timings.
     flagged = set(_regressions(timings, prev_q, host_slowdown))
     scale_flagged = (
         set(_regressions(scale_timings, prev_scale, host_slowdown))

@@ -727,12 +727,22 @@ def shared_span_pairs(
         #    folding the count into a collect-then-filter aggregate
         #    would build the hottest gram's full occurrence array before
         #    filtering — the OOM again).
-        # 2. Survivor occurrences collected per gram — bounded by
-        #    construction at <= max_gram_df docs (x their positions) —
-        #    and the (id_a < id_b) pairs generated ARRAY-SIDE. The
-        #    groupBy consumes the window's partitioning (no exchange),
-        #    so the join form's second full sort of the gram table
-        #    disappears with the join (measured 84 -> ~45s at 100x).
+        # 2. Survivor positions collected PER (gram, doc) — an array
+        #    bounded by one document's length — then a self-join of
+        #    those compact per-doc rows on (blk, gram): fan-out is at
+        #    most max_gram_df^2/2 ROWS per gram, and each row's
+        #    position-cross-product array is m_a x m_b (within-doc
+        #    occurrence counts — document-length bounded). No step ever
+        #    holds a whole gram's pair set in one value: the first
+        #    array-side form collected ALL occurrences per gram and
+        #    flattened the full pair set into one row, which is bounded
+        #    in docs but NOT in within-doc multiplicity (8 docs x 10k
+        #    repeats of one gram = 2.8e9 structs in a single row — past
+        #    Spark's 2^31 array limit — where the join streams the same
+        #    volume through a disk-backed shuffle). Every aggregate and
+        #    the join consume the window's (blk, gram) partitioning: the
+        #    join form's second full shuffle of the gram table is still
+        #    gone (measured 84 -> ~45s at 100x).
         from pyspark.sql import Window as _W
 
         wo = _W.partitionBy("_blk", "_g").orderBy(id_col)
@@ -742,30 +752,34 @@ def shared_span_pairs(
             .withColumn("_df", F.max("_dr").over(wp))
             .filter(F.col("_df") <= max_gram_df)
         )
-        occ = surv.groupBy("_blk", "_g").agg(
-            F.collect_list(
-                F.struct(F.col(id_col).alias("d"), F.col("_i").alias("p"))
-            ).alias("_occ")
+        dococc = surv.groupBy("_blk", "_g", id_col).agg(
+            F.collect_list("_i").alias("_ps")
         )
-        pairs = F.flatten(
+        pa = dococc.select(
+            "_blk", "_g", F.col(id_col).alias("id_a"), F.col("_ps").alias("_pa")
+        )
+        pb = dococc.select(
+            "_blk", "_g", F.col(id_col).alias("id_b"), F.col("_ps").alias("_pb")
+        )
+        cross = F.flatten(
             F.transform(
-                F.col("_occ"),
-                lambda x: F.transform(
-                    F.filter(F.col("_occ"), lambda y: y["d"] > x["d"]),
-                    lambda y: F.struct(
-                        x["d"].alias("id_a"),
-                        y["d"].alias("id_b"),
-                        x["p"].alias("ia"),
-                        y["p"].alias("ib"),
-                    ),
+                F.col("_pa"),
+                lambda ia: F.transform(
+                    F.col("_pb"),
+                    lambda ib: F.struct(ia.alias("ia"), ib.alias("ib")),
                 ),
             )
         )
-        m = occ.select(F.explode(pairs).alias("_p")).select(
-            F.col("_p.id_a").alias("id_a"),
-            F.col("_p.id_b").alias("id_b"),
-            F.col("_p.ia").alias("_ia"),
-            F.col("_p.ib").alias("_ib"),
+        m = (
+            pa.join(pb, ["_blk", "_g"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.explode(cross).alias("_pp"))
+            .select(
+                "id_a",
+                "id_b",
+                F.col("_pp.ia").alias("_ia"),
+                F.col("_pp.ib").alias("_ib"),
+            )
         )
     else:
         a = pg.select(

@@ -885,6 +885,10 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gram rows vs a 16 GB heap). This shape has no memory floor at any
     # corpus size: one explode -> one map-side-combined shuffle on the
     # gram, everything else doc-keyed.
+    # size(grams), NOT length(text)-k+1: grams is array_distinct'ed, so
+    # the count is DISTINCT grams (what the oracle's totals count) and a
+    # positional formula would overcount repeated grams. Rebuilding the
+    # gram array here is per-row CPU on a zero-shuffle projection.
     totals = eligible.select(
         "doc_id", F.size(grams).cast("bigint").alias("n_grams")
     )

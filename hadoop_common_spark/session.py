@@ -34,12 +34,13 @@ def configure_for_scale(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable scale/determinism confs to an existing session.
 
     Safe to call on a session we did not build (the verify driver's).
-    Memoized per session: each conf.set is a py4j round trip and the
-    query wrappers call this on every query — the confs only need to
-    land once (nothing in the engine mutates them afterwards).
+    Deliberately NOT memoized: re-asserting the confs on every query is
+    a handful of cheap py4j round trips, and it is what self-heals a
+    host session whose confs were mutated between queries (a driver or
+    test flipping the timezone would otherwise silently skew every
+    later timestamp query against the UTC-based oracles). The expensive
+    part (shipping the package zip) keeps its own one-shot memo.
     """
-    if getattr(spark, "_hcs_scale_configured", False):
-        return spark
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -48,7 +49,6 @@ def configure_for_scale(spark: SparkSession) -> SparkSession:
             # query over a tuning knob.
             pass
     _ship_package(spark)
-    spark._hcs_scale_configured = True
     return spark
 
 

@@ -62,19 +62,22 @@ def register_views(
 ) -> dict[str, DataFrame]:
     """Load tables and register them as temp views for the SQL surface.
 
-    Memoized per (session, sf_dir): every registration costs ~10 parquet
-    footer reads + 10 py4j round trips (measured 0.6-2.0s), and the
-    query wrappers call this on EVERY query — at small SFs that fixed
-    overhead dominates sub-2s queries and its JVM-state variance was
-    misread as per-query drift (r6's pipeline_clean_corpus watch item).
-    A real application registers its catalog once per session; so do we.
-    Pass ``force=True`` after rewriting a table's files at the same path
-    in-session (a temp view pins its file listing at read time)."""
-    if not force and getattr(spark, "_hcs_views_sf_dir", None) == sf_dir:
-        return spark._hcs_views_tables
-    tables = load_tables(spark, sf_dir)
+    The LOADS are memoized per (session, sf_dir): each costs ~10 parquet
+    footer reads + py4j round trips (measured 0.6-2.0s), and the query
+    wrappers call this on EVERY query — at small SFs that fixed overhead
+    dominates sub-2s queries and its JVM-state variance was misread as
+    per-query drift (r6's pipeline_clean_corpus watch item). The view
+    REGISTRATION is re-applied every call (~85ms for all 10): a temp
+    view is global per session, so anything that re-pointed one of the
+    names out-of-band (a test registering its own 'documents') would
+    otherwise silently survive a memo hit and serve wrong data. Pass
+    ``force=True`` after rewriting a table's files at the same path
+    in-session (a memoized DataFrame pins its file listing at read
+    time)."""
+    if force or getattr(spark, "_hcs_views_sf_dir", None) != sf_dir:
+        spark._hcs_views_tables = load_tables(spark, sf_dir)
+        spark._hcs_views_sf_dir = sf_dir
+    tables = spark._hcs_views_tables
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
-    spark._hcs_views_sf_dir = sf_dir
-    spark._hcs_views_tables = tables
     return tables

@@ -83,3 +83,8 @@ def test_register_views_memoized_and_force(spark, tmp_path):
     forced = register_views(spark, d, force=True)
     assert forced is not None
     assert spark.table("region").count() == 2
+    # restore the standard views: the session is shared and a later test
+    # reading spark.table(...) without its own register_views call must
+    # not see this test's truncated tmp copy
+    register_views(spark, "/root/testdata/sf0.001", force=True)
+    assert spark.table("region").count() == 5
