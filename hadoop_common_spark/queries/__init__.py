@@ -78,82 +78,20 @@ _QUERY_MODULES = [
 
 # Driver-facing iteration order. The external correctness harness walks the
 # registry in dict order and has a bounded budget (~50 rows/round), so the
-# order is part of the evidence strategy. Round-7 rotation (derived from
-# the union of CORRECTNESS_r01..r06, oldest-newest-row-first): the 4
-# never-driver-checked queries lead, then the r7 newcomer, the 6 r02-era
-# rows, and 39 of the 48 r03-era rows (the 9 lowest-risk r03 shapes spill
-# to the overflow head to hold the 50-entry cap). Overflow = r03 spill ->
-# r04 -> r05 -> r06, so the r8 rotation head is simply the current
-# overflow head. Names not in either list are slotted right after the
-# window block, BEFORE the overflow, so a new query is never silently
-# pushed out of the checked window.
+# order is part of the evidence strategy. Round-8 rotation (VERDICT r7
+# #1): the 2 r8 newcomers lead (first claim), then the 9 r03-era rows
+# pre-staged at the r7 overflow head, then the 39 oldest r04-green rows.
+# The 10 remaining r04 rows move to the overflow head; r9 finishes the
+# cycle. Overflow = r04 remainder -> r05 -> r06 -> r07-checked (the old
+# window, now the freshest evidence in the fleet). Names not in either
+# list are slotted right after the window block, BEFORE the overflow, so
+# a new query is never silently pushed out of the checked window.
 PRIORITY_WINDOW: list[str] = [
-    # -- r7 rotation: 4 never-driver-checked queries lead (first claim) --
-    "dedup_shared_span_pairs",
-    "events_close_pairs",
-    "corpus_ngram_novelty",
-    "similarity_matryoshka_recall_eval",
-    # -- r7 newcomer (VERDICT r6 #5): first claim --
-    "dedup_shared_span_pairs_capped",
-    # -- r02-era rows (oldest hard signal in the fleet) --
-    "zorder_layout_keys",
-    "join_semi_anti",
-    "returnflag_priority_pivot",
-    "rollup_region_nation_revenue",
-    "cube_status_priority",
-    "grouping_sets_events",
-    # -- r03-era rows (9 lowest-risk r03 shapes spilled to the overflow
-    #    head to hold the 50-entry window cap: pure-compute/synthetic
-    #    generators, flagship [entry()-smoked every round], and three
-    #    shapes with an in-window sibling) --
-    "dedup_embedding_cosine",
-    "similarity_ivfpq_topk",
-    "similarity_lsh_multiprobe_topk",
-    "dedup_winnow_pairs",
-    "dedup_exact_normalized",
-    "embedding_quantize_int8",
-    "hybrid_search_rerank",
-    "text_bm25_topk",
-    "corpus_bigram_familiarity",
-    "text_fuzzy_word_pairs",
-    "text_boilerplate_ngrams",
-    "text_token_cms_topk",
-    "graph_triangle_count",
-    "graph_clustering_coefficient",
-    "events_funnel",
-    "events_cohort_retention",
-    "events_weekday_heatmap",
-    "events_outlier_counts",
-    "events_gapfill_minutes",
-    "events_multires_rollup",
-    "events_rolling_1h_stats",
-    "events_value_percentiles",
-    "events_value_ntile_deciles",
-    "events_transition_matrix",
-    "corpus_pack_sequences",
-    "corpus_stratified_sample",
-    "corpus_split_leakage",
-    "corpus_chunk_overlap",
-    "orders_scd2_intervals",
-    "lineitem_unpivot_measures",
-    "multimodal_audio_features",
-    "multimodal_resize_plan",
-    "above_nation_avg_balance",
-    "customers_without_urgent_orders",
-    "parts_in_urgent_orders",
-    "brands_with_many_parts",
-    "important_parts_share",
-    "waiting_suppliers",
-    "min_cost_supplier",
-]
-
-# ---- 50-entry checked-window boundary ----
-# (the driver checks ~50 rows/round — the window must fit; unlisted
-# newcomers auto-slot right after it, BEFORE the overflow)
-# Overflow order = oldest evidence first: the 9 r03 shapes the window cap
-# displaced (r8 rotation head), then r04-green, r05-green, r06-green.
-PRIORITY_OVERFLOW: list[str] = [
-    # -- r03-era spill (r8 rotation head): window-cap displacements --
+    # -- r8 newcomers (VERDICT r7 #5 transformWithState batch twins):
+    #    first claim --
+    "stream_session_expiry_batch",
+    "stream_topk_per_user_batch",
+    # -- r03-era rows (newest driver row r03; staged at r7 overflow head) --
     "flagship_revenue_by_nation",
     "random_text_wordcount",
     "terasort_head",
@@ -163,7 +101,7 @@ PRIORITY_OVERFLOW: list[str] = [
     "pivot_status_priority",
     "events_value_percentiles_sampled",
     "above_avg_balance",
-    # -- r04-green --
+    # -- r04-era rows (newest driver row r04; oldest-first 39 of 49) --
     "teragen_checksum",
     "montecarlo_pi",
     "asof_join_last_purchase",
@@ -203,6 +141,16 @@ PRIORITY_OVERFLOW: list[str] = [
     "promo_revenue_share",
     "market_share_by_year",
     "nation_profit_by_year",
+]
+
+# ---- 50-entry checked-window boundary ----
+# (the driver checks ~50 rows/round — the window must fit; unlisted
+# newcomers auto-slot right after it, BEFORE the overflow)
+# Overflow order = oldest evidence first: the 10 r04 rows the window cap
+# displaced (r9 rotation head), then r05-green, r06-green, and the old
+# r7-checked window at the tail (freshest hard rows in the fleet).
+PRIORITY_OVERFLOW: list[str] = [
+    # -- r04-era remainder (r9 rotation head): window-cap displacements --
     "top_supplier_by_revenue",
     "quantity_band_revenue",
     "small_quantity_revenue",
@@ -315,6 +263,57 @@ PRIORITY_OVERFLOW: list[str] = [
     "similarity_pq_recall_eval",
     "local_supplier_volume",
     "forecast_revenue_change",
+    # -- r07-checked (the old r7 window — freshest hard rows) --
+    "dedup_shared_span_pairs",
+    "events_close_pairs",
+    "corpus_ngram_novelty",
+    "similarity_matryoshka_recall_eval",
+    "dedup_shared_span_pairs_capped",
+    "zorder_layout_keys",
+    "join_semi_anti",
+    "returnflag_priority_pivot",
+    "rollup_region_nation_revenue",
+    "cube_status_priority",
+    "grouping_sets_events",
+    "dedup_embedding_cosine",
+    "similarity_ivfpq_topk",
+    "similarity_lsh_multiprobe_topk",
+    "dedup_winnow_pairs",
+    "dedup_exact_normalized",
+    "embedding_quantize_int8",
+    "hybrid_search_rerank",
+    "text_bm25_topk",
+    "corpus_bigram_familiarity",
+    "text_fuzzy_word_pairs",
+    "text_boilerplate_ngrams",
+    "text_token_cms_topk",
+    "graph_triangle_count",
+    "graph_clustering_coefficient",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_weekday_heatmap",
+    "events_outlier_counts",
+    "events_gapfill_minutes",
+    "events_multires_rollup",
+    "events_rolling_1h_stats",
+    "events_value_percentiles",
+    "events_value_ntile_deciles",
+    "events_transition_matrix",
+    "corpus_pack_sequences",
+    "corpus_stratified_sample",
+    "corpus_split_leakage",
+    "corpus_chunk_overlap",
+    "orders_scd2_intervals",
+    "lineitem_unpivot_measures",
+    "multimodal_audio_features",
+    "multimodal_resize_plan",
+    "above_nation_avg_balance",
+    "customers_without_urgent_orders",
+    "parts_in_urgent_orders",
+    "brands_with_many_parts",
+    "important_parts_share",
+    "waiting_suppliers",
+    "min_cost_supplier",
 ]
 
 
