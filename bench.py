@@ -897,6 +897,11 @@ def main() -> None:
         else set()
     )
     if flagged or scale_flagged or scale100_flagged:
+        # Stop the parent JVM FIRST: nothing below uses the session, and
+        # a live parent holding the 100x-tier heap competes with the
+        # confirm subprocess for memory/CPU — exactly the other-JVM
+        # interference the confirm pass exists to remove (ADVICE r7).
+        spark.stop()
         confirmed = _fresh_jvm_confirm(
             sf_dir,
             sf,

@@ -292,6 +292,13 @@ def interval_lookup_join_binned(
 
     Returns points columns + interval columns (both sides' non-block
     columns must not collide; block columns appear once).
+
+    BREAKING (r7): non-block column collisions now raise ValueError up
+    front. Earlier rounds let collisions through when the colliding
+    columns happened to be unused in the join predicate (the output then
+    carried ambiguous duplicate names); the docstring always forbade
+    them, but callers relying on that leniency must now ``.drop()`` or
+    rename the colliding passthrough columns on one side first.
     """
     blocks = list(block_cols or [])
     clash = sorted(

@@ -291,12 +291,40 @@ def neardup_candidates_stream(
     )
 
 
+# Filesystem schemes whose rename is a non-atomic copy+delete: the swap
+# protocol's crash-safety contract does NOT hold on them (a crash
+# mid-"rename" can leave a partial, marker-less out_path). The protocol
+# is designed for atomic-rename filesystems (local, HDFS, viewfs).
+_NON_ATOMIC_RENAME_SCHEMES = frozenset(
+    {"s3a", "s3n", "s3", "gs", "wasb", "wasbs", "abfs", "abfss", "oss",
+     "cos", "swift"}
+)
+_warned_schemes: set[str] = set()
+
+
 def _state_fs(spark, path: str):
-    """Hadoop FileSystem + Path for a state directory (works for any
-    Hadoop-supported scheme, not just local FS)."""
+    """Hadoop FileSystem + Path for a state directory. The swap protocol
+    built on this requires ATOMIC rename — local FS, HDFS, viewfs. On
+    object stores (S3A, GCS, ABFS, ...) rename is copy+delete and a
+    crash mid-swap can leave partial state; we warn loudly once per
+    scheme rather than refuse (some deployments mount consistent
+    rename-capable layers under these schemes)."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    scheme = fs.getUri().getScheme()
+    if scheme in _NON_ATOMIC_RENAME_SCHEMES and scheme not in _warned_schemes:
+        import warnings
+
+        _warned_schemes.add(scheme)
+        warnings.warn(
+            f"state maintainer at {path}: scheme {scheme}:// renames are "
+            "non-atomic (copy+delete); the staging-swap protocol's "
+            "crash-safety holds only on atomic-rename filesystems "
+            "(local/HDFS). A crash mid-swap here can leave partial state.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return fs, jvm
 
 
@@ -307,13 +335,26 @@ def _rename_or_raise(fs, src, dst) -> None:
         raise RuntimeError(f"state swap rename failed: {src} -> {dst}")
 
 
+# The protocol's OWN commit marker, written by _fold_state_batch itself
+# right after the staging parquet write. The committer's _SUCCESS marker
+# is also accepted (legacy state written before this marker existed),
+# but is NOT relied on: _SUCCESS only appears when
+# mapreduce.fileoutputcommitter.marksuccessfuljobs=true, a conf many
+# production deployments disable — without an own marker the first fold
+# would succeed and every later read would misdiagnose the state as a
+# crashed partial write.
+_COMMIT_MARKER = "_HCS_COMMITTED"
+
+
 def _committed(fs, jvm, path: str) -> bool:
-    """A state dir counts as committed only if the FileOutputCommitter's
-    _SUCCESS marker is present — a directory that exists without it is a
-    write that crashed partway and must never be read as state."""
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return bool(fs.exists(p)) and bool(
-        fs.exists(jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS"))
+    """A state dir counts as committed only if a commit marker is
+    present (our own _HCS_COMMITTED, or the committer's _SUCCESS for
+    pre-marker legacy state) — a directory that exists without either is
+    a write that crashed partway and must never be read as state."""
+    P = jvm.org.apache.hadoop.fs.Path
+    return bool(fs.exists(P(path))) and (
+        bool(fs.exists(P(path + "/" + _COMMIT_MARKER)))
+        or bool(fs.exists(P(path + "/_SUCCESS")))
     )
 
 
@@ -346,10 +387,11 @@ def _read_state_committed(spark, out_path):
             return None  # genuinely first batch
     if not _committed(fs, jvm, out_path):
         raise RuntimeError(
-            f"maintainer state at {out_path} exists without _SUCCESS — "
-            "a previous in-place overwrite crashed mid-write; the state "
-            "is partial and cannot be folded onto. Rebuild it from the "
-            "source stream (delete the dir and replay)."
+            f"maintainer state at {out_path} exists without a commit "
+            f"marker ({_COMMIT_MARKER} or _SUCCESS) — a previous "
+            "in-place overwrite crashed mid-write; the state is partial "
+            "and cannot be folded onto. Rebuild it from the source "
+            "stream (delete the dir and replay)."
         )
     return spark.read.parquet(out_path)
 
@@ -390,18 +432,52 @@ def _fold_state_batch(spark, state, out_path, merge_states, batch_id=None):
     treated as pre-guard: the fold proceeds and stamps ``_bid`` from
     here on (one redelivered batch could double-fold across that
     migration boundary — explicit and bounded, vs. failing forever).
+
+    SINGLE-WRITER contract: one maintainer per ``out_path``. Two
+    concurrent folds would interleave the staging writes and renames
+    and can promote each other's half-written staging dirs — so the
+    fold takes an exclusive LEASE (atomic ``createNewFile`` on
+    ``out_path__lease``) for its whole write+swap window and raises
+    loudly if the lease is already held. A fold killed hard (no chance
+    to clean up) leaves a stale lease behind; that is deliberate — the
+    error says exactly what to delete once the operator has confirmed
+    no other maintainer is running, which is the safe failure mode (vs.
+    a TTL silently letting a slow-but-alive writer be overlapped).
     """
-    prev = _read_state_committed(spark, out_path)
-    if batch_id is not None and prev is not None and "_bid" in prev.columns:
-        last = prev.agg(F.max("_bid")).collect()[0][0]
-        if last is not None and batch_id <= last:
-            return  # redelivered batch: its rows are already in state
-        prev = prev.drop("_bid")
-    merged = merge_states(state if prev is None else prev.unionByName(state))
-    if batch_id is not None:
-        merged = merged.withColumn("_bid", F.lit(batch_id))
-    merged.write.mode("overwrite").parquet(out_path + "__staging")
-    _swap_state(spark, out_path)
+    fs, jvm = _state_fs(spark, out_path)
+    P = jvm.org.apache.hadoop.fs.Path
+    lease = P(out_path + "__lease")
+    if not fs.createNewFile(lease):
+        raise RuntimeError(
+            f"maintainer state at {out_path}: lease file {out_path}__lease "
+            "already exists — another maintainer is folding into this "
+            "path (the protocol is single-writer per out_path), or a "
+            "previous fold was killed mid-write. If you are certain no "
+            "other maintainer is running, delete the lease file and "
+            "re-run; state itself is intact (the crash windows are "
+            "repaired on the next read)."
+        )
+    try:
+        prev = _read_state_committed(spark, out_path)
+        if batch_id is not None and prev is not None and "_bid" in prev.columns:
+            last = prev.agg(F.max("_bid")).collect()[0][0]
+            if last is not None and batch_id <= last:
+                return  # redelivered batch: its rows are already in state
+            prev = prev.drop("_bid")
+        merged = merge_states(
+            state if prev is None else prev.unionByName(state)
+        )
+        if batch_id is not None:
+            merged = merged.withColumn("_bid", F.lit(batch_id))
+        staging = out_path + "__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        # our OWN commit marker: _SUCCESS appears only under
+        # marksuccessfuljobs=true, which deployments disable — the
+        # protocol must not depend on committer conf (see _COMMIT_MARKER)
+        fs.createNewFile(P(staging + "/" + _COMMIT_MARKER))
+        _swap_state(spark, out_path)
+    finally:
+        fs.delete(lease, False)
 
 
 def _run_state_maintainer(

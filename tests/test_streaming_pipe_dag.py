@@ -818,10 +818,86 @@ def test_fold_state_crash_recovery(spark, tmp_path):
     assert got is not None and got.collect() == committed
     shutil.rmtree(str(tmp_path / "state__staging"))
 
-    # partial out_path itself (legacy overwrite crash): loud failure
+    # partial out_path itself (legacy overwrite crash): loud failure —
+    # both accepted markers must be gone (the protocol's own
+    # _HCS_COMMITTED and the committer's _SUCCESS)
     (tmp_path / "state" / "_SUCCESS").unlink()
-    with pytest.raises(RuntimeError, match="_SUCCESS"):
+    (tmp_path / "state" / "_HCS_COMMITTED").unlink()
+    with pytest.raises(RuntimeError, match="commit marker"):
         _read_state_committed(spark, out)
+
+
+def test_fold_state_commit_marker_independent_of_committer_conf(
+    spark, tmp_path
+):
+    """The protocol must not depend on the committer's _SUCCESS marker:
+    with mapreduce.fileoutputcommitter.marksuccessfuljobs=false (a
+    common production setting) the fold writes its OWN _HCS_COMMITTED
+    marker, so the second fold still reads the first's state instead of
+    misdiagnosing it as a crashed partial write (ADVICE r7, medium)."""
+    from hadoop_common_spark.operators.aggregate import ohlc_aggregate, ohlc_merge
+    from hadoop_common_spark.streaming.jobs import _fold_state_batch
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    prev_val = hconf.get(key)
+    hconf.set(key, "false")
+    try:
+        out = str(tmp_path / "state")
+        rows = spark.createDataFrame(
+            [("a", 1, 10, 1, 5.0), ("a", 1, 11, 2, 7.0)],
+            "g string, bkt int, sec long, id long, v double",
+        )
+        state = ohlc_aggregate(rows, ["g", "bkt"], "sec", "id", "v")
+        merge = lambda m: ohlc_merge(m, ["g", "bkt"])
+        _fold_state_batch(spark, state, out, merge, batch_id=0)
+        assert not (tmp_path / "state" / "_SUCCESS").exists()
+        assert (tmp_path / "state" / "_HCS_COMMITTED").exists()
+        # the second fold must read (not reject) the first fold's state
+        _fold_state_batch(spark, state, out, merge, batch_id=1)
+        after = spark.read.parquet(out).collect()
+        assert after[0].n_events == 4
+    finally:
+        if prev_val is None:
+            hconf.unset(key)
+        else:
+            hconf.set(key, prev_val)
+
+
+def test_fold_state_single_writer_lease(spark, tmp_path):
+    """The swap protocol is single-writer per out_path: a second fold
+    entering while the lease is held must raise loudly (not interleave
+    renames and promote a half-written staging dir), and the state on
+    disk must be exactly what the holder committed (VERDICT r7 #6)."""
+    import pytest
+
+    from hadoop_common_spark.operators.aggregate import ohlc_aggregate, ohlc_merge
+    from hadoop_common_spark.streaming.jobs import _fold_state_batch
+
+    out = str(tmp_path / "state")
+    rows = spark.createDataFrame(
+        [("a", 1, 10, 1, 5.0), ("a", 1, 11, 2, 7.0)],
+        "g string, bkt int, sec long, id long, v double",
+    )
+    state = ohlc_aggregate(rows, ["g", "bkt"], "sec", "id", "v")
+    merge = lambda m: ohlc_merge(m, ["g", "bkt"])
+    _fold_state_batch(spark, state, out, merge, batch_id=0)
+    committed = spark.read.parquet(out).collect()
+
+    # a concurrent maintainer holds the lease: the interleaved fold
+    # must refuse, and must not touch the committed state
+    (tmp_path / "state__lease").touch()
+    with pytest.raises(RuntimeError, match="lease"):
+        _fold_state_batch(spark, state, out, merge, batch_id=1)
+    assert spark.read.parquet(out).collect() == committed
+    assert not (tmp_path / "state__staging").exists()
+
+    # lease released (or operator-cleared after a hard kill): fold runs
+    (tmp_path / "state__lease").unlink()
+    _fold_state_batch(spark, state, out, merge, batch_id=1)
+    assert spark.read.parquet(out).collect()[0].n_events == 4
+    # and the fold cleaned its own lease up
+    assert not (tmp_path / "state__lease").exists()
 
 
 def test_fold_state_legacy_guardless_state(spark, tmp_path):
