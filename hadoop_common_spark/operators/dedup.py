@@ -718,7 +718,11 @@ def shared_span_pairs(
     )
     if max_gram_df is not None:
         # CAPPED form: everything happens in ONE pass over ONE
-        # (blk, gram) shuffle — no self-join at all.
+        # (blk, gram) shuffle — no self-join at all (r8: the r7 form
+        # DID self-join the per-(gram,doc) rows on (blk, gram), which
+        # recomputed the whole window+collect lineage on both join
+        # branches and re-sorted each side for the SMJ — measured 62s
+        # at the 100x tier vs ~40s for this single-lineage form).
         # 1. Per-gram distinct-doc count as a WINDOW (dense_rank over
         #    id, then max; DISTINCT isn't legal inside a window) and the
         #    hot-gram filter. This must precede any per-gram collection:
@@ -727,22 +731,21 @@ def shared_span_pairs(
         #    folding the count into a collect-then-filter aggregate
         #    would build the hottest gram's full occurrence array before
         #    filtering — the OOM again).
-        # 2. Survivor positions collected PER (gram, doc) — an array
-        #    bounded by one document's length — then a self-join of
-        #    those compact per-doc rows on (blk, gram): fan-out is at
-        #    most max_gram_df^2/2 ROWS per gram, and each row's
-        #    position-cross-product array is m_a x m_b (within-doc
-        #    occurrence counts — document-length bounded). No step ever
-        #    holds a whole gram's pair set in one value: the first
-        #    array-side form collected ALL occurrences per gram and
-        #    flattened the full pair set into one row, which is bounded
-        #    in docs but NOT in within-doc multiplicity (8 docs x 10k
-        #    repeats of one gram = 2.8e9 structs in a single row — past
-        #    Spark's 2^31 array limit — where the join streams the same
-        #    volume through a disk-backed shuffle). Every aggregate and
-        #    the join consume the window's (blk, gram) partitioning: the
-        #    join form's second full shuffle of the gram table is still
-        #    gone (measured 84 -> ~45s at 100x).
+        # 2. Survivor positions collected PER (gram, doc), then CHUNKED
+        #    into fixed 256-position sub-arrays, then all of a gram's
+        #    (doc, chunk) entries collected into ONE per-gram row (array
+        #    size = the gram's total occurrences — LINEAR, ≤ df × doclen;
+        #    it was the quadratic in-row PAIR array that overflowed
+        #    Spark's 2^31 single-array bound in the pre-r7 form: 8 docs
+        #    x 10k in-doc repeats = 2.8e9 structs in one value).
+        # 3. Pair generation by DOUBLE EXPLODE of that one row — chunk
+        #    _ca crossed with every higher-id chunk _cb as separate ROWS
+        #    — so the quadratic blowup happens across rows, never inside
+        #    one value: the widest row any step produces is one 256x256
+        #    position cross product (65k structs). Every aggregate and
+        #    both explodes consume the window's (blk, gram) partitioning
+        #    — one exchange for the entire candidate generation, one
+        #    lineage, nothing computed twice.
         from pyspark.sql import Window as _W
 
         wo = _W.partitionBy("_blk", "_g").orderBy(id_col)
@@ -752,34 +755,53 @@ def shared_span_pairs(
             .withColumn("_df", F.max("_dr").over(wp))
             .filter(F.col("_df") <= max_gram_df)
         )
-        dococc = surv.groupBy("_blk", "_g", id_col).agg(
-            F.collect_list("_i").alias("_ps")
+        CHUNK = 256
+        nch = F.ceil(F.size("_ps") / F.lit(CHUNK)).cast("int")
+        chunks = (
+            surv.groupBy("_blk", "_g", id_col)
+            .agg(F.collect_list("_i").alias("_ps"))
+            .select(
+                "_blk",
+                "_g",
+                id_col,
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), nch - 1),
+                        lambda j: F.slice("_ps", j * CHUNK + 1, CHUNK),
+                    )
+                ).alias("_pc"),
+            )
         )
-        pa = dococc.select(
-            "_blk", "_g", F.col(id_col).alias("id_a"), F.col("_ps").alias("_pa")
+        occ = chunks.groupBy("_blk", "_g").agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("_id"), F.col("_pc"))
+            ).alias("_occ")
         )
-        pb = dococc.select(
-            "_blk", "_g", F.col(id_col).alias("id_b"), F.col("_ps").alias("_pb")
+        d1 = occ.select(F.explode("_occ").alias("_ca"), "_occ")
+        d2 = d1.select(
+            "_ca",
+            F.explode(
+                F.filter("_occ", lambda y: y["_id"] > F.col("_ca._id"))
+            ).alias("_cb"),
         )
         cross = F.flatten(
             F.transform(
-                F.col("_pa"),
+                F.col("_ca._pc"),
                 lambda ia: F.transform(
-                    F.col("_pb"),
+                    F.col("_cb._pc"),
                     lambda ib: F.struct(ia.alias("ia"), ib.alias("ib")),
                 ),
             )
         )
-        m = (
-            pa.join(pb, ["_blk", "_g"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", F.explode(cross).alias("_pp"))
-            .select(
-                "id_a",
-                "id_b",
-                F.col("_pp.ia").alias("_ia"),
-                F.col("_pp.ib").alias("_ib"),
-            )
+        m = d2.select(
+            F.col("_ca._id").alias("id_a"),
+            F.col("_cb._id").alias("id_b"),
+            F.explode(cross).alias("_pp"),
+        ).select(
+            "id_a",
+            "id_b",
+            F.col("_pp.ia").alias("_ia"),
+            F.col("_pp.ib").alias("_ib"),
         )
     else:
         a = pg.select(

@@ -1099,3 +1099,37 @@ def test_shared_span_capped_path_equals_join_path(spark):
         ).collect()
     }
     assert below == {}
+
+
+def test_shared_span_capped_chunking_exceeds_chunk_size(spark):
+    """The capped path chunks per-(gram,doc) position arrays into
+    256-position sub-arrays (bounding every row's cross product at
+    256x256 instead of the unbounded in-doc multiplicity that hit
+    Spark's 2^31 single-array limit pre-r7). A doc whose one gram
+    occurs FAR past the chunk size must still produce exactly the
+    uncapped self-join's answer — runs crossing chunk boundaries are
+    reassembled by the downstream (pair, diag) window, which never sees
+    chunk structure."""
+    from hadoop_common_spark.operators.dedup import shared_span_pairs
+
+    # "ab" * 700: gram "abab" (k=4) occurs at every odd position —
+    # ~699 occurrences per doc -> 3 chunks of 256. Two docs share the
+    # entire 1400-char text -> max_span == 1400, spanning all chunks.
+    rep = "ab" * 700
+    docs = spark.createDataFrame(
+        [(1, rep + "xxxx", "en"), (2, rep + "yyyy", "en"), (3, "unrelated-doc", "en")],
+        "doc_id long, text string, lang string",
+    )
+    un = {
+        (r.id_a, r.id_b): r.max_span
+        for r in shared_span_pairs(
+            docs, "doc_id", "text", "lang", k=4, min_span=16
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.max_span
+        for r in shared_span_pairs(
+            docs, "doc_id", "text", "lang", k=4, min_span=16, max_gram_df=8
+        ).collect()
+    }
+    assert capped == un == {(1, 2): 1400}
