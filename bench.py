@@ -300,6 +300,180 @@ SCALE100_QUERIES = [
 ]
 
 
+# ---- TPC-H join-scale tier (VERDICT r7 #2) --------------------------------
+# The relational/join shapes were only ever measured at sf0.1 (~100 MB),
+# where every dimension broadcasts and lineitem fits one executor — the
+# 100-TB claim for the join tier rested on plan shape alone. This tier
+# replicates customer/orders/lineitem 30x with REMAPPED keys (sf~3:
+# lineitem ~18M rows, a genuinely wider keyspace, NOT 30 co-located
+# copies of the same keys), keeping the dimensions at base scale, and
+# times the flagship + Q5 + Q9 + Q21 + FK-integrity join shapes on it —
+# the fact-fact joins (lineitem<->orders, Q21's lineitem self-join) must
+# scale with the shuffle, while the dimension legs stay broadcast.
+# 30 replicas is the smallest multiple that pushes orders (81 MB) past
+# the session's 64 MB broadcast threshold: below that every fact join
+# silently stays broadcast and the tier measures nothing the headline
+# tier didn't — at 30x the planner is in the same SMJ-for-facts /
+# broadcast-for-dims regime a 1000-executor 100 TB job lives in.
+TPCH_SCALE_REPLICAS = 30
+TPCH_SCALE_QUERIES = [
+    "flagship_revenue_by_nation",  # 6-table star: dims broadcast, facts SMJ
+    "local_supplier_volume",       # Q5: two fact joins + 4 dims
+    "nation_profit_by_year",       # Q9: part-filtered star, widest fact join
+    "waiting_suppliers",           # Q21: lineitem SELF-join x2 + exists/not-exists
+    "tpch_fk_integrity",           # every FK edge as an anti-join
+]
+
+
+def build_tpch_scale_dir(
+    spark, sf_dir: str, replicas: int = TPCH_SCALE_REPLICAS
+) -> str:
+    """Materialize the join-scale TPC-H tier: customer/orders/lineitem
+    replicated with REMAPPED keys (key*replicas + r, same r across an
+    order's lineitems and its customer) so every FK edge stays intact
+    and the join keyspace really is N× wider. Dimensions
+    (region/nation/supplier/part) stay at base scale via symlink — at
+    100 TB the dims still broadcast; it is the fact side that must
+    shuffle — and the non-TPC-H tables are symlinked for
+    register_views."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.tables import load_tables
+
+    out = os.path.join("/tmp", f"hcs_bench_tpch{replicas}x")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("_r")
+    nfiles = spark.sparkContext.defaultParallelism
+    tabs = load_tables(spark, sf_dir)
+    R = replicas
+    (
+        tabs["customer"].select("*", rep)
+        .withColumn("c_custkey", F.col("c_custkey") * R + F.col("_r"))
+        .drop("_r")
+        .repartition(nfiles)
+        .write.mode("overwrite").parquet(f"{out}/customer.parquet")
+    )
+    (
+        tabs["orders"].select("*", rep)
+        .withColumn("o_orderkey", F.col("o_orderkey") * R + F.col("_r"))
+        .withColumn("o_custkey", F.col("o_custkey") * R + F.col("_r"))
+        .drop("_r")
+        .repartition(nfiles)
+        .write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    )
+    (
+        tabs["lineitem"].select("*", rep)
+        .withColumn("l_orderkey", F.col("l_orderkey") * R + F.col("_r"))
+        .drop("_r")
+        .repartition(nfiles)
+        .write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    )
+    abs_sf = os.path.abspath(sf_dir)
+    for t in (
+        "region", "nation", "supplier", "part",
+        "events", "documents", "embeddings",
+    ):
+        os.symlink(f"{abs_sf}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
+def bench_skew(spark, scale_dir: str) -> dict[str, float]:
+    """Zipf-skew stress fixture (VERDICT r7 #3): the salted/two-phase
+    forms were plan-pinned and equality-tested on hot keys, but only
+    ever TIMED on uniform keys. Here ~30% of the 10x tier's events
+    collapse onto ONE user (the one-user>>all-others regime the
+    RehashPartitioner analog exists for) and the plain vs skew-proof
+    forms run head-to-head:
+
+    - topk_window_plain: one-phase row_number window — the hot user's
+      entire row set lands on ONE task and sorts on one core; this is
+      the shape AQE cannot split (a window partition is indivisible).
+    - topk_two_phase: operators.skew.top_k_per_group_two_phase — phase 1
+      ranks within (user, salt) so the hot user spreads over n_salts
+      tasks and at most k*n_salts of its rows survive to phase 2.
+    - join_plain / join_salted: skewed events joined to a deliberately
+      broadcast-proof user dim (2 KB payload per user). Plain relies on
+      AQE's runtime skew split (OptimizeSkewedJoin, SMJ-only);
+      salted_join is the explicit form for engines/paths where that
+      rescue doesn't apply. Both are recorded so the comparison is
+      honest about what AQE already solves.
+
+    Timings land in BENCH_DETAIL as "skew_queries". The expectation the
+    tier pins round-over-round: two_phase stays flat as skew deepens,
+    plain window degrades toward single-core sort of the hot user."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.operators.skew import (
+        salted_join,
+        top_k_per_group_two_phase,
+    )
+    from hadoop_common_spark.tables import load_tables
+
+    ev = load_tables(spark, scale_dir)["events"]
+    sk = ev.select(
+        F.when(F.pmod(F.col("event_id"), F.lit(10)) < 3, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "event_id",
+        "value",
+        "event_type",
+    )
+    out: dict[str, float] = {}
+
+    def timed(name, thunk):
+        best = -1.0
+        for _ in range(2):  # keep-min like the other tiers
+            t0 = time.time()
+            try:
+                _run_noop(thunk())
+            except Exception as e:
+                print(
+                    f"# bench error skew/{name}: {type(e).__name__}: {e}",
+                    file=sys.stderr,
+                )
+                break
+            el = round(time.time() - t0, 3)
+            best = el if best < 0 else min(best, el)
+        out[name] = best
+
+    k = 5
+    order = [F.col("value").desc(), F.col("event_id").asc()]
+
+    def plain_topk():
+        w = Window.partitionBy("user_id").orderBy(*order)
+        return (
+            sk.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
+    timed("topk_window_plain", plain_topk)
+    timed(
+        "topk_two_phase",
+        lambda: top_k_per_group_two_phase(sk, ["user_id"], k, order),
+    )
+
+    # broadcast-proof dim: ~2 KB payload per user pushes it far past the
+    # 64 MB threshold at the tier's user cardinality, forcing the
+    # shuffle-join regime where the hot key actually matters
+    dim = (
+        ev.select("user_id").distinct()
+        .withColumn(
+            "payload", F.rpad(F.md5(F.col("user_id").cast("string")), 2000, "x")
+        )
+    )
+    timed("join_plain", lambda: sk.join(dim, "user_id"))
+    timed(
+        "join_salted",
+        lambda: salted_join(sk, dim, ["user_id"], n_salts=8),
+    )
+    return out
+
+
 def build_scale_dir(spark, sf_dir: str, replicas: int = SCALE_REPLICAS) -> str:
     """Materialize the 10x tier under /tmp; rebuilt per run (cheap) so a
     regenerated base testdata can never serve a stale tier."""
@@ -440,14 +614,16 @@ def _current_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
-def _prev_round_baseline(sf: float) -> tuple[str | None, dict, dict, dict, dict]:
+def _prev_round_baseline(
+    sf: float,
+) -> tuple[str | None, dict, dict, dict, dict, dict]:
     """Per-query baseline from the previous ROUND (not the previous run of
     this round — VERDICT r4 "What's wrong" #1): the newest archived
     BENCH_DETAIL_r{N}.json with N < current round, falling back to parsing
     BENCH_r{N}.json files (skipping any whose "queries" values are not
     numeric — the compact stdout format carries only a detail pointer).
     Returns (label, headline_timings, scale_timings, scale100_timings,
-    dfsio)."""
+    tpch_timings, dfsio)."""
     import glob
     import re
 
@@ -468,6 +644,7 @@ def _prev_round_baseline(sf: float) -> tuple[str | None, dict, dict, dict, dict]
                     q,
                     d.get("scale_queries") or {},
                     d.get("scale100_queries") or {},
+                    d.get("tpch_queries") or {},
                     d.get("dfsio") or {},
                 )
         except (OSError, json.JSONDecodeError, ValueError, AttributeError):
@@ -505,11 +682,12 @@ def _prev_round_baseline(sf: float) -> tuple[str | None, dict, dict, dict, dict]
                     q,
                     prev.get("scale_queries") or {},
                     prev.get("scale100_queries") or {},
+                    prev.get("tpch_queries") or {},
                     prev.get("dfsio") or {},
                 )
         except (OSError, json.JSONDecodeError, ValueError, AttributeError):
             continue
-    return (None, {}, {}, {}, {})
+    return (None, {}, {}, {}, {}, {})
 
 
 def _regressions(
@@ -542,8 +720,10 @@ def _fresh_jvm_confirm(
     headline_names: list[str],
     scale_names: list[str],
     scale100_names: list[str],
+    tpch_names: list[str],
     scale_dir: str | None,
     scale100_dir: str | None,
+    tpch_dir: str | None,
 ) -> dict:
     """Re-time flagged queries in a SUBPROCESS (fresh JVM): see the call
     site for why an in-process 'fresh session' is not fresh enough.
@@ -559,11 +739,16 @@ def _fresh_jvm_confirm(
         "headline": headline_names,
         "scale": scale_names,
         "scale100": scale100_names,
+        "tpch": tpch_names,
         "scale_dir": scale_dir,
         "scale100_dir": scale100_dir,
+        "tpch_dir": tpch_dir,
     }
     fd, path = tempfile.mkstemp(suffix=".json", prefix="hcs_bench_confirm_")
-    n_flagged = len(headline_names) + len(scale_names) + len(scale100_names)
+    n_flagged = (
+        len(headline_names) + len(scale_names) + len(scale100_names)
+        + len(tpch_names)
+    )
     stdout_text = ""
     try:
         with os.fdopen(fd, "w") as f:
@@ -641,11 +826,14 @@ def confirm_main(req_path: str) -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{req['sf_dir']}/lineitem.parquet").limit(1).collect()
 
-    out: dict[str, dict[str, float]] = {"headline": {}, "scale": {}, "scale100": {}}
+    out: dict[str, dict[str, float]] = {
+        "headline": {}, "scale": {}, "scale100": {}, "tpch": {},
+    }
     for tier, data_dir in (
         ("headline", req.get("sf_dir")),
         ("scale", req.get("scale_dir")),
         ("scale100", req.get("scale100_dir")),
+        ("tpch", req.get("tpch_dir")),
     ):
         if not data_dir:
             continue
@@ -724,7 +912,9 @@ def main() -> None:
         print(f"# bench error dfsio: {type(e).__name__}: {e}", file=sys.stderr)
         dfsio = {}
 
-    prev_label, prev_q, prev_scale, prev_scale100, prev_dfsio = _prev_round_baseline(sf)
+    (
+        prev_label, prev_q, prev_scale, prev_scale100, prev_tpch, prev_dfsio,
+    ) = _prev_round_baseline(sf)
     host_slowdown = 1.0
     if prev_dfsio.get("write_mb_s") and dfsio.get("write_mb_s"):
         host_slowdown = prev_dfsio["write_mb_s"] / dfsio["write_mb_s"]
@@ -830,6 +1020,14 @@ def main() -> None:
         except Exception as e:
             print(f"# bench error scale tier: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # ---- Zipf-skew stress fixture (VERDICT r7 #3) on the 10x tier ----
+    skew_timings: dict[str, float] = {}
+    if scale_dir is not None and os.environ.get("SPARK_GRAFT_BENCH_SKEW", "1") != "0":
+        try:
+            skew_timings = bench_skew(spark, scale_dir)
+        except Exception as e:
+            print(f"# bench error skew tier: {type(e).__name__}: {e}", file=sys.stderr)
+
     # ---- 100x scale tier (VERDICT r6 #4): the standing form of the
     # BENCH_NOTES spot checks. N=2 keep-min per query; tables warmed
     # first; round-over-round gated like the other tiers. Skip with
@@ -874,6 +1072,47 @@ def main() -> None:
         except Exception as e:
             print(f"# bench error scale100 tier: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # ---- TPC-H join-scale tier (VERDICT r7 #2): the relational join
+    # shapes at sf~1 (remapped-keyspace replicas — see
+    # build_tpch_scale_dir). N=2 keep-min; round-over-round gated like
+    # the other tiers. Skip with SPARK_GRAFT_BENCH_TPCH=0 (or SCALE=0).
+    tpch_timings: dict[str, float] = {}
+    tpch_dir = None
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0"
+        and os.environ.get("SPARK_GRAFT_BENCH_TPCH", "1") != "0"
+    ):
+        try:
+            tpch_dir = build_tpch_scale_dir(spark, sf_dir)
+            from hadoop_common_spark.tables import load_tables
+
+            _scaled = load_tables(spark, tpch_dir)
+            for _name in ("customer", "orders", "lineitem"):
+                _run_noop(_scaled[_name])
+            import gc
+
+            for name in TPCH_SCALE_QUERIES:
+                qd = registry.get(name)
+                if qd is None:
+                    continue
+                best = -1.0
+                for _ in range(2):
+                    t0 = time.time()
+                    try:
+                        _run_noop(qd.fn(spark, tpch_dir))
+                    except Exception as e:
+                        print(
+                            f"# bench error tpch/{name}: {type(e).__name__}: {e}",
+                            file=sys.stderr,
+                        )
+                        break
+                    el = round(time.time() - t0, 3)
+                    best = el if best < 0 else min(best, el)
+                    gc.collect()
+                tpch_timings[name] = best
+        except Exception as e:
+            print(f"# bench error tpch tier: {type(e).__name__}: {e}", file=sys.stderr)
+
     # Fresh-JVM confirmation pass (r7, replacing r5's in-process fresh
     # SESSION): flags that survive the in-session re-time get re-measured
     # in a SUBPROCESS — a genuinely fresh JVM — before the gate reports
@@ -896,7 +1135,12 @@ def main() -> None:
         if scale100_timings
         else set()
     )
-    if flagged or scale_flagged or scale100_flagged:
+    tpch_flagged = (
+        set(_regressions(tpch_timings, prev_tpch, host_slowdown))
+        if tpch_timings
+        else set()
+    )
+    if flagged or scale_flagged or scale100_flagged or tpch_flagged:
         # Stop the parent JVM FIRST: nothing below uses the session, and
         # a live parent holding the 100x-tier heap competes with the
         # confirm subprocess for memory/CPU — exactly the other-JVM
@@ -908,8 +1152,10 @@ def main() -> None:
             sorted(flagged),
             sorted(scale_flagged),
             sorted(scale100_flagged),
+            sorted(tpch_flagged),
             scale_dir if scale_timings else None,
             scale100_dir,
+            tpch_dir,
         )
         for name, v in confirmed.get("headline", {}).items():
             timings[name] = min(timings[name], v)
@@ -917,10 +1163,13 @@ def main() -> None:
             scale_timings[name] = min(scale_timings[name], v)
         for name, v in confirmed.get("scale100", {}).items():
             scale100_timings[name] = min(scale100_timings[name], v)
+        for name, v in confirmed.get("tpch", {}).items():
+            tpch_timings[name] = min(tpch_timings[name], v)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     scale_total = round(sum(v for v in scale_timings.values() if v >= 0), 3)
     scale100_total = round(sum(v for v in scale100_timings.values() if v >= 0), 3)
+    tpch_total = round(sum(v for v in tpch_timings.values() if v >= 0), 3)
     vs_prev = {
         "prev_round": prev_label,
         "host_slowdown": round(host_slowdown, 3),
@@ -929,6 +1178,7 @@ def main() -> None:
         "scale100_regressions": _regressions(
             scale100_timings, prev_scale100, host_slowdown
         ),
+        "tpch_regressions": _regressions(tpch_timings, prev_tpch, host_slowdown),
     }
     # Host-normalized work metrics (VERDICT r4 #6): seconds × this host's
     # DFSIO write MB/s. Invariant to host speed to first order — r3 vs r4
@@ -949,6 +1199,10 @@ def main() -> None:
         "scale100_replicas": SCALE100_REPLICAS,
         "scale100_queries": scale100_timings,
         "scale100_total": scale100_total,
+        "tpch_replicas": TPCH_SCALE_REPLICAS,
+        "tpch_queries": tpch_timings,
+        "tpch_total": tpch_total,
+        "skew_queries": skew_timings,
         "dfsio": dfsio,
         "norm_headline_x_write_mb_s": norm_headline,
         "norm_scale_x_write_mb_s": norm_scale,
@@ -971,6 +1225,7 @@ def main() -> None:
         list(vs_prev["regressions"].items())
         + [(f"scale/{k}", v) for k, v in vs_prev["scale_regressions"].items()]
         + [(f"scale100/{k}", v) for k, v in vs_prev["scale100_regressions"].items()]
+        + [(f"tpch/{k}", v) for k, v in vs_prev["tpch_regressions"].items()]
     )
     compact = {
         "metric": "headline_queries_total",
@@ -984,6 +1239,8 @@ def main() -> None:
         "n_scale": sum(1 for v in scale_timings.values() if v >= 0),
         "scale100_total": scale100_total,
         "n_scale100": sum(1 for v in scale100_timings.values() if v >= 0),
+        "tpch_total": tpch_total,
+        "n_tpch": sum(1 for v in tpch_timings.values() if v >= 0),
         "dfsio": dfsio,
         "norm_headline": norm_headline,
         "norm_scale": norm_scale,

@@ -121,6 +121,90 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_session_expiry_batch",
+    oracle=f"""
+    SELECT user_id,
+           MIN(e) AS session_start,
+           MAX(e) AS session_end,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT user_id, e,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY e, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM (
+        SELECT user_id, event_id, e,
+               CASE WHEN e - lag(e) OVER (PARTITION BY user_id ORDER BY e, event_id) > 1800
+                    OR lag(e) OVER (PARTITION BY user_id ORDER BY e, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM (SELECT user_id, event_id, {EPOCH_SQL} AS e FROM events)
+      )
+    )
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_expiry_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the transformWithState timer-driven session-expiry
+    maintainer (streaming/stateful.py::session_expiry_tws): gap-based
+    sessions (30 min) emitting the exact row the streaming operator
+    emits when a session's timer fires — (user_id, session_start,
+    session_end, n_events) in epoch seconds. The drain≡batch pin in
+    tests/test_streaming_pipe_dag.py holds the two faces together; this
+    face carries the DuckDB oracle. One shuffle on user_id; per-user
+    window sort is user-bounded."""
+    df = spark.table("events").select(
+        "user_id", "event_id", F.expr(EPOCH).alias("e")
+    )
+    w = Window.partitionBy("user_id").orderBy("e", "event_id")
+    flagged = df.withColumn("_prev", F.lag("e").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("_prev").isNull() | (F.col("e") - F.col("_prev") > 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("e").alias("session_start"),
+        F.max("e").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).drop("session_id")
+
+
+@query(
+    "stream_topk_per_user_batch",
+    oracle="""
+    SELECT user_id, event_id, value, rnk
+    FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rnk
+      FROM events
+    )
+    WHERE rnk <= 3
+    """,
+)
+def stream_topk_per_user_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the transformWithState ListState bounded top-k
+    maintainer (streaming/stateful.py::topk_events_tws, k=3): per-user
+    top 3 events by (value desc, event_id asc). The streaming face keeps
+    at most k rows of state per user however long the stream runs; this
+    face is the one-window batch form carrying the oracle. The
+    drain≡batch pin asserts the maintainer's final emission per user
+    equals these rows."""
+    df = spark.table("events").select("user_id", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        df.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
     "window_user_running_total",
     oracle=f"""
     SELECT event_id, user_id,

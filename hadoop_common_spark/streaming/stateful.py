@@ -163,6 +163,179 @@ def distinct_event_types_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def session_expiry_tws(
+    events: DataFrame, gap_sec: int = 1800, watermark: str = "10 seconds"
+) -> DataFrame:
+    """Timer-driven session expiry on transformWithState (ValueState +
+    event-time timers): per-user sessions split by >gap_sec silence;
+    a session is emitted exactly once, WHEN IT EXPIRES — the watermark
+    passes last_event + gap and the registered timer fires — not on
+    every touch. This is the operator shape the windowed built-ins
+    can't express (session_window emits per-window aggregates downstream
+    of a watermark, but can't run arbitrary per-key logic at expiry:
+    cleanup, side outputs, tiered state demotion).
+
+    Batch twin (the oracle-checked contract):
+    queries/windows.py::stream_session_expiry_batch — after a drain in
+    which the watermark advances past every session (the test appends
+    two far-future flush batches; see the drain≡batch pin), the emitted
+    set equals full batch gaps-and-islands sessionization.
+
+    Scale: state = 3 longs per OPEN session per user, partitioned by
+    user in the state store; timers are the state store's own timer
+    column family. Closed sessions leave state immediately — the
+    watermark bounds total state regardless of stream length.
+
+    Intra-batch gaps close sessions inline (no timer round-trip); only
+    the tail session per user waits for its timer. Events later than an
+    already-expired session are watermark-late by construction and start
+    a fresh session rather than resurrecting the old one.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = gap_sec * 1000
+
+    class Sessions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._sess = handle.getValueState(
+                "sess", "start long, last long, n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            es: list[int] = []
+            for pdf in rows:
+                es.extend(int(x) for x in pdf["e"].dropna())
+            es.sort()
+            if self._sess.exists():
+                st = self._sess.get()
+                start, last, n = int(st[0]), int(st[1]), int(st[2])
+                # the live session's pending timer is superseded below
+                self._h.deleteTimer(last * 1000 + gap_ms)
+            else:
+                start = last = -1
+                n = 0
+            closed: list[tuple[int, int, int]] = []
+            for e in es:
+                if n == 0:
+                    start, last, n = e, e, 1
+                elif e - last > gap_sec:
+                    closed.append((start, last, n))
+                    start, last, n = e, e, 1
+                else:
+                    last, n = max(last, e), n + 1
+            self._sess.update((start, last, n))
+            self._h.registerTimer(last * 1000 + gap_ms)
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(closed),
+                        "session_start": [c[0] for c in closed],
+                        "session_end": [c[1] for c in closed],
+                        "n_events": [c[2] for c in closed],
+                    }
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._sess.exists():
+                return
+            st = self._sess.get()
+            start, last, n = int(st[0]), int(st[1]), int(st[2])
+            # stale-timer guard: only the LIVE session's timer closes it
+            # (a superseded timer that slipped deletion must be a no-op)
+            if expiredTimerInfo.getExpiryTimeInMs() < last * 1000 + gap_ms:
+                return
+            self._sess.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [start],
+                    "session_end": [last],
+                    "n_events": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .selectExpr("user_id", "CAST(ts AS LONG) AS e")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            Sessions(),
+            outputStructType=(
+                "user_id BIGINT, session_start BIGINT, "
+                "session_end BIGINT, n_events BIGINT"
+            ),
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )
+
+
+def topk_events_tws(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user bounded top-k maintainer on transformWithState
+    (ListState): state is AT MOST k (value, event_id) rows per user —
+    merge the batch's arrivals with the stored k, keep the best k by
+    (value desc, event_id asc), emit the refreshed ranking. The LAST
+    emission per user after a drain equals the batch top-k — pinned
+    against queries/windows.py::stream_topk_per_user_batch (the
+    oracle-backed twin).
+
+    This is the streaming form of grouped top-k (SURVEY §2.6): the
+    batch two-phase salted version bounds a hot group's shuffle; here
+    the ListState bounds its STATE — an unbounded-stream property no
+    windowed aggregate provides (collect_list state grows with the
+    stream; this never exceeds k rows per user)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getListState("top", "value double, event_id long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = [(float(r[0]), int(r[1])) for r in self._top.get()]
+            for pdf in rows:
+                cur.extend(
+                    (float(v), int(e))
+                    for v, e in zip(pdf["value"], pdf["event_id"])
+                )
+            cur.sort(key=lambda t: (-t[0], t[1]))
+            del cur[k:]
+            self._top.put(cur)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(cur),
+                    "event_id": [e for _, e in cur],
+                    "value": [v for v, _ in cur],
+                    "rnk": list(range(1, len(cur) + 1)),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            TopK(),
+            outputStructType=(
+                "user_id BIGINT, event_id BIGINT, value DOUBLE, rnk BIGINT"
+            ),
+            outputMode="update",
+            timeMode="none",
+        )
+    )
+
+
 def distinct_event_types_state(events: DataFrame) -> DataFrame:
     """No-protobuf twin of :func:`distinct_event_types_tws` on the
     applyInPandasWithState API: state = the sorted distinct-type array

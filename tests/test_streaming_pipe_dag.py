@@ -547,6 +547,145 @@ def test_transform_with_state_distinct_types_matches_batch(spark, sf_dir):
     assert got == batch
 
 
+def test_tws_topk_maintainer_matches_batch(spark, sf_dir):
+    """ListState bounded top-k maintainer (r8): an availableNow drain's
+    final emission per user must equal the oracle-backed batch twin
+    stream_topk_per_user_batch. State never exceeds k rows per user —
+    the unbounded-stream property the batch window can't claim."""
+    from hadoop_common_spark.queries import load_all
+    from hadoop_common_spark.streaming.stateful import (
+        topk_events_tws,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf unavailable: TWS driver worker cannot start")
+
+    stream = read_events_stream(spark, sf_dir)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            topk_events_tws(stream, k=3)
+            .writeStream.format("memory")
+            .queryName("t_tws_topk")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+    # single-source availableNow drain -> one batch -> emissions final
+    got = sorted(
+        (r.user_id, r.event_id, r.value, r.rnk)
+        for r in spark.table("t_tws_topk").collect()
+    )
+    batch = sorted(
+        (r.user_id, r.event_id, r.value, r.rnk)
+        for r in load_all()["stream_topk_per_user_batch"].fn(spark, sf_dir).collect()
+    )
+    assert got == batch and len(got) > 0
+
+
+def test_tws_session_expiry_matches_batch(spark, sf_dir, tmp_path):
+    """Timer-driven session expiry (r8): drain the events through the
+    ValueState+timer maintainer with two far-future flush batches (the
+    watermark only advances BETWEEN batches, and event-time timers fire
+    against the PREVIOUS batch's max — two flushes guarantee every real
+    session's timer fires), then compare the emitted session set to the
+    oracle-backed batch twin stream_session_expiry_batch."""
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.queries import load_all
+    from hadoop_common_spark.streaming.stateful import (
+        session_expiry_tws,
+        transform_with_state_available,
+    )
+    from hadoop_common_spark.tables import load_tables
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf unavailable: TWS driver worker cannot start")
+
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    ev = load_tables(spark, sf_dir)["events"].select("user_id", "event_id", "ts")
+    far = ev.agg(F.max("ts").alias("m")).collect()[0].m
+
+    def add_file(df, name, mtime):
+        # the file source lists FLAT files (it does not recurse into
+        # per-write directories): write, then move the single part file
+        # into src under a controlled name + mtime (discovery order)
+        w = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(w)
+        dst = os.path.join(src, name)
+        shutil.move(glob.glob(w + "/part-*.parquet")[0], dst)
+        os.utime(dst, (mtime, mtime))
+
+    # f0 = all real events as ONE batch; f1/f2 = sentinel-user flush
+    # batches 10y/20y out, each its own batch via maxFilesPerTrigger
+    add_file(ev, "f0.parquet", 1_000_000)
+    for i, yrs in ((1, 3650), (2, 7300)):
+        add_file(
+            spark.createDataFrame(
+                [(-1, -i, far + datetime.timedelta(days=yrs))],
+                "user_id bigint, event_id bigint, ts timestamp",
+            ),
+            f"f{i}.parquet",
+            1_000_000 + i,
+        )
+    schema = spark.read.parquet(f"{src}/f0.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            session_expiry_tws(stream, gap_sec=1800)
+            .writeStream.format("memory")
+            .queryName("t_tws_sessions")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("t_tws_sessions").collect()
+        if r.user_id >= 0
+    )
+    batch = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in load_all()["stream_session_expiry_batch"].fn(spark, sf_dir).collect()
+    )
+    assert got == batch and len(got) > 0
+
+
 def test_apply_in_pandas_with_state_distinct_types_matches_batch(spark, sf_dir):
     """The applyInPandasWithState twin (runs on any runtime): availableNow
     drain equals batch count_distinct per user."""
