@@ -445,6 +445,10 @@ def test_static_antipattern_sweep():
             "replay guard: ONE-row max(_bid) high-water read per "
             "micro-batch in _fold_state_batch"
         ),
+        "operators/skew.py": (
+            "segmented_running_sum: ONE row of (min, max) of the order "
+            "column to size the segments"
+        ),
     }
     for py in sorted(root.rglob("*.py")):
         text = py.read_text()
