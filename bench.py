@@ -822,7 +822,7 @@ def _fresh_jvm_confirm(
         except OSError:
             pass
     # no final JSON: harvest whatever per-query parts were emitted
-    partial: dict = {"headline": {}, "scale": {}, "scale100": {}}
+    partial: dict = {"headline": {}, "scale": {}, "scale100": {}, "tpch": {}}
     for line in stdout_text.splitlines():
         if line.startswith("CONFIRM_PART:"):
             try:
