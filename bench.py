@@ -322,6 +322,8 @@ TPCH_SCALE_QUERIES = [
     "nation_profit_by_year",       # Q9: part-filtered star, widest fact join
     "waiting_suppliers",           # Q21: lineitem SELF-join x2 + exists/not-exists
     "tpch_fk_integrity",           # every FK edge as an anti-join
+    "pricing_summary",             # Q1: pure scan-agg fact throughput
+    "large_volume_orders",         # Q18: HAVING over lineitem + join-back
 ]
 
 

@@ -1121,3 +1121,33 @@ else:
         p.stdout,
         p.stderr[-500:],
     )
+
+    # (4) lazy namespace bridging (ADVICE r7): a google.* distribution
+    # added to sys.path AFTER the bridge activates must still resolve —
+    # the bridge's __path__ re-scans sys.path on iteration instead of
+    # snapshotting once at import time
+    p = run(
+        """
+from hadoop_common_spark.streaming.stateful import ensure_protobuf
+ok = ensure_protobuf()
+if ok:
+    import google
+    bridged = 'protobuf_bridge' in (getattr(google, '__file__', '') or '')
+if not ok or not bridged:
+    print('RESULT skip')  # real wheel or no bridge: nothing to test
+else:
+    import os, sys, tempfile
+    d = tempfile.mkdtemp()
+    os.makedirs(os.path.join(d, 'google', 'hcs_late_pkg'))
+    with open(os.path.join(d, 'google', 'hcs_late_pkg', '__init__.py'), 'w') as f:
+        f.write('X = 42')
+    sys.path.append(d)  # AFTER bridge activation
+    from google.hcs_late_pkg import X
+    print('RESULT', 'ok' if X == 42 else 'bad')
+""",
+        {},
+    )
+    assert "RESULT ok" in p.stdout or "RESULT skip" in p.stdout, (
+        p.stdout,
+        p.stderr[-500:],
+    )
