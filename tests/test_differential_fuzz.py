@@ -303,3 +303,53 @@ def test_fuzz_interval_lookup_join_matches_duckdb(spark, seed):
     )
     drows = _rowset([d[0] for d in res.description], res.fetchall(), _norm)
     assert srows == drows, f"seed={seed} width={width} blocked={blocked}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_segmented_running_sum_matches_plain_window(spark, seed):
+    """Randomized equivalence for the r8 skew-proof prefix sum: random
+    key skew (including a single mega-hot key), random sparse/clustered/
+    negative order values, random segment counts — the segmented
+    two-pass form must equal the plain one-window running total exactly
+    (integer sums)."""
+    from pyspark.sql import Window
+
+    from hadoop_common_spark.operators.skew import segmented_running_sum
+
+    rng = random.Random(7000 + seed)
+    n = rng.randint(1, 400)
+    n_keys = rng.choice([1, 2, 5, 50])
+    hot = rng.random() < 0.5  # half the runs: 80% of rows on one key
+    # order values: unique but adversarially distributed
+    style = rng.choice(["dense", "sparse", "negative", "clustered"])
+    orders = rng.sample(range(1, 5 * n + 2), n)
+    if style == "sparse":
+        orders = [o * rng.randint(1000, 10**6) for o in orders]
+    elif style == "negative":
+        orders = [o - 3 * n for o in orders]
+    elif style == "clustered":
+        orders = [o + (10**9 if o % 2 else 0) for o in orders]
+    rows = [
+        (
+            0 if hot and rng.random() < 0.8 else rng.randrange(n_keys),
+            o,
+            rng.randint(-1000, 1000),
+        )
+        for o in orders
+    ]
+    df = spark.createDataFrame(rows, "k long, o long, v long")
+    w = Window.partitionBy("k").orderBy("o").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = sorted(
+        (r.k, r.o, r.run)
+        for r in df.withColumn("run", F.sum("v").over(w)).collect()
+    )
+    n_seg = rng.choice([1, 2, 13, 64, 10**7])
+    got = sorted(
+        (r.k, r.o, r.running)
+        for r in segmented_running_sum(
+            df, ["k"], "o", "v", n_segments=n_seg
+        ).collect()
+    )
+    assert got == want, f"seed={seed} style={style} n_seg={n_seg}"
