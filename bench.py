@@ -646,14 +646,14 @@ def _current_round() -> int:
 
 def _prev_round_baseline(
     sf: float,
-) -> tuple[str | None, dict, dict, dict, dict, dict]:
+) -> tuple[str | None, dict, dict, dict, dict, dict, dict]:
     """Per-query baseline from the previous ROUND (not the previous run of
     this round — VERDICT r4 "What's wrong" #1): the newest archived
     BENCH_DETAIL_r{N}.json with N < current round, falling back to parsing
     BENCH_r{N}.json files (skipping any whose "queries" values are not
     numeric — the compact stdout format carries only a detail pointer).
     Returns (label, headline_timings, scale_timings, scale100_timings,
-    tpch_timings, dfsio)."""
+    tpch_timings, skew_timings, dfsio)."""
     import glob
     import re
 
@@ -675,6 +675,7 @@ def _prev_round_baseline(
                     d.get("scale_queries") or {},
                     d.get("scale100_queries") or {},
                     d.get("tpch_queries") or {},
+                    d.get("skew_queries") or {},
                     d.get("dfsio") or {},
                 )
         except (OSError, json.JSONDecodeError, ValueError, AttributeError):
@@ -713,11 +714,12 @@ def _prev_round_baseline(
                     prev.get("scale_queries") or {},
                     prev.get("scale100_queries") or {},
                     prev.get("tpch_queries") or {},
+                    prev.get("skew_queries") or {},
                     prev.get("dfsio") or {},
                 )
         except (OSError, json.JSONDecodeError, ValueError, AttributeError):
             continue
-    return (None, {}, {}, {}, {}, {})
+    return (None, {}, {}, {}, {}, {}, {})
 
 
 def _regressions(
@@ -943,7 +945,8 @@ def main() -> None:
         dfsio = {}
 
     (
-        prev_label, prev_q, prev_scale, prev_scale100, prev_tpch, prev_dfsio,
+        prev_label, prev_q, prev_scale, prev_scale100, prev_tpch, prev_skew,
+        prev_dfsio,
     ) = _prev_round_baseline(sf)
     host_slowdown = 1.0
     if prev_dfsio.get("write_mb_s") and dfsio.get("write_mb_s"):
@@ -1213,6 +1216,11 @@ def main() -> None:
             scale100_timings, prev_scale100, host_slowdown
         ),
         "tpch_regressions": _regressions(tpch_timings, prev_tpch, host_slowdown),
+        # skew rows are gated but have no fresh-JVM confirm path (they are
+        # bench-local thunks, not registry names) — the fixture's own N=2
+        # keep-min is the de-noise; adjudicate persistent flags in
+        # BENCH_NOTES like any other tier
+        "skew_regressions": _regressions(skew_timings, prev_skew, host_slowdown),
     }
     # Host-normalized work metrics (VERDICT r4 #6): seconds × this host's
     # DFSIO write MB/s. Invariant to host speed to first order — r3 vs r4
@@ -1260,6 +1268,7 @@ def main() -> None:
         + [(f"scale/{k}", v) for k, v in vs_prev["scale_regressions"].items()]
         + [(f"scale100/{k}", v) for k, v in vs_prev["scale100_regressions"].items()]
         + [(f"tpch/{k}", v) for k, v in vs_prev["tpch_regressions"].items()]
+        + [(f"skew/{k}", v) for k, v in vs_prev["skew_regressions"].items()]
     )
     compact = {
         "metric": "headline_queries_total",
