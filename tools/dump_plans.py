@@ -45,6 +45,23 @@ REPRESENTATIVE = {
         "secondary sort = one exchange on the group key + in-partition sort; "
         "no per-group materialization"
     ),
+    "dedup_shared_span_pairs_capped": (
+        "r8 single-lineage capped span detection: ONE Exchange on "
+        "(blk, gram) feeds the df-cap window, both per-doc/per-gram "
+        "collects and the chunk-pair double explode — no self-join, "
+        "nothing computed twice; runs-detection windows shuffle only "
+        "pair-diagonal keys"
+    ),
+    "stream_topk_per_user_batch": (
+        "batch twin of the ListState top-k maintainer: WindowGroupLimit "
+        "(map-side partial top-k) under a single Exchange on user_id — "
+        "the rank filter never shuffles more than k rows per key per task"
+    ),
+    "stream_session_expiry_batch": (
+        "batch twin of the timer-driven session-expiry maintainer: one "
+        "Exchange on user_id shared by the lag/new-session/running-sum "
+        "windows and the final session aggregate"
+    ),
     "dedup_minhash_lsh": (
         "MinHash signatures in one narrow pass (no shuffle until the band "
         "bucket join); band explosion bounds the candidate pair set"
