@@ -187,9 +187,15 @@ def session_expiry_tws(
     watermark bounds total state regardless of stream length.
 
     Intra-batch gaps close sessions inline (no timer round-trip); only
-    the tail session per user waits for its timer. Events later than an
-    already-expired session are watermark-late by construction and start
-    a fresh session rather than resurrecting the old one.
+    the tail session per user waits for its timer. LATE events (older
+    than the watermark): the eventTime column is projected away before
+    the groupBy, so Spark does not drop them — a late event arriving
+    while its session is still OPEN merges into it (pinned in
+    test_tws_session_expiry_late_event_merges); one arriving after the
+    session expired starts a fresh session rather than resurrecting the
+    emitted one. Both are the operationally-useful readings of a session
+    gap; a strict-dropping variant would keep ``ts`` through the groupBy
+    and let the watermark filter act.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

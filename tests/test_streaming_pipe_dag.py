@@ -686,6 +686,80 @@ def test_tws_session_expiry_matches_batch(spark, sf_dir, tmp_path):
     assert got == batch and len(got) > 0
 
 
+def test_tws_session_expiry_late_event_merges(spark, tmp_path):
+    """Late-event semantics pin: an event OLDER than the watermark that
+    arrives while its session is still open (timer unexpired) merges
+    into that session — it is not dropped (the eventTime column is
+    projected away before the groupBy) and does not fork a duplicate
+    session. The emitted session covers both events."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    from hadoop_common_spark.streaming.stateful import (
+        session_expiry_tws,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf unavailable: TWS driver worker cannot start")
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    base = datetime.datetime(2024, 1, 1)
+
+    def add(rows, name, mtime):
+        w = str(tmp_path / f"w_{name}")
+        spark.createDataFrame(
+            rows, "user_id bigint, event_id bigint, ts timestamp"
+        ).coalesce(1).write.parquet(w)
+        dst = os.path.join(src, name)
+        shutil.move(glob.glob(w + "/part-*.parquet")[0], dst)
+        os.utime(dst, (mtime, mtime))
+
+    add([(1, 1, base)], "f0.parquet", 100)
+    add([(-1, -1, base + datetime.timedelta(days=3650))], "f1.parquet", 101)
+    # late for the stream (watermark is ~10y ahead) but within the open
+    # session's gap in EVENT time
+    add([(1, 2, base + datetime.timedelta(seconds=900))], "f2.parquet", 102)
+    add([(-1, -2, base + datetime.timedelta(days=7300))], "f3.parquet", 103)
+    schema = spark.read.parquet(f"{src}/f0.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            session_expiry_tws(stream, gap_sec=1800)
+            .writeStream.format("memory")
+            .queryName("t_tws_late")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+    e0 = int(base.replace(tzinfo=datetime.timezone.utc).timestamp())
+    got = [
+        (r.session_start, r.session_end, r.n_events)
+        for r in spark.table("t_tws_late").collect()
+        if r.user_id == 1
+    ]
+    assert got == [(e0, e0 + 900, 2)]
+
+
 def test_apply_in_pandas_with_state_distinct_types_matches_batch(spark, sf_dir):
     """The applyInPandasWithState twin (runs on any runtime): availableNow
     drain equals batch count_distinct per user."""
