@@ -1112,6 +1112,18 @@ def test_fold_state_single_writer_lease(spark, tmp_path):
     # and the fold cleaned its own lease up
     assert not (tmp_path / "state__lease").exists()
 
+    # a FAILING fold must release the lease too (else one bad batch
+    # wedges the maintainer forever) and leave committed state intact
+    def bad_merge(m):
+        raise ValueError("boom")
+
+    with pytest.raises(ValueError, match="boom"):
+        _fold_state_batch(spark, state, out, bad_merge, batch_id=2)
+    assert not (tmp_path / "state__lease").exists()
+    assert spark.read.parquet(out).collect()[0].n_events == 4
+    _fold_state_batch(spark, state, out, merge, batch_id=2)
+    assert spark.read.parquet(out).collect()[0].n_events == 6
+
 
 def test_fold_state_legacy_guardless_state(spark, tmp_path):
     """guard_batch_ids over state written BEFORE the guard existed (no
