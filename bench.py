@@ -394,18 +394,21 @@ def bench_skew(spark, scale_dir: str) -> dict[str, float]:
       limit window is already skew-immune — Catalyst inserts
       WindowGroupLimit (partial top-k BEFORE the exchange, the same
       two-phase prune operators.skew does by hand), measured FLAT at
-      90% skew (1.1s vs 1.5s for the manual form; plan presence
-      asserted here). The manual two-phase form remains for the shapes
-      WindowGroupLimit can't express (top-k by aggregate, domain caps).
+      90% skew (2.06s vs 2.11s for the manual form, r8 archive; plan
+      presence asserted here). The manual two-phase form remains for
+      shapes WindowGroupLimit can't express (top-k by aggregate,
+      domain caps).
     - cumsum_window_plain vs cumsum_segmented: the running total is the
       window skew genuinely kills — per-key sequential, AQE can't split
-      a window partition, no WindowGroupLimit rescue. Measured 19.6s
-      plain (9M-row hot partition folds on ONE core) vs ~2s for
-      operators.skew.segmented_running_sum's two-pass parallel prefix
-      sum. THIS pair is the superlinear-degrades vs stays-flat pin.
+      a window partition, no WindowGroupLimit rescue. Measured 28.6s
+      plain (9M-row hot partition folds on ONE core; decimal sums) vs
+      5.8s for operators.skew.segmented_running_sum's two-pass parallel
+      prefix sum (r8 archive). THIS pair is the superlinear-degrades vs
+      stays-flat pin.
     - join_plain vs join_salted against a broadcast-proof dim (2 KB
       payload per user): AQE's OptimizeSkewedJoin handles much of it;
-      salted_join still measured ahead at depth (3.2s vs 4.4s).
+      salted_join still measured ahead at depth (3.9s vs 8.2s, r8
+      archive).
 
     Timings land in BENCH_DETAIL as "skew_queries"."""
     from pyspark.sql import Window

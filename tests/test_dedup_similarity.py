@@ -1032,6 +1032,16 @@ def test_shared_span_matches_python_lcs_bulk(spark):
             if m.size >= min_span:
                 want[(ia, ib)] = m.size
     assert got == want
+    # the CAPPED path (r8 chunked double-explode) with a non-biting cap
+    # must be bit-identical on the same randomized corpus
+    capped = {
+        (r.id_a, r.id_b): r.max_span
+        for r in shared_span_pairs(
+            df, "doc_id", "text", "lang", k=k, min_span=min_span,
+            max_gram_df=len(docs),
+        ).collect()
+    }
+    assert capped == want
 
 
 def test_shared_span_sub_k_docs_excluded(spark):
