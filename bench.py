@@ -1113,7 +1113,7 @@ def main() -> None:
             print(f"# bench error skew tier: {type(e).__name__}: {e}", file=sys.stderr)
 
     # ---- TPC-H join-scale tier (VERDICT r7 #2): the relational join
-    # shapes at sf~1 (remapped-keyspace replicas — see
+    # shapes at sf~3 (30x remapped-keyspace replicas — see
     # build_tpch_scale_dir). N=2 keep-min; round-over-round gated like
     # the other tiers. Skip with SPARK_GRAFT_BENCH_TPCH=0 (or SCALE=0).
     tpch_timings: dict[str, float] = {}
