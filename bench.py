@@ -1131,6 +1131,24 @@ def main() -> None:
                 _run_noop(_scaled[_name])
             import gc
 
+            # plan sentinel: the tier exists to measure the SMJ-for-facts
+            # / broadcast-for-dims regime — if the planner ever broadcasts
+            # the fact side again (threshold change, estimator change,
+            # replica shrink), the timings silently measure the wrong
+            # regime; say so loudly instead
+            try:
+                _q5 = registry["local_supplier_volume"].fn(spark, tpch_dir)
+                _plan = _q5._jdf.queryExecution().executedPlan().toString()
+                if "SortMergeJoin" not in _plan and "ShuffledHashJoin" not in _plan:
+                    print(
+                        "# bench tpch WARNING: no shuffle join in the Q5 plan "
+                        "— the fact side is broadcasting and the tier is not "
+                        "measuring the at-scale join regime",
+                        file=sys.stderr,
+                    )
+            except Exception:
+                pass
+
             for name in TPCH_SCALE_QUERIES:
                 qd = registry.get(name)
                 if qd is None:
