@@ -342,6 +342,136 @@ def topk_events_tws(events: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def session_expiry_state(
+    events: DataFrame, gap_sec: int = 1800, watermark: str = "10 seconds"
+) -> DataFrame:
+    """No-protobuf twin of :func:`session_expiry_tws` on the
+    applyInPandasWithState API: GroupStateTimeout.EventTimeTimeout plays
+    the timer role — ``state.setTimeoutTimestamp(last + gap)`` arms it,
+    and when the watermark passes it, the update function is re-invoked
+    with ``state.hasTimedOut`` and no rows, which emits the session and
+    clears state. Identical output contract: one (user_id,
+    session_start, session_end, n_events) row per session, emitted at
+    expiry. The round-trip cost difference vs TWS is negligible here
+    (state is 3 longs either way); the TWS form exists for the richer
+    state/timer surface, this form for runtimes without protobuf."""
+    gap_ms = gap_sec * 1000
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [int(start)],
+                    "session_end": [int(last)],
+                    "n_events": [int(n)],
+                }
+            )
+            return
+        es: list[int] = []
+        for pdf in pdfs:
+            es.extend(int(x) for x in pdf["e"].dropna())
+        es.sort()
+        if state.exists:
+            start, last, n = (int(v) for v in state.get)
+        else:
+            start = last = -1
+            n = 0
+        closed: list[tuple[int, int, int]] = []
+        for e in es:
+            if n == 0:
+                start, last, n = e, e, 1
+            elif e - last > gap_sec:
+                closed.append((start, last, n))
+                start, last, n = e, e, 1
+            else:
+                last, n = max(last, e), n + 1
+        state.update((start, last, n))
+        state.setTimeoutTimestamp(last * 1000 + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [c[0] for c in closed],
+                    "session_end": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        # the watermarked ts column must SURVIVE into the stateful
+        # operator (EventTimeTimeout is rejected at analysis otherwise);
+        # the update fn reads only the epoch-second projection `e`
+        .selectExpr("user_id", "ts", "CAST(ts AS LONG) AS e")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id BIGINT, session_start BIGINT, "
+                "session_end BIGINT, n_events BIGINT"
+            ),
+            stateStructType="start long, last long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def topk_events_state(events: DataFrame, k: int = 3) -> DataFrame:
+    """No-protobuf twin of :func:`topk_events_tws` on the
+    applyInPandasWithState API: state = the two parallel top-k arrays
+    per user (round-tripped whole each batch — at k rows per key that
+    round trip is the whole point of the bound). Identical output
+    contract: the refreshed (user_id, event_id, value, rnk) ranking per
+    touched user per batch."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        cur: list[tuple[float, int]] = (
+            [(float(v), int(e)) for v, e in zip(*state.get)]
+            if state.exists
+            else []
+        )
+        for pdf in pdfs:
+            cur.extend(
+                (float(v), int(e))
+                for v, e in zip(pdf["value"], pdf["event_id"])
+            )
+        cur.sort(key=lambda t: (-t[0], t[1]))
+        del cur[k:]
+        state.update(([v for v, _ in cur], [e for _, e in cur]))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(cur),
+                "event_id": [e for _, e in cur],
+                "value": [v for v, _ in cur],
+                "rnk": list(range(1, len(cur) + 1)),
+            }
+        )
+
+    return (
+        events.select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id BIGINT, event_id BIGINT, value DOUBLE, rnk BIGINT"
+            ),
+            stateStructType="vals array<double>, ids array<bigint>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def distinct_event_types_state(events: DataFrame) -> DataFrame:
     """No-protobuf twin of :func:`distinct_event_types_tws` on the
     applyInPandasWithState API: state = the sorted distinct-type array

@@ -686,6 +686,98 @@ def test_tws_session_expiry_matches_batch(spark, sf_dir, tmp_path):
     assert got == batch and len(got) > 0
 
 
+def test_state_topk_maintainer_matches_batch(spark, sf_dir):
+    """applyInPandasWithState twin of the ListState top-k maintainer
+    (runs on any runtime): drain's final emission per user equals the
+    oracle-backed batch twin."""
+    from hadoop_common_spark.queries import load_all
+    from hadoop_common_spark.streaming.stateful import topk_events_state
+
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        topk_events_state(stream, k=3)
+        .writeStream.format("memory")
+        .queryName("t_state_topk")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.event_id, r.value, r.rnk)
+        for r in spark.table("t_state_topk").collect()
+    )
+    batch = sorted(
+        (r.user_id, r.event_id, r.value, r.rnk)
+        for r in load_all()["stream_topk_per_user_batch"].fn(spark, sf_dir).collect()
+    )
+    assert got == batch and len(got) > 0
+
+
+def test_state_session_expiry_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState twin of the timer-driven session expiry
+    (EventTimeTimeout plays the timer): same flush-batch drain as the
+    TWS test, same batch-twin equality."""
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.queries import load_all
+    from hadoop_common_spark.streaming.stateful import session_expiry_state
+    from hadoop_common_spark.tables import load_tables
+
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    ev = load_tables(spark, sf_dir)["events"].select("user_id", "event_id", "ts")
+    far = ev.agg(F.max("ts").alias("m")).collect()[0].m
+
+    def add_file(df, name, mtime):
+        w = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(w)
+        dst = os.path.join(src, name)
+        shutil.move(glob.glob(w + "/part-*.parquet")[0], dst)
+        os.utime(dst, (mtime, mtime))
+
+    add_file(ev, "f0.parquet", 1_000_000)
+    for i, yrs in ((1, 3650), (2, 7300)):
+        add_file(
+            spark.createDataFrame(
+                [(-1, -i, far + datetime.timedelta(days=yrs))],
+                "user_id bigint, event_id bigint, ts timestamp",
+            ),
+            f"f{i}.parquet",
+            1_000_000 + i,
+        )
+    schema = spark.read.parquet(f"{src}/f0.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        session_expiry_state(stream, gap_sec=1800)
+        .writeStream.format("memory")
+        .queryName("t_state_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("t_state_sessions").collect()
+        if r.user_id >= 0
+    )
+    batch = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in load_all()["stream_session_expiry_batch"].fn(spark, sf_dir).collect()
+    )
+    assert got == batch and len(got) > 0
+
+
 def test_tws_session_expiry_late_event_merges(spark, tmp_path):
     """Late-event semantics pin: an event OLDER than the watermark that
     arrives while its session is still open (timer unexpired) merges
