@@ -283,7 +283,9 @@ def session_expiry_tws(
     )
 
 
-def topk_events_tws(events: DataFrame, k: int = 3) -> DataFrame:
+def topk_events_tws(
+    events: DataFrame, k: int = 3, initial_state: DataFrame | None = None
+) -> DataFrame:
     """Per-user bounded top-k maintainer on transformWithState
     (ListState): state is AT MOST k (value, event_id) rows per user —
     merge the batch's arrivals with the stored k, keep the best k by
@@ -291,6 +293,14 @@ def topk_events_tws(events: DataFrame, k: int = 3) -> DataFrame:
     emission per user after a drain equals the batch top-k — pinned
     against queries/windows.py::stream_topk_per_user_batch (the
     oracle-backed twin).
+
+    ``initial_state`` (optional) BOOTSTRAPS the maintainer from a batch
+    snapshot — (user_id, event_id, value) rows, e.g. yesterday's
+    materialized top-k — via the handleInitialState hook (first batch
+    only). Bootstrap + incremental drain over only-the-new events
+    equals a full batch recompute for every touched user — the
+    production restart pattern, pinned in
+    test_tws_topk_initial_state_bootstrap.
 
     This is the streaming form of grouped top-k (SURVEY §2.6): the
     batch two-phase salted version bounds a hot group's shuffle; here
@@ -306,17 +316,13 @@ def topk_events_tws(events: DataFrame, k: int = 3) -> DataFrame:
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._top = handle.getListState("top", "value double, event_id long")
 
-        def handleInputRows(self, key, rows, timerValues):
+        def _merge_and_emit(self, key, incoming):
             cur = [(float(r[0]), int(r[1])) for r in self._top.get()]
-            for pdf in rows:
-                cur.extend(
-                    (float(v), int(e))
-                    for v, e in zip(pdf["value"], pdf["event_id"])
-                )
+            cur.extend(incoming)
             cur.sort(key=lambda t: (-t[0], t[1]))
             del cur[k:]
             self._top.put(cur)
-            yield pd.DataFrame(
+            return pd.DataFrame(
                 {
                     "user_id": [key[0]] * len(cur),
                     "event_id": [e for _, e in cur],
@@ -325,9 +331,36 @@ def topk_events_tws(events: DataFrame, k: int = 3) -> DataFrame:
                 }
             )
 
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            # seed rows for this key (first batch only); no emission —
+            # the seed is yesterday's already-materialized answer
+            self._merge_and_emit(
+                key,
+                [
+                    (float(v), int(e))
+                    for v, e in zip(
+                        initialState["value"], initialState["event_id"]
+                    )
+                ],
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            inc: list[tuple[float, int]] = []
+            for pdf in rows:
+                inc.extend(
+                    (float(v), int(e))
+                    for v, e in zip(pdf["value"], pdf["event_id"])
+                )
+            yield self._merge_and_emit(key, inc)
+
         def close(self) -> None:
             pass
 
+    kwargs = {}
+    if initial_state is not None:
+        kwargs["initialState"] = initial_state.select(
+            "user_id", "event_id", "value"
+        ).groupBy("user_id")
     return (
         events.select("user_id", "event_id", "value")
         .groupBy("user_id")
@@ -338,6 +371,7 @@ def topk_events_tws(events: DataFrame, k: int = 3) -> DataFrame:
             ),
             outputMode="update",
             timeMode="none",
+            **kwargs,
         )
     )
 

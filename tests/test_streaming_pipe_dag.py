@@ -686,6 +686,78 @@ def test_tws_session_expiry_matches_batch(spark, sf_dir, tmp_path):
     assert got == batch and len(got) > 0
 
 
+def test_tws_topk_initial_state_bootstrap(spark, sf_dir, tmp_path):
+    """State bootstrap (handleInitialState): seed the ListState top-k
+    maintainer with a batch snapshot of the OLD half of events, stream
+    only the NEW half — for every user touched by the new half, the
+    final emission must equal the batch top-k over ALL events. The
+    production restart pattern: yesterday's materialized answer +
+    today's increment == full recompute."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.streaming.stateful import (
+        topk_events_tws,
+        transform_with_state_available,
+    )
+    from hadoop_common_spark.tables import load_tables
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf unavailable: TWS driver worker cannot start")
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "value"
+    )
+    old = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 == 1)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    seed = (
+        old.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= 3).drop("_r")
+    )
+    src = str(tmp_path / "new_half")
+    new.write.parquet(src)
+    stream = spark.readStream.schema(new.schema).parquet(src)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            topk_events_tws(stream, k=3, initial_state=seed)
+            .writeStream.format("memory")
+            .queryName("t_tws_topk_boot")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+    got = sorted(
+        (r.user_id, r.event_id, r.value, r.rnk)
+        for r in spark.table("t_tws_topk_boot").collect()
+    )
+    touched = {u.user_id for u in new.select("user_id").distinct().collect()}
+    full = (
+        ev.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )
+    want = sorted(
+        (r.user_id, r.event_id, r.value, r.rnk)
+        for r in full.collect()
+        if r.user_id in touched
+    )
+    assert got == want and len(got) > 0
+
+
 def test_state_topk_maintainer_matches_batch(spark, sf_dir):
     """applyInPandasWithState twin of the ListState top-k maintainer
     (runs on any runtime): drain's final emission per user equals the
