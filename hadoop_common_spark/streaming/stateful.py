@@ -164,7 +164,10 @@ def distinct_event_types_tws(events: DataFrame) -> DataFrame:
 
 
 def session_expiry_tws(
-    events: DataFrame, gap_sec: int = 1800, watermark: str = "10 seconds"
+    events: DataFrame,
+    gap_sec: int = 1800,
+    watermark: str = "10 seconds",
+    initial_state: DataFrame | None = None,
 ) -> DataFrame:
     """Timer-driven session expiry on transformWithState (ValueState +
     event-time timers): per-user sessions split by >gap_sec silence;
@@ -196,6 +199,14 @@ def session_expiry_tws(
     emitted one. Both are the operationally-useful readings of a session
     gap; a strict-dropping variant would keep ``ts`` through the groupBy
     and let the watermark filter act.
+
+    ``initial_state`` (optional) BOOTSTRAPS the maintainer with the OPEN
+    sessions of a previous run — (user_id, session_start, session_end,
+    n_events) rows in epoch seconds — via handleInitialState, which must
+    also RE-ARM each seeded session's expiry timer (a restarted job's
+    state without its timers would hold open sessions forever). Restart
+    == full recompute minus the sessions the previous run already
+    emitted — pinned in test_tws_session_expiry_initial_state_bootstrap.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -210,6 +221,16 @@ def session_expiry_tws(
             self._sess = handle.getValueState(
                 "sess", "start long, last long, n long"
             )
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            # one open session per key from the previous run's state —
+            # store it AND re-arm its expiry timer (seeded state without
+            # its timer would hold the session open forever)
+            start = int(initialState["session_start"].iloc[0])
+            last = int(initialState["session_end"].iloc[0])
+            n = int(initialState["n_events"].iloc[0])
+            self._sess.update((start, last, n))
+            self._h.registerTimer(last * 1000 + gap_ms)
 
         def handleInputRows(self, key, rows, timerValues):
             es: list[int] = []
@@ -279,6 +300,15 @@ def session_expiry_tws(
             ),
             outputMode="append",
             timeMode="eventTime",
+            **(
+                {
+                    "initialState": initial_state.select(
+                        "user_id", "session_start", "session_end", "n_events"
+                    ).groupBy("user_id")
+                }
+                if initial_state is not None
+                else {}
+            ),
         )
     )
 
