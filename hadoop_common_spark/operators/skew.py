@@ -204,6 +204,103 @@ def segmented_running_sum(
     )
 
 
+def segmented_ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    out_col: str = "ewma",
+    n_segments: int = 64,
+) -> DataFrame:
+    """Skew-proof per-key FINAL EWMA (``y_i = (1-alpha) y_{i-1} +
+    alpha x_i``, seeded ``y_1 = x_1``) — the parallel-scan form of the
+    linear recurrence that ``queries/windows.events_user_ewma`` folds
+    over one collected per-key array. That collect builds the hot key's
+    ENTIRE history in one aggregation value (the same single-value
+    unboundedness the 2^31 shared-span row hit); this form's state is
+    bounded by ``doc-length-independent`` segment content.
+
+    Same order-aligned segmentation as :func:`segmented_running_sum`;
+    per (key, seg) ONE array fold produces the segment's linear map
+    ``y_out = A*y_in + B`` (A = (1-alpha)^m by repeated multiplication,
+    B = the zero-seeded fold); the per-key combine is a fold over the
+    tiny ≤``n_segments`` (A, B) table, plus the seeding correction
+    ``first_value * prod(A)`` (the y1 = x1 seed propagated linearly).
+    One (key, seg) shuffle for the heavy pass; the per-key combine
+    touches n_segments rows per key.
+
+    Exactness: mathematically identical; floating-point REASSOCIATED
+    (0.75*(C+B) vs 0.75C+0.75B), so expect ulp-level differences from
+    the sequential fold — equality is pinned to ~1e-12 relative in
+    tests, and the oracle-checked registry query keeps the sequential
+    form (its oracle is bit-exact by fixed association). Returns one
+    row per key: (*key_cols, n_events, out_col)."""
+    from pyspark.sql import Window
+
+    beta = 1.0 - alpha
+    lo_hi = df.agg(
+        F.min(F.col(order_col).cast("long")).alias("lo"),
+        F.max(F.col(order_col).cast("long")).alias("hi"),
+    ).collect()[0]  # bounded collect: one row of two longs
+    out_schema = [*key_cols, "n_events", out_col]
+    if lo_hi.lo is None:
+        return (
+            df.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("n_events"), F.lit(None).cast("double").alias(out_col))
+            .select(*out_schema)
+        )
+    width = max((int(lo_hi.hi) - int(lo_hi.lo) + 1) // n_segments, 1)
+    dfx = df.withColumn(
+        "_seg",
+        ((F.col(order_col).cast("long") - F.lit(int(lo_hi.lo))) / F.lit(width))
+        .cast("long"),
+    )
+    vals = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order_col).alias("_o"), F.col(value_col).alias("_v")))
+        ),
+        lambda s: s["_v"].cast("double"),
+    )
+    # one fold per (key, seg): carries (A, B) of the segment's linear map
+    ab = F.aggregate(
+        vals,
+        F.struct(F.lit(1.0).alias("a"), F.lit(0.0).alias("b")),
+        lambda acc, x: F.struct(
+            (acc["a"] * beta).alias("a"), (acc["b"] * beta + x * alpha).alias("b")
+        ),
+    )
+    segs = dfx.groupBy(*key_cols, "_seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_m"),
+        ab.alias("_ab"),
+        F.min_by(F.col(value_col).cast("double"), F.col(order_col)).alias("_first"),
+        F.min(F.col(order_col)).alias("_first_o"),
+    )
+    # per-key combine over the <= n_segments rows: fold the (A, B) maps
+    # in segment order, track prod(A) and the key's global first value
+    per_key = segs.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_ns"),
+        F.sum("_m").alias("n_events"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_seg"), F.col("_ab")))),
+                lambda s: s["_ab"],
+            ),
+            F.struct(F.lit(0.0).alias("y"), F.lit(1.0).alias("atot")),
+            lambda acc, m: F.struct(
+                (m["a"] * acc["y"] + m["b"]).alias("y"),
+                (acc["atot"] * m["a"]).alias("atot"),
+            ),
+        ).alias("_fold"),
+        F.min_by("_first", "_first_o").alias("_x1"),
+    )
+    return per_key.select(
+        *key_cols,
+        "n_events",
+        (F.col("_fold.y") + F.col("_x1") * F.col("_fold.atot")).alias(out_col),
+    )
+
+
 def top_k_per_group_two_phase(
     df: DataFrame,
     group_cols: list[str],

@@ -694,6 +694,59 @@ def test_segmented_running_sum_equals_one_window(spark, tables):
     assert out.count() == 0 and "running" in out.columns
 
 
+def test_segmented_ewma_matches_sequential_fold(spark, tables):
+    """The parallel-scan EWMA must match the sequential per-key array
+    fold (the registry events_user_ewma form) to ~1e-12 relative —
+    mathematically identical, floating-point reassociated — on skewed
+    keys, across segment counts including 1 (pure sequential) and >>
+    distinct orders (one element per segment)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.operators.skew import segmented_ewma
+
+    ev = spark.table("events").select(
+        F.when(F.pmod(F.col("event_id"), F.lit(4)) < 3, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "event_id",
+        "value",
+    )
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("event_id"), F.col("value")))),
+        lambda s: s["value"].cast("double"),
+    )
+    seq = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * 0.75 + x * 0.25,
+    )
+    want = {
+        r.user_id: (r.n, r.e)
+        for r in ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), seq.alias("e")
+        ).collect()
+    }
+    for n_seg in (1, 7, 64, 10**6):
+        got = {
+            r.user_id: (r.n_events, r.ewma)
+            for r in segmented_ewma(
+                ev, ["user_id"], "event_id", "value", n_segments=n_seg
+            ).collect()
+        }
+        assert got.keys() == want.keys(), f"n_segments={n_seg}"
+        for u, (n, e) in want.items():
+            gn, ge = got[u]
+            assert gn == n, f"n_segments={n_seg} user={u}"
+            assert abs(ge - e) <= 1e-12 * max(1.0, abs(e)), (
+                f"n_segments={n_seg} user={u}: {ge} vs {e}"
+            )
+
+    # empty input
+    empty = ev.filter(F.lit(False))
+    out = segmented_ewma(empty, ["user_id"], "event_id", "value")
+    assert out.count() == 0 and "ewma" in out.columns
+
+
 def test_two_phase_top_k_equals_one_phase(spark, tables):
     """The salted two-phase grouped top-k must equal the single-window
     form for a tie-free order, at any salt count."""

@@ -446,8 +446,8 @@ def test_static_antipattern_sweep():
             "micro-batch in _fold_state_batch"
         ),
         "operators/skew.py": (
-            "segmented_running_sum: ONE row of (min, max) of the order "
-            "column to size the segments"
+            "segmented_running_sum / segmented_ewma: ONE row of "
+            "(min, max) of the order column to size the segments"
         ),
     }
     for py in sorted(root.rglob("*.py")):
