@@ -416,6 +416,7 @@ def bench_skew(spark, scale_dir: str) -> dict[str, float]:
 
     from hadoop_common_spark.operators.skew import (
         salted_join,
+        segmented_ewma,
         segmented_running_sum,
         top_k_per_group_two_phase,
     )
@@ -488,6 +489,15 @@ def bench_skew(spark, scale_dir: str) -> dict[str, float]:
         lambda: segmented_running_sum(
             sk, ["user_id"], "event_id", "value", n_segments=64
         ),
+    )
+    # EWMA: the plain collected-array fold measured 115.7s on the 9M-row
+    # hot key (one-shot r8 study, BENCH_NOTES) — too costly for a
+    # standing N=2 row; the fixture gates only the segmented form (the
+    # plain form's cost is structural: one aggregation VALUE holds the
+    # hot key's entire history)
+    timed(
+        "ewma_segmented",
+        lambda: segmented_ewma(sk, ["user_id"], "event_id", "value"),
     )
 
     # broadcast-proof dim: ~2 KB payload per user pushes it far past the
