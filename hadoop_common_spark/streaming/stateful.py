@@ -536,6 +536,60 @@ def topk_events_state(events: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def ewma_state(events: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """Streaming face of the registry's oracle-backed
+    ``events_user_ewma``: per-user EWMA of ``value`` in (ts, event_id)
+    order as an applyInPandasWithState maintainer — state is TWO
+    numbers per user (current ewma, count) however long the stream
+    runs, vs the batch form's collected per-key history array (whose
+    hot-key cost the skew fixture measures at 115.7s/9M rows — the
+    streaming maintainer never materializes history at all).
+
+    The per-batch fold applies the recurrence in (e, event_id) order —
+    bit-identical to the batch form when batches arrive in event-time
+    order per key (an availableNow drain of a time-partitioned source;
+    pinned exactly in test_state_ewma_matches_batch). Out-of-order
+    ACROSS batches folds in arrival order — the standard streaming
+    approximation; use the batch form for reproducible backfills."""
+    beta = 1.0 - alpha
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows: list[tuple[int, int, float]] = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(e), int(i), float(v))
+                for e, i, v in zip(pdf["e"], pdf["event_id"], pdf["value"])
+            )
+        rows.sort()
+        if state.exists:
+            y, n = state.get
+            n = int(n)
+        else:
+            y, n = None, 0
+        for _, _, v in rows:
+            y = v if y is None else y * beta + v * alpha
+            n += 1
+        state.update((float(y), n))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "ewma_value": [y]}
+        )
+
+    return (
+        events.selectExpr("user_id", "CAST(ts AS LONG) AS e", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id BIGINT, n_events BIGINT, ewma_value DOUBLE",
+            stateStructType="y double, n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def distinct_event_types_state(events: DataFrame) -> DataFrame:
     """No-protobuf twin of :func:`distinct_event_types_tws` on the
     applyInPandasWithState API: state = the sorted distinct-type array

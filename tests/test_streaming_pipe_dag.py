@@ -889,6 +889,36 @@ def test_tws_session_expiry_initial_state_bootstrap(spark, sf_dir, tmp_path):
     )
 
 
+def test_state_ewma_matches_batch(spark, sf_dir):
+    """The streaming EWMA maintainer's final emission per user must be
+    BIT-IDENTICAL to the oracle-backed batch twin events_user_ewma
+    after a single-batch availableNow drain (same fold, same (ts,
+    event_id) order, two numbers of state instead of the collected
+    history array)."""
+    from hadoop_common_spark.queries import load_all
+    from hadoop_common_spark.streaming.stateful import ewma_state
+
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        ewma_state(stream)
+        .writeStream.format("memory")
+        .queryName("t_state_ewma")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.n_events, r.ewma_value)
+        for r in spark.table("t_state_ewma").collect()
+    )
+    batch = sorted(
+        (r.user_id, r.n_events, r.ewma_value)
+        for r in load_all()["events_user_ewma"].fn(spark, sf_dir).collect()
+    )
+    assert got == batch and len(got) > 0
+
+
 def test_state_topk_maintainer_matches_batch(spark, sf_dir):
     """applyInPandasWithState twin of the ListState top-k maintainer
     (runs on any runtime): drain's final emission per user equals the
