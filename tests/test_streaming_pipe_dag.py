@@ -1449,6 +1449,14 @@ def test_fold_state_single_writer_lease(spark, tmp_path):
     _fold_state_batch(spark, state, out, merge, batch_id=2)
     assert spark.read.parquet(out).collect()[0].n_events == 6
 
+    # the lease is per-out_path: a maintainer on a DIFFERENT path folds
+    # freely while this path's lease is held (no global serialization)
+    (tmp_path / "state__lease").touch()
+    other = str(tmp_path / "other_state")
+    _fold_state_batch(spark, state, other, merge, batch_id=0)
+    assert spark.read.parquet(other).collect()[0].n_events == 2
+    (tmp_path / "state__lease").unlink()
+
 
 def test_fold_state_legacy_guardless_state(spark, tmp_path):
     """guard_batch_ids over state written BEFORE the guard existed (no
