@@ -301,6 +301,107 @@ def segmented_ewma(
     )
 
 
+def grouped_quantile_select(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tiebreak_cols: list[str],
+    qs: dict[str, float],
+    n_col: str = "n",
+    n_blocks: int = 4096,
+) -> DataFrame:
+    """Exact per-group rank-quantiles WITHOUT a per-group window sort —
+    the selection-by-histogram twin of ``segmented_running_sum``: a
+    ``row_number() over (partition by group order by value)`` leg has
+    parallelism bounded by the number of GROUPS (a 5-type events table
+    sorts 10M rows on 5 of 32 cores; a 100 TB one sorts 20 TB per
+    reducer), and AQE cannot split a window partition.
+
+    Returns one row per group: ``group_cols + [n_col] + one column per
+    qs key`` holding the value at 1-based rank ``ceil(q * n)`` under the
+    total order ``(value, *tiebreaks)`` — exactly what
+    ``max(when(row_number() == ceil(q*n), value))`` picks, without ever
+    ranking the group. Three passes, none of which sorts more than one
+    value-block per group:
+
+      1. global value range (one row of two numbers);
+      2. per-(group, block) counts with ``block = floor((v-lo)/(hi-lo)
+         * n_blocks)`` — monotone in value, so equal values never
+         straddle blocks and block-cumulative counts are exact rank
+         offsets (a tiny groups x blocks aggregate, map-side combined);
+      3. rank arithmetic on that aggregate finds the one block holding
+         each target rank; ONLY those blocks' rows (~n/n_blocks each)
+         shuffle again, sort, and yield the residual-rank row.
+
+    The sort is over one block per (group, quantile) — parallel across
+    groups AND quantiles, each task ~n_group/n_blocks rows. Degenerate
+    value distributions (all rows one value) collapse to one block and
+    fall back to the per-group sort of that block — no worse than the
+    window form. NULL values go to their own leading block, matching
+    the window form's asc-nulls-first order."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    lo_hi = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect()[0]
+    lo = float(lo_hi.lo) if lo_hi.lo is not None else 0.0
+    hi = float(lo_hi.hi) if lo_hi.hi is not None else 0.0
+    span = hi - lo
+    if span > 0:
+        blk = F.least(
+            F.lit(n_blocks - 1),
+            F.floor((v.cast("double") - F.lit(lo)) / F.lit(span) * F.lit(n_blocks)),
+        )
+    else:  # empty / single-value / all-null: one block, plain fallback
+        blk = F.lit(0)
+    blocked = df.withColumn("_blk", F.when(v.isNull(), F.lit(-1)).otherwise(blk))
+
+    counts = blocked.groupBy(*group_cols, "_blk").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    # windows over the per-(group, block) aggregate: <= groups*n_blocks
+    # rows — bounded, not data-scale
+    wg = Window.partitionBy(*group_cols).orderBy("_blk")
+    cum = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_cnt").over(wg.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).withColumn("_n", F.sum("_cnt").over(Window.partitionBy(*group_cols)))
+
+    targets = None
+    for qname, q in qs.items():
+        rk = F.ceil(F.lit(q) * F.col("_n")).cast("bigint")
+        t = (
+            cum.withColumn("_rk", rk)
+            .filter(
+                (F.col("_rk") > F.col("_off"))
+                & (F.col("_rk") <= F.col("_off") + F.col("_cnt"))
+            )
+            .select(
+                *group_cols,
+                "_blk",
+                (F.col("_rk") - F.col("_off")).alias("_res"),
+                F.lit(qname).alias("_q"),
+                "_n",
+            )
+        )
+        targets = t if targets is None else targets.unionByName(t)
+
+    # one row per (group, quantile): broadcast by construction
+    picked = blocked.join(F.broadcast(targets), [*group_cols, "_blk"])
+    wq = Window.partitionBy(*group_cols, "_q").orderBy(
+        value_col, *tiebreak_cols
+    )
+    hits = picked.withColumn("_vr", F.row_number().over(wq)).filter(
+        F.col("_vr") == F.col("_res")
+    )
+    aggs = [
+        F.max(F.when(F.col("_q") == qname, v)).alias(qname) for qname in qs
+    ] + [F.max("_n").cast("bigint").alias(n_col)]
+    return hits.groupBy(*group_cols).agg(*aggs)
+
+
 def top_k_per_group_two_phase(
     df: DataFrame,
     group_cols: list[str],

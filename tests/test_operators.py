@@ -694,6 +694,67 @@ def test_segmented_running_sum_equals_one_window(spark, tables):
     assert out.count() == 0 and "running" in out.columns
 
 
+def test_grouped_quantile_select_equals_window_rank(spark, tables):
+    """The histogram-selection quantile picker must equal the plain
+    per-group window form (max(when(row_number() == ceil(q*n), value)))
+    at any block count — including n_blocks=1 (pure per-group sort
+    fallback) — with ties, an all-NULL-value group, a constant-value
+    group, and q hitting the first and last ranks."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.operators.skew import grouped_quantile_select
+
+    ev = spark.table("events").select(
+        "event_type",
+        # ties: quantize to .5 steps so many rows share a value
+        (F.floor(F.col("value") * 2) / 2).alias("value"),
+        "event_id",
+    )
+    # one group entirely NULL values, one group constant-valued
+    extra = spark.range(10).select(
+        F.when(F.col("id") < 5, F.lit("nullgrp")).otherwise(F.lit("constgrp")).alias("event_type"),
+        F.when(F.col("id") < 5, F.lit(None)).otherwise(F.lit(7.0)).cast("double").alias("value"),
+        (F.col("id") + 10_000_000).alias("event_id"),
+    )
+    ev = ev.unionByName(extra)
+
+    qs = {"p01": 0.01, "p50": 0.5, "p90": 0.9, "p100": 1.0}
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    r = ev.withColumn("vr", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    want_df = r.groupBy("event_type").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("vr") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                    F.col("value"),
+                )
+            ).alias(name)
+            for name, q in qs.items()
+        ],
+        F.max("n").cast("bigint").alias("n"),
+    )
+    want = sorted(tuple(x) for x in want_df.collect())
+    for n_blocks in (1, 7, 4096):
+        got = sorted(
+            tuple(x)
+            for x in grouped_quantile_select(
+                ev, ["event_type"], "value", ["event_id"], qs, n_blocks=n_blocks
+            ).collect()
+        )
+        assert got == want, f"n_blocks={n_blocks}"
+
+    # empty input: no rows, all output columns present
+    out = grouped_quantile_select(
+        ev.filter(F.lit(False)), ["event_type"], "value", ["event_id"], qs
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"event_type", "n", *qs}
+
+
 def test_segmented_ewma_matches_sequential_fold(spark, tables):
     """The parallel-scan EWMA must match the sequential per-key array
     fold (the registry events_user_ewma form) to ~1e-12 relative —

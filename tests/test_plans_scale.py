@@ -446,8 +446,9 @@ def test_static_antipattern_sweep():
             "micro-batch in _fold_state_batch"
         ),
         "operators/skew.py": (
-            "segmented_running_sum / segmented_ewma: ONE row of "
-            "(min, max) of the order column to size the segments"
+            "segmented_running_sum / segmented_ewma / "
+            "grouped_quantile_select: ONE row of (min, max) to size "
+            "segments / value blocks"
         ),
     }
     for py in sorted(root.rglob("*.py")):
