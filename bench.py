@@ -287,7 +287,7 @@ SCALE100_QUERIES = [
     "text_score_calibration",         # scorer + bounded bins
     "events_audience_overlap",        # bounded-fan-out self-join
     "events_audience_overlap_kmv",    # two-phase bottom-k
-    "events_value_kmv_quantiles",     # sketch + exact eval leg (documented sort)
+    "events_value_kmv_quantiles",     # sketch + histogram-selected exact leg
     "corpus_weighted_sample_by_source",  # two-phase grouped A-ES
     "events_cdc_scd2_history",        # user-bounded per-key sort
     "embedding_kcenter_seeds",        # k fixed linear passes

@@ -202,6 +202,13 @@ REPRESENTATIVE = {
         "matrix's nested loop is sample-sized on BOTH sides "
         "(|types|^2/2 pairs x |types|*64 signature rows)"
     ),
+    "events_value_kmv_quantiles": (
+        "histogram-selected exact quantiles (r8): the exact leg's only "
+        "data-scale shuffles are a (type, value-block) partial-agg count "
+        "and the broadcast-joined target-block pick — NO window whose "
+        "partition count is the type count; the window sorts that remain "
+        "are the 128-row sketch groups and the one-block residual picks"
+    ),
 }
 
 
