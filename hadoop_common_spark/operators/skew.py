@@ -140,6 +140,7 @@ def segmented_running_sum(
     value_col: str,
     out_col: str = "running",
     n_segments: int = 64,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-proof per-key running total — the window shape NOTHING else
     rescues: a plain ``sum over (partition by key order by o rows
@@ -164,10 +165,12 @@ def segmented_running_sum(
     by float re-association, same as any partial aggregate — cast to
     DECIMAL first if bit-equality matters (functions.exact.dsum idiom).
 
-    ``order_col`` must be numeric; ties within it must not straddle a
-    segment boundary for a deterministic fold, so a unique per-key order
-    (event_id, a (ts, id) rowid) is the contract — same as any
-    secondary-sort key."""
+    ``order_col`` must be numeric and ``(order_col, *tiebreak_cols)``
+    must be a total per-key order — same as any secondary-sort key.
+    Ties in ``order_col`` alone are fine WITH tiebreaks: equal order
+    values land in the same segment by construction (the segment is a
+    function of the order value), and the in-segment window breaks them
+    with ``tiebreak_cols``."""
     lo_hi = df.agg(
         F.min(F.col(order_col).cast("long")).alias("lo"),
         F.max(F.col(order_col).cast("long")).alias("hi"),
@@ -194,9 +197,9 @@ def segmented_running_sum(
             zero,
         ),
     ).select(*key_cols, "_seg", "_offset")
-    ws = Window.partitionBy(*key_cols, "_seg").orderBy(order_col).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    ws = Window.partitionBy(*key_cols, "_seg").orderBy(
+        order_col, *(tiebreak_cols or [])
+    ).rowsBetween(Window.unboundedPreceding, 0)
     return (
         dfx.join(offsets, [*key_cols, "_seg"])
         .withColumn(out_col, F.sum(value_col).over(ws) + F.col("_offset"))

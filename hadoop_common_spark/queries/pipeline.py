@@ -123,23 +123,25 @@ GROUP BY lang, shard_id
 @query("corpus_token_shards", oracle=_SHARD_ORACLE)
 def corpus_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing: documents are packed in doc_id order
-    into ~2000-token training shards via a running-total window — shard
-    id = floor(preceding-token-count / budget). Packing is per-language
-    (window PARTITION BY lang), so the sort parallelizes across
-    partitions instead of funneling 100 TB through one global window;
-    within a language range-partitioned packing would be the next
-    refinement."""
+    into ~2000-token training shards — shard id = floor(preceding-token-
+    count / budget). The running total is per-language, which makes it
+    exactly the skew shape nothing in Catalyst rescues (a per-lang
+    window's parallelism is the language count, AQE cannot split a
+    window partition, and a hot language IS the corpus at 100 TB) — so
+    the prefix sum is the segmented two-pass parallel scan
+    (skew.segmented_running_sum, r8): doc_id-range segments fold in
+    parallel, a tiny per-(lang, segment) offset table re-bases them.
+    Exact: token counts are bigint, so the re-association is lossless
+    and the result is bit-identical to the one-window form (pinned in
+    test_segmented_running_sum_equals_one_window)."""
+    from hadoop_common_spark.operators.skew import segmented_running_sum
+
     n_tok = F.size(F.split(F.col("text"), " ", -1)).cast("bigint")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    pre = F.sum("n_tok").over(w) - F.col("n_tok")
+    docs = spark.table("documents").select("lang", "doc_id", n_tok.alias("n_tok"))
+    run = segmented_running_sum(docs, ["lang"], "doc_id", "n_tok")
+    pre = F.col("running") - F.col("n_tok")
     return (
-        spark.table("documents")
-        .select("lang", "doc_id", n_tok.alias("n_tok"))
-        .withColumn("shard_id", F.floor(pre / 2000).cast("bigint"))
+        run.withColumn("shard_id", F.floor(pre / 2000).cast("bigint"))
         .groupBy("lang", "shard_id")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("shard_tokens"))
     )
@@ -280,26 +282,30 @@ def corpus_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass: no single domain may contribute more than N docs). Selection
     within a domain is by md5-hash priority, so the kept subset is an
     unbiased deterministic sample — stable across runs, engines, and
-    corpus growth — rather than 'first N by crawl order'. One shuffle on
-    source; a hot domain concentrates in one partition, which the cap
-    itself bounds: only the top-N ranks matter, so at 100 TB the window
-    would be preceded by a cheap per-partition top-N prefilter (same
-    two-phase shape as top_k_per_group)."""
+    corpus growth — rather than 'first N by crawl order'. Only the
+    top-N ranks of a domain matter, so the kept set comes from the
+    salted two-phase prune (top_k_per_group_two_phase: a hot domain
+    never concentrates more than k x n_salts rows on any reducer) and
+    the totals from a plain partial aggregate — no window ever ranks a
+    domain's full row set (the r7 form did; at 100 TB a hot domain IS
+    the corpus)."""
+    from hadoop_common_spark.operators.skew import top_k_per_group_two_phase
+
     pri = F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
-    w = Window.partitionBy("source").orderBy(pri, "doc_id")
-    kept = F.col("_rn") <= 20
-    return (
-        spark.table("documents")
-        .select("source", "n_chars", "doc_id")
-        .withColumn("_rn", F.row_number().over(w))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_total"),
-            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
-            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
-            .cast("bigint")
-            .alias("kept_chars"),
-        )
+    docs = spark.table("documents").select(
+        "source", "n_chars", "doc_id", pri.alias("_pri")
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    kept = top_k_per_group_two_phase(
+        docs, ["source"], 20, [F.col("_pri"), F.col("doc_id")]
+    )
+    kept_agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+    # inner join is total: every source with rows keeps >= 1 doc
+    return totals.join(kept_agg, "source").select(
+        "source", "n_total", "n_kept", "kept_chars"
     )
 
 
@@ -554,8 +560,13 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2048-token sequences per language via the running-total window.
     This is the corpus_token_shards refinement every trainer actually
     needs — a 10k-token doc must not overflow its shard, it must split.
-    One explode + one per-language window + one aggregate; the explode
-    fan-out is ceil(n_tok/256) per doc, linear in corpus tokens."""
+    One explode + one aggregate; the explode fan-out is ceil(n_tok/256)
+    per doc, linear in corpus tokens. The per-language running total is
+    the segmented parallel scan (skew.segmented_running_sum with a ci
+    tiebreak — chunks of one doc share its doc_id-range segment), not a
+    per-lang window: a hot language would otherwise fold the whole
+    corpus's chunk stream on one core. Bigint sums — bit-identical to
+    the one-window form."""
     n_tok = F.size(F.split(F.col("text"), " ", -1)).cast("bigint")
     docs = spark.table("documents").select("lang", "doc_id", n_tok.alias("n_tok"))
     n_chunks = ((F.col("n_tok") + 255) / 256).cast("bigint")
@@ -573,14 +584,14 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_tok"
         ),
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id", "ci")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    from hadoop_common_spark.operators.skew import segmented_running_sum
+
+    run = segmented_running_sum(
+        sized, ["lang"], "doc_id", "chunk_tok", tiebreak_cols=["ci"]
     )
-    pre = F.sum("chunk_tok").over(w) - F.col("chunk_tok")
+    pre = F.col("running") - F.col("chunk_tok")
     return (
-        sized.withColumn("seq_id", F.floor(pre / 2048).cast("bigint"))
+        run.withColumn("seq_id", F.floor(pre / 2048).cast("bigint"))
         .groupBy("lang", "seq_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
@@ -607,9 +618,11 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratum (sampleBy() is binomial — approximate counts; training-data
     mixtures need exact allocations), chosen by md5-hash rank within the
     stratum — deterministic across engines, runs, and repartitionings.
-    One shuffle on the stratum key. Skewed strata at 100 TB: swap the
-    window for skew.top_k_per_group_two_phase (salted partial top-k,
-    equivalence-tested) — same contract, no single hot partition."""
+    One shuffle on the stratum key. Skewed strata: the rank<=k FILTER
+    form is the shape Spark 4's WindowGroupLimit rewrites into a
+    map-side partial top-k natively — measured skew-immune in the Zipf
+    fixture (bench.py skew tier: plain 2.06s vs manual two-phase 2.11s
+    on a 90%-hot key), so the plain window IS the scale form here."""
     docs = spark.table("documents").select("lang", "doc_id")
     order = [F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()]
     ranked = docs.withColumn(

@@ -694,6 +694,42 @@ def test_segmented_running_sum_equals_one_window(spark, tables):
     assert out.count() == 0 and "running" in out.columns
 
 
+def test_segmented_running_sum_tiebreak_equals_one_window(spark, tables):
+    """With heavy ties in the order column (7 distinct values over 10k
+    rows) and a tiebreak making the order total, the segmented form must
+    equal the one-window (order, tiebreak) running total at any segment
+    count — equal order values can never straddle a segment (the segment
+    is a function of the order value), the shape corpus_pack_sequences
+    relies on for its (doc_id, chunk_index) packing order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.operators.skew import segmented_running_sum
+
+    ev = spark.table("events").select(
+        "user_id",
+        F.pmod(F.col("event_id"), F.lit(7)).alias("o"),
+        "event_id",
+        F.col("value").cast("decimal(20,6)").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("o", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = sorted(
+        (r.user_id, r.event_id, r.run)
+        for r in ev.withColumn("run", F.sum("v").over(w)).collect()
+    )
+    for n_seg in (1, 3, 64):
+        got = sorted(
+            (r.user_id, r.event_id, r.running)
+            for r in segmented_running_sum(
+                ev, ["user_id"], "o", "v",
+                n_segments=n_seg, tiebreak_cols=["event_id"],
+            ).collect()
+        )
+        assert got == want, f"n_segments={n_seg}"
+
+
 def test_grouped_quantile_select_equals_window_rank(spark, tables):
     """The histogram-selection quantile picker must equal the plain
     per-group window form (max(when(row_number() == ceil(q*n), value)))

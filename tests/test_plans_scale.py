@@ -185,12 +185,17 @@ def test_decontamination_broadcasts_benchmark_set(spark, sf_dir, registry):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
 
-def test_token_shards_window_partitions_by_lang(spark, sf_dir, registry):
-    """Shard packing must window per language (parallel) — a global
-    ORDER BY window (single partition) would bottleneck at scale."""
+def test_token_shards_window_partitions_by_lang_segment(spark, sf_dir, registry):
+    """Shard packing must window per (language, doc_id-range segment) —
+    per-language alone is the cumsum funnel the skew fixture measured
+    at 24.5s vs 5.8s segmented on a hot key (a global ORDER BY window
+    would be worse still). The data-scale window exchange must carry
+    the segment column."""
+    import re
+
     df = registry["corpus_token_shards"].fn(spark, sf_dir)
     plan = plan_of(df)
-    assert "hashpartitioning(lang" in plan
+    assert re.search(r"hashpartitioning\(lang#\d+, _seg#", plan)
 
 
 def test_salted_join_matches_plain_join(spark):
@@ -349,12 +354,18 @@ def test_bigram_familiarity_hash_joins_only(spark, sf_dir, registry):
     assert "partial_count" in plan or "partial_sum" in plan
 
 
-def test_domain_caps_single_exchange(spark, sf_dir, registry):
-    """Cap ranking and the per-source rollup share one shuffle on
-    source."""
+def test_domain_caps_two_phase_salted_prune(spark, sf_dir, registry):
+    """Cap selection must be the salted two-phase prune — phase 1
+    spreads a hot domain over (source, _salt) reducers and Spark's
+    WindowGroupLimit turns both rank<=k filters into map-side partial
+    top-k — never a window that ranks a domain's full row set (the r7
+    single-exchange form did exactly that)."""
+    import re
+
     df = registry["corpus_domain_caps"].fn(spark, sf_dir)
     plan = plan_of(df)
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert re.search(r"hashpartitioning\(source#\d+, _salt#", plan)
+    assert "WindowGroupLimit" in plan
 
 
 def test_boilerplate_strip_no_cartesian_two_seg_shuffles(spark, sf_dir, registry):

@@ -75,8 +75,10 @@ REPRESENTATIVE = {
         "narrow explode, never shuffled"
     ),
     "corpus_token_shards": (
-        "shard packing windows PARTITION BY lang (parallel), not a global "
-        "ORDER BY (single-partition bottleneck)"
+        "shard packing windows PARTITION BY (lang, doc_id-range segment) via "
+        "the segmented parallel scan (r8) — not per-lang alone (a hot "
+        "language funnels) and never a global ORDER BY; the per-(lang, seg) "
+        "offset table rides a broadcast join"
     ),
     "window_user_analytics": (
         "two window orderings share ONE exchange on user_id (two in-partition "
