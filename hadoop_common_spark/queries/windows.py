@@ -736,26 +736,72 @@ GROUP BY event_type, decile
 
 @query("events_value_ntile_deciles", oracle=_NTILE_ORACLE)
 def events_value_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-count decile banding per event type via ntile(10) +
-    percent_rank — the ranked-window surface the reference's secondary
-    sort cannot express. Ordering carries event_id as the tiebreaker so
-    the tiling is total-order deterministic; ntile's floor-split
-    semantics (earlier tiles get the extras) match across engines. One
-    shuffle on event_type; the per-type sort is the window's in-partition
-    sort, then the decile rollup reuses the same partitioning."""
-    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
-    tiled = spark.table("events").select(
-        "event_type",
-        "value",
-        F.ntile(10).over(w).alias("decile"),
-        F.percent_rank().over(w).alias("pct_rank"),
+    """Equal-count decile banding per event type — the ntile(10) +
+    percent_rank surface the reference's secondary sort cannot express.
+    Ordering carries event_id as the tiebreaker so the tiling is
+    total-order deterministic; ntile's floor-split semantics (earlier
+    tiles get the extras) match across engines. A literal per-type
+    ntile window ranks every row with parallelism bounded by the TYPE
+    count, so the rewrite exploits that the tiebroken order is
+    tie-FREE: rank == row_number == percent_rank*(n-1)+1, every decile
+    boundary is pure rank arithmetic in n, and the 20 boundary VALUES
+    are histogram-selected (skew.grouped_rank_select, r8) — per-decile
+    count and pct_rank edges are computed, not aggregated; equality
+    with the ntile window form is pinned in
+    test_ntile_deciles_rank_arithmetic_equals_window."""
+    from hadoop_common_spark.operators.skew import grouped_rank_select
+
+    ev = spark.table("events").select("event_type", "value", "event_id")
+    K = 10
+
+    def start_rank(d):
+        # tile d covers ranks [start_d, end_d]; first (n mod K) tiles
+        # get one extra row (the SQL-standard floor split)
+        def fn(n, _d=d):
+            base = F.floor(n / K).cast("bigint")
+            extra = F.pmod(n, F.lit(K))
+            return (_d - 1) * base + F.least(F.lit(_d - 1), extra) + 1
+
+        return fn
+
+    def end_rank(d):
+        def fn(n, _d=d):
+            base = F.floor(n / K).cast("bigint")
+            extra = F.pmod(n, F.lit(K))
+            return _d * base + F.least(F.lit(_d), extra)
+
+        return fn
+
+    ranks = {f"_s{d}": start_rank(d) for d in range(1, K + 1)}
+    ranks.update({f"_e{d}": end_rank(d) for d in range(1, K + 1)})
+    sel = grouped_rank_select(
+        ev, ["event_type"], "value", ["event_id"], ranks, n_col="_n"
     )
-    return tiled.groupBy("event_type", "decile").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
-        F.min("pct_rank").alias("min_pct_rank"),
-        F.max("pct_rank").alias("max_pct_rank"),
+
+    n = F.col("_n")
+    nm1 = (n - 1).cast("double")
+    pct = lambda rk: F.when(n == 1, F.lit(0.0)).otherwise(
+        (rk - 1).cast("double") / nm1
+    )
+    tiles = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("decile"),
+                (end_rank(d)(n) - start_rank(d)(n) + 1)
+                .cast("bigint")
+                .alias("n_events"),
+                F.col(f"_s{d}").alias("min_value"),
+                F.col(f"_e{d}").alias("max_value"),
+                pct(start_rank(d)(n)).alias("min_pct_rank"),
+                pct(end_rank(d)(n)).alias("max_pct_rank"),
+            )
+            for d in range(1, K + 1)
+        ]
+    )
+    return (
+        sel.select("event_type", F.explode(tiles).alias("_t"))
+        .select("event_type", "_t.*")
+        .filter(F.col("n_events") > 0)
     )
 
 
@@ -791,34 +837,27 @@ def events_value_percentiles_sampled(spark: SparkSession, sf_dir: str) -> DataFr
     estimate — is identical across engines, runs, and partitionings. The
     order statistic is the 'lower' method (value at rank ceil(q*n)),
     pure ordering with no float interpolation; ceil(0.9*n) is the same
-    IEEE double in both engines."""
+    IEEE double in both engines. The rank pick is histogram selection
+    (skew.grouped_quantile_select, r8) — even at 1/16, a per-TYPE
+    ranking window's parallelism is the type count, and 1/16 of 100 TB
+    is still 6 TB per reducer."""
+    from hadoop_common_spark.operators.skew import grouped_quantile_select
+
     h = F.conv(
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
     ).cast("bigint")
     s = spark.table("events").filter(h % 16 == 0).select("event_type", "value", "event_id")
-    # NULLS FIRST explicitly on BOTH sides: Spark ASC defaults nulls
-    # first, DuckDB defaults nulls LAST — silent rank divergence if the
-    # regenerated testdata ever carries null values
-    w = Window.partitionBy("event_type").orderBy(
-        F.asc_nulls_first("value"), F.asc("event_id")
-    )
-    wc = Window.partitionBy("event_type")
-    rk = s.select(
-        "event_type",
+    # the oracle orders ASC NULLS FIRST explicitly (DuckDB defaults nulls
+    # LAST); the selector's NULL block sorts first, matching
+    sel = grouped_quantile_select(
+        s,
+        ["event_type"],
         "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("cnt"),
+        ["event_id"],
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+        n_col="n_sampled",
     )
-    def pick(q: float, name: str):
-        return F.min(
-            F.when(F.col("rn") >= F.ceil(F.lit(q) * F.col("cnt")), F.col("value"))
-        ).alias(name)
-    return rk.groupBy("event_type").agg(
-        F.max("cnt").cast("bigint").alias("n_sampled"),
-        pick(0.5, "p50"),
-        pick(0.9, "p90"),
-        pick(0.99, "p99"),
-    )
+    return sel.select("event_type", "n_sampled", "p50", "p90", "p99")
 
 
 _TRANSITION_ORACLE = """

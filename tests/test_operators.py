@@ -791,6 +791,86 @@ def test_grouped_quantile_select_equals_window_rank(spark, tables):
     assert set(out.columns) == {"event_type", "n", *qs}
 
 
+def test_ntile_deciles_rank_arithmetic_equals_window(spark, tables):
+    """The histogram-selected decile banding must equal the literal
+    ntile(10)+percent_rank window form bit-for-bit — including heavy
+    value ties (ntile splits ties across tiles by row position), a
+    group smaller than 10 rows (empty tail deciles absent), and a
+    single-row group (percent_rank == 0.0)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.queries import load_all
+
+    registry = load_all()
+
+    # probe corpus: full events schema with quantized values (ties), a
+    # 3-row group, and a 1-row group, written as its own sf_dir so the
+    # registry fn runs unmodified against it
+    import os
+    import shutil
+    import tempfile
+
+    base = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{base}/events.parquet").withColumn(
+        "value", F.floor(F.col("value") * 2) / 2
+    )
+    extra = spark.range(4).select(
+        (F.col("id") + 20_000_000).alias("event_id"),
+        F.current_timestamp().alias("ts"),
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") < 3, F.lit("tiny")).otherwise(F.lit("single")).alias("event_type"),
+        (F.col("id") * 1.5).cast("double").alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    ev = ev.select(*extra.columns).unionByName(extra)
+
+    d = tempfile.mkdtemp(prefix="hcs_ntile_probe_")
+    try:
+        ev.write.parquet(f"{d}/events.parquet")
+        for t in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "documents", "embeddings",
+        ):
+            os.symlink(f"{base}/{t}.parquet", f"{d}/{t}.parquet")
+
+        w = Window.partitionBy("event_type").orderBy(
+            F.asc("value"), F.asc("event_id")
+        )
+        tiled = spark.read.parquet(f"{d}/events.parquet").select(
+            "event_type",
+            "value",
+            F.ntile(10).over(w).alias("decile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+        )
+        want = sorted(
+            tuple(r)
+            for r in tiled.groupBy("event_type", "decile")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+                F.min("pct_rank").alias("min_pct_rank"),
+                F.max("pct_rank").alias("max_pct_rank"),
+            )
+            .collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in registry["events_value_ntile_deciles"].fn(spark, d).collect()
+        )
+        assert got == want
+    finally:
+        # the registry fn re-pointed the session's temp views at the
+        # probe dir — restore them BEFORE deleting it or every later
+        # test in this session reads a vanished path
+        from hadoop_common_spark.tables import register_views
+        from tests.conftest import SF_DIR
+
+        register_views(spark, SF_DIR, force=True)
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_segmented_ewma_matches_sequential_fold(spark, tables):
     """The parallel-scan EWMA must match the sequential per-key array
     fold (the registry events_user_ewma form) to ~1e-12 relative —
