@@ -889,6 +889,87 @@ def test_tws_session_expiry_initial_state_bootstrap(spark, sf_dir, tmp_path):
     )
 
 
+def test_state_ewma_multibatch_carries_state(spark, sf_dir):
+    """Cross-BATCH state carry: drain the same events split into two
+    event-time-ordered files one-file-per-trigger (>= 2 micro-batches,
+    asserted via recentProgress) and the final per-user emission must be
+    bit-identical to the one-batch drain — the (ewma, count) state is
+    the ONLY thing connecting the batches, so any carry bug diverges.
+    The split cuts at a ts strictly between two distinct values so no
+    per-user (ts, event_id) order straddles the batch boundary out of
+    order (the maintainer's documented in-order contract)."""
+    import os
+    import shutil
+    import tempfile
+
+    from hadoop_common_spark.streaming.stateful import ewma_state
+    from hadoop_common_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    cuts = [
+        r[0]
+        for r in ev.select(F.col("ts").cast("long"))
+        .distinct()
+        .orderBy("ts")
+        .collect()
+    ]
+    cut = cuts[len(cuts) // 2]  # strictly between: split is < cut vs >= cut
+
+    d = tempfile.mkdtemp(prefix="hcs_ewma_mb_")
+    try:
+        for i, part in enumerate(
+            (ev.filter(F.col("ts").cast("long") < cut),
+             ev.filter(F.col("ts").cast("long") >= cut))
+        ):
+            stage = f"{d}/_stage{i}"
+            part.coalesce(1).write.parquet(stage)
+            pf = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+            os.rename(f"{stage}/{pf}", f"{d}/{i:02d}_events.parquet")
+            shutil.rmtree(stage)
+            # file-source order is mtime: pin it explicitly
+            os.utime(f"{d}/{i:02d}_events.parquet", (1_000_000 + i, 1_000_000 + i))
+
+        schema = spark.read.parquet(f"{d}/00_events.parquet").schema
+
+        def drain(name: str, **opts):
+            reader = spark.readStream.schema(schema)
+            for k, v in opts.items():
+                reader = reader.option(k, v)
+            q = (
+                ewma_state(reader.parquet(d))
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            n_data_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0
+            )
+            return (
+                sorted(
+                    (r.user_id, r.n_events, r.ewma_value)
+                    for r in spark.table(name).collect()
+                ),
+                n_data_batches,
+            )
+
+        one, n1 = drain("t_ewma_mb_one")
+        multi, nm = drain("t_ewma_mb_multi", maxFilesPerTrigger="1")
+        assert nm >= 2, f"multi-batch drain ran {nm} data batches"
+        # the memory sink keeps every update-mode emission; per-user the
+        # LAST one is the final state, and sorted() puts it last because
+        # n_events grows — compare the per-user maxima
+        final = lambda rows: {
+            u: max((t for t in rows if t[0] == u), key=lambda t: t[1])
+            for u in {r[0] for r in rows}
+        }
+        assert final(multi) == final(one) and len(final(one)) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_state_ewma_matches_batch(spark, sf_dir):
     """The streaming EWMA maintainer's final emission per user must be
     BIT-IDENTICAL to the oracle-backed batch twin events_user_ewma
