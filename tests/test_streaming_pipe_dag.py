@@ -970,6 +970,75 @@ def test_state_ewma_multibatch_carries_state(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_state_topk_multibatch_carries_state(spark, sf_dir):
+    """Cross-batch state carry for the top-k maintainer: top-k by
+    (value desc, event_id) is a commutative monoid, so a two-file
+    one-file-per-trigger drain (any split — here event_id parity) must
+    end with every user's final emission equal to the batch twin's
+    rows. foreachBatch captures emissions WITH batch ids (update-mode
+    memory sinks interleave re-emissions), and the final ranking per
+    user is its highest-batch emission."""
+    import os
+    import shutil
+    import tempfile
+
+    from hadoop_common_spark.queries import load_all
+    from hadoop_common_spark.streaming.stateful import topk_events_state
+    from hadoop_common_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    d = tempfile.mkdtemp(prefix="hcs_topk_mb_")
+    try:
+        for i, part in enumerate(
+            (ev.filter(F.pmod("event_id", F.lit(2)) == 0),
+             ev.filter(F.pmod("event_id", F.lit(2)) == 1))
+        ):
+            stage = f"{d}/_stage{i}"
+            part.coalesce(1).write.parquet(stage)
+            pf = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+            os.rename(f"{stage}/{pf}", f"{d}/{i:02d}_events.parquet")
+            shutil.rmtree(stage)
+            os.utime(f"{d}/{i:02d}_events.parquet", (1_000_000 + i, 1_000_000 + i))
+
+        schema = spark.read.parquet(f"{d}/00_events.parquet").schema
+        batches: list[tuple[int, list]] = []
+
+        def sink(df, bid):
+            batches.append((bid, df.collect()))
+
+        q = (
+            topk_events_state(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(d),
+                k=3,
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert sum(1 for _, rows in batches if rows) >= 2
+
+        last: dict[int, list] = {}
+        for _, rows in sorted(batches, key=lambda t: t[0]):
+            for u in {r.user_id for r in rows}:
+                last[u] = [
+                    (r.user_id, r.event_id, r.value, r.rnk)
+                    for r in rows
+                    if r.user_id == u
+                ]
+        got = sorted(t for rows in last.values() for t in rows)
+        want = sorted(
+            (r.user_id, r.event_id, r.value, r.rnk)
+            for r in load_all()["stream_topk_per_user_batch"].fn(spark, sf_dir).collect()
+        )
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_state_ewma_matches_batch(spark, sf_dir):
     """The streaming EWMA maintainer's final emission per user must be
     BIT-IDENTICAL to the oracle-backed batch twin events_user_ewma
