@@ -332,6 +332,55 @@ def grouped_quantile_select(
     )
 
 
+def grouped_percentiles_interpolated(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tiebreak_cols: list[str],
+    ps: dict[str, float],
+    n_blocks: int = 4096,
+) -> DataFrame:
+    """Exact linear-interpolated per-group percentiles (Spark's
+    ``percentile`` / DuckDB's ``quantile_cont`` semantics, bit-for-bit:
+    pos = p*(n-1), result = (hi-pos)*v_lo + (pos-lo)*v_hi in that term
+    order, NULL values skipped) WITHOUT the builtin's aggregation
+    buffer — ``percentile`` holds every value of a group in ONE
+    aggregation value, the corpus-sized-state class at 100 TB. The two
+    bracketing values per percentile come from ``grouped_rank_select``.
+    Returns one row per group: ``group_cols + one column per ps key``
+    (a group with only NULL values is absent — left-join against your
+    own counts if it must survive, as the registry queries do)."""
+    ranks: dict = {}
+    for tag, p in ps.items():
+        ranks[f"_{tag}_lo"] = lambda n, _p=p: (
+            F.floor(F.lit(_p) * (n - 1).cast("double")).cast("bigint") + 1
+        )
+        ranks[f"_{tag}_hi"] = lambda n, _p=p: (
+            F.ceil(F.lit(_p) * (n - 1).cast("double")).cast("bigint") + 1
+        )
+    sel = grouped_rank_select(
+        df.filter(F.col(value_col).isNotNull()),
+        group_cols,
+        value_col,
+        tiebreak_cols,
+        ranks,
+        n_col="_nn",
+        n_blocks=n_blocks,
+    )
+
+    def interp(tag: str, p: float):
+        pos = F.lit(p) * (F.col("_nn") - 1).cast("double")
+        lo, hi = F.floor(pos), F.ceil(pos)
+        vlo, vhi = F.col(f"_{tag}_lo"), F.col(f"_{tag}_hi")
+        return F.when(lo == hi, vlo).otherwise(
+            (hi - pos) * vlo + (pos - lo) * vhi
+        )
+
+    return sel.select(
+        *group_cols, *[interp(tag, p).alias(tag) for tag, p in ps.items()]
+    )
+
+
 def grouped_rank_select(
     df: DataFrame,
     group_cols: list[str],

@@ -436,21 +436,29 @@ FROM events GROUP BY event_type
 def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact latency-style percentiles (p50/p90/p99) per event type —
     the reference's WordMedian driver-side scan (EX/WordMedian.java:121)
-    generalized to true linear-interpolated quantiles. Spark's
-    `percentile` and DuckDB's `quantile_cont` share the 1+p*(n-1)
-    interpolation and produce bit-identical doubles (probed). Exact
-    percentile sorts each group; at 100 TB the swap is one token:
-    `percentile_approx` (t-digest, mergeable, no group sort) — the
-    sketch error-bound tests cover that tier."""
-    return (
-        spark.table("events")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.expr("percentile(value, 0.5D)").alias("p50"),
-            F.expr("percentile(value, 0.9D)").alias("p90"),
-            F.expr("percentile(value, 0.99D)").alias("p99"),
-        )
+    generalized to true linear-interpolated quantiles, matching Spark's
+    `percentile` and DuckDB's `quantile_cont` bit-for-bit: both
+    interpolate at pos = p*(n-1) with (hi-pos)*v_lo + (pos-lo)*v_hi
+    (probed; the formula below mirrors Percentile.scala's getPercentile
+    term order so the doubles are the same IEEE ops). The two bracketing
+    values per percentile come from histogram selection
+    (skew.grouped_rank_select) — the builtin `percentile` aggregate
+    buffers every value of a group in ONE aggregation value, the same
+    corpus-sized-state class as a collected-history fold, and a hot
+    type's buffer IS the corpus at 100 TB; equality with the builtin is
+    pinned in test_percentiles_interpolation_equals_builtin."""
+    from hadoop_common_spark.operators.skew import grouped_percentiles_interpolated
+
+    ev = spark.table("events").select("event_type", "value", "event_id")
+    pct = grouped_percentiles_interpolated(
+        ev, ["event_type"], "value", ["event_id"],
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+    )
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    # left join: a group whose values are all NULL keeps its count and
+    # NULL percentiles, as the builtin does
+    return counts.join(pct, "event_type", "left").select(
+        "event_type", "n_events", "p50", "p90", "p99"
     )
 
 
@@ -613,15 +621,18 @@ def events_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tripwire before values feed a model): exact q1/q3 (bit-identical
     interpolation, see events_value_percentiles), fences at 1.5 IQR,
     counts only — so the result is integer-stable across engines. The
-    bounds side is one tiny aggregate broadcast back onto the stream;
-    two passes over events, both full scans with partial aggregation."""
-    bounds = (
-        spark.table("events")
-        .groupBy("event_type")
-        .agg(
-            F.expr("percentile(value, 0.25D)").alias("q1"),
-            F.expr("percentile(value, 0.75D)").alias("q3"),
-        )
+    bounds side is histogram-selected (grouped_percentiles_interpolated
+    — the builtin `percentile` would buffer every value of a type in
+    one aggregation value) and broadcast back onto the stream; the
+    fence pass is one full scan with partial aggregation."""
+    from hadoop_common_spark.operators.skew import grouped_percentiles_interpolated
+
+    bounds = grouped_percentiles_interpolated(
+        spark.table("events").select("event_type", "value", "event_id"),
+        ["event_type"],
+        "value",
+        ["event_id"],
+        {"q1": 0.25, "q3": 0.75},
     )
     iqr = F.col("q3") - F.col("q1")
     out = (F.col("value") < F.col("q1") - 1.5 * iqr) | (

@@ -871,6 +871,53 @@ def test_ntile_deciles_rank_arithmetic_equals_window(spark, tables):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_percentiles_interpolation_equals_builtin(spark, tables):
+    """The histogram-selected interpolated percentiles must equal
+    Spark's builtin `percentile` aggregate bit-for-bit — same
+    pos = p*(n-1) bracketing, same (hi-pos)*v_lo + (pos-lo)*v_hi term
+    order — with heavy ties, a single-row group, and an all-NULL-value
+    group (builtin skips nulls; count(*) still counts them)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.operators.skew import (
+        grouped_percentiles_interpolated,
+    )
+
+    ev = spark.table("events").select(
+        "event_type",
+        (F.floor(F.col("value") * 2) / 2).alias("value"),
+        "event_id",
+    )
+    extra = spark.range(6).select(
+        F.when(F.col("id") < 5, F.lit("nullgrp")).otherwise(F.lit("single")).alias("event_type"),
+        F.when(F.col("id") < 5, F.lit(None)).otherwise(F.lit(3.25)).cast("double").alias("value"),
+        (F.col("id") + 30_000_000).alias("event_id"),
+    )
+    ev = ev.unionByName(extra)
+
+    PS = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    want = sorted(
+        tuple(r)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            *[F.expr(f"percentile(value, {p}D)").alias(tag) for tag, p in PS.items()],
+        )
+        .collect()
+    )
+    pct = grouped_percentiles_interpolated(
+        ev, ["event_type"], "value", ["event_id"], PS
+    )
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    got = sorted(
+        tuple(r)
+        for r in counts.join(pct, "event_type", "left")
+        .select("event_type", "n_events", *PS)
+        .collect()
+    )
+    assert got == want
+
+
 def test_segmented_ewma_matches_sequential_fold(spark, tables):
     """The parallel-scan EWMA must match the sequential per-key array
     fold (the registry events_user_ewma form) to ~1e-12 relative —
