@@ -424,17 +424,24 @@ def grouped_rank_select(
     the window form's asc-nulls-first order."""
     from pyspark.sql import Window
 
+    import math
+
     v = F.col(value_col)
     lo_hi = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).collect()[0]
     lo = float(lo_hi.lo) if lo_hi.lo is not None else 0.0
     hi = float(lo_hi.hi) if lo_hi.hi is not None else 0.0
     span = hi - lo
-    if span > 0:
+    # isfinite guards the degenerate extremes: a +/-inf endpoint makes
+    # span inf (which passes > 0 but floors every row into one garbage
+    # block) and a NaN value makes span NaN; both fall back to the
+    # single-block per-group sort, where Spark's ordering (NaN/inf
+    # greatest) matches the window form's
+    if span > 0 and math.isfinite(span):
         blk = F.least(
             F.lit(n_blocks - 1),
             F.floor((v.cast("double") - F.lit(lo)) / F.lit(span) * F.lit(n_blocks)),
         )
-    else:  # empty / single-value / all-null: one block, plain fallback
+    else:  # empty / single-value / all-null / non-finite range
         blk = F.lit(0)
     blocked = df.withColumn("_blk", F.when(v.isNull(), F.lit(-1)).otherwise(blk))
 

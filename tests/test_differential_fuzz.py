@@ -353,3 +353,84 @@ def test_fuzz_segmented_running_sum_matches_plain_window(spark, seed):
         ).collect()
     )
     assert got == want, f"seed={seed} style={style} n_seg={n_seg}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_grouped_rank_select_matches_window(spark, seed):
+    """Randomized equivalence for the r8 histogram selector: random
+    group skew, random value distributions (heavy ties, negatives,
+    NULLs, and non-finite values — +/-inf and NaN force the
+    single-block fallback), random block counts — must equal the plain
+    per-group row_number pick at every requested rank, including
+    out-of-range targets (NULL)."""
+    from pyspark.sql import Window
+
+    from hadoop_common_spark.operators.skew import grouped_rank_select
+
+    rng = random.Random(8000 + seed)
+    n = rng.randint(1, 300)
+    n_keys = rng.choice([1, 3, 20])
+    hot = rng.random() < 0.5
+    style = rng.choice(["dense_ties", "spread", "negative", "weird"])
+
+    def mkval():
+        if rng.random() < 0.05:
+            return None
+        if style == "dense_ties":
+            return float(rng.randint(0, 5))
+        if style == "spread":
+            return rng.uniform(-1e6, 1e6)
+        if style == "negative":
+            return -abs(rng.gauss(0, 100))
+        # weird: mix in non-finite values
+        return rng.choice(
+            [float("inf"), float("-inf"), float("nan"), rng.uniform(-1, 1)]
+        )
+
+    rows = [
+        (
+            0 if hot and rng.random() < 0.8 else rng.randrange(n_keys),
+            mkval(),
+            i,
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k long, v double, t long")
+
+    # targets: first, last, middle, ceil-quantile, and out-of-range
+    ranks = {
+        "r_first": lambda c: F.lit(1).cast("bigint"),
+        "r_last": lambda c: c.cast("bigint"),
+        "r_mid": lambda c: F.ceil(F.lit(0.5) * c).cast("bigint"),
+        "r_oob": lambda c: (c + 7).cast("bigint"),
+    }
+    got_df = grouped_rank_select(df, ["k"], "v", ["t"], ranks, n_col="n")
+
+    w = Window.partitionBy("k").orderBy("v", "t")
+    wc = Window.partitionBy("k")
+    r = df.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    pick = lambda rk: F.max(F.when(F.col("rn") == rk, F.col("v")))
+    want_df = r.groupBy("k").agg(
+        pick(F.lit(1)).alias("r_first"),
+        pick(F.col("n")).alias("r_last"),
+        pick(F.ceil(F.lit(0.5) * F.col("n")).cast("bigint")).alias("r_mid"),
+        pick(F.col("n") + 7).alias("r_oob"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+
+    def norm(rows_):
+        out = []
+        for tup in rows_:
+            out.append(
+                tuple(
+                    ("nan" if isinstance(x, float) and x != x else x)
+                    for x in tup
+                )
+            )
+        return sorted(out, key=str)
+
+    got = norm(tuple(x) for x in got_df.collect())
+    want = norm(tuple(x) for x in want_df.collect())
+    assert got == want, f"seed={seed} style={style}"
