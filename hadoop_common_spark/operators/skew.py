@@ -170,7 +170,13 @@ def segmented_running_sum(
     Ties in ``order_col`` alone are fine WITH tiebreaks: equal order
     values land in the same segment by construction (the segment is a
     function of the order value), and the in-segment window breaks them
-    with ``tiebreak_cols``."""
+    with ``tiebreak_cols``.
+
+    CONTRACT — non-NULL ``key_cols`` and ``order_col``: the offsets
+    equi-join uses null-unsafe equality, so a NULL-keyed group (or a
+    NULL order value, which blocks segment assignment) that the plain
+    window form would emit is dropped here. Filter or coalesce NULLs
+    first if they must survive."""
     lo_hi = df.agg(
         F.min(F.col(order_col).cast("long")).alias("lo"),
         F.max(F.col(order_col).cast("long")).alias("hi"),
@@ -389,6 +395,7 @@ def grouped_rank_select(
     rank_exprs: dict,
     n_col: str = "n",
     n_blocks: int = 4096,
+    broadcast_targets: bool = True,
 ) -> DataFrame:
     """Exact per-group order statistics WITHOUT a per-group window sort —
     the selection-by-histogram twin of ``segmented_running_sum``: a
@@ -396,6 +403,24 @@ def grouped_rank_select(
     parallelism bounded by the number of GROUPS (a 5-type events table
     sorts 10M rows on 5 of 32 cores; a 100 TB one sorts 20 TB per
     reducer), and AQE cannot split a window partition.
+
+    CONTRACTS (both inherited by the quantile/percentile wrappers):
+
+    * **Bounded group cardinality when ``broadcast_targets=True``** (the
+      default): the resolved-targets frame is one row per group x rank
+      target and is broadcast back onto the blocked rows — correct for
+      the operator's design point (few constant-cardinality groups, the
+      exact shape where the window form dies). For a HIGH-cardinality
+      group key (millions of groups x targets would exceed the broadcast
+      limit) pass ``broadcast_targets=False`` so Catalyst picks a
+      shuffle join on (group, block) — and note the plain per-group
+      window is usually fine there anyway, since many groups means
+      parallelism isn't the bottleneck.
+    * **Non-NULL group keys**: the blocked-rows-to-targets equi-join
+      uses null-unsafe equality, so a NULL-keyed group the plain window
+      form would emit is dropped here. Filter or coalesce NULL group
+      keys first if they must survive (NULL *values* are handled — they
+      get their own leading block).
 
     ``rank_exprs`` maps output column name -> fn(n: Column) returning a
     1-based bigint target rank (ntile boundaries, ceil(q*n) quantiles —
@@ -490,8 +515,11 @@ def grouped_rank_select(
         )
     )
 
-    # one row per (group, quantile): broadcast by construction
-    picked = blocked.join(F.broadcast(targets), [*group_cols, "_blk"])
+    # one row per (group, quantile): broadcast-sized for bounded group
+    # cardinality (the design point); see the docstring contract
+    if broadcast_targets:
+        targets = F.broadcast(targets)
+    picked = blocked.join(targets, [*group_cols, "_blk"])
     wq = Window.partitionBy(*group_cols, "_q").orderBy(
         value_col, *tiebreak_cols
     )

@@ -78,79 +78,25 @@ _QUERY_MODULES = [
 
 # Driver-facing iteration order. The external correctness harness walks the
 # registry in dict order and has a bounded budget (~50 rows/round), so the
-# order is part of the evidence strategy. Round-8 rotation (VERDICT r7
-# #1): the 2 r8 newcomers lead (first claim), then the 9 r03-era rows
-# pre-staged at the r7 overflow head, then the 39 oldest r04-green rows.
-# The 10 remaining r04 rows move to the overflow head; r9 finishes the
-# cycle. Overflow = r04 remainder -> r05 -> r06 -> r07-checked (the old
-# window, now the freshest evidence in the fleet). Names not in either
-# list are slotted right after the window block, BEFORE the overflow, so
-# a new query is never silently pushed out of the checked window.
+# order is part of the evidence strategy. Round-9 rotation (VERDICT r8
+# #1): the r9 newcomer (segmented EWMA driver row, VERDICT r8 #3) leads,
+# then the 2 queries whose CODE changed this round (ADVICE fixes — a
+# changed query re-proves before anything merely stale), then the 10
+# r04-era rows pre-staged at the r8 overflow head, then the 37 oldest
+# r05-green rows. This finishes the r04 cycle the r7 verdict ordered;
+# the remaining 13 r05 rows move to the overflow head for r10. Overflow
+# = r05 remainder -> r06 -> r07-checked -> r08-checked (the old window,
+# now the freshest evidence in the fleet). Names not in either list are
+# slotted right after the window block, BEFORE the overflow, so a new
+# query is never silently pushed out of the checked window.
 PRIORITY_WINDOW: list[str] = [
-    # -- r8 newcomers (VERDICT r7 #5 transformWithState batch twins):
-    #    first claim --
-    "stream_session_expiry_batch",
-    "stream_topk_per_user_batch",
-    # -- r03-era rows (newest driver row r03; staged at r7 overflow head) --
-    "flagship_revenue_by_nation",
-    "random_text_wordcount",
-    "terasort_head",
-    "sudoku_distributed",
-    "pentomino_count",
-    "bbp_pi_digits",
-    "pivot_status_priority",
+    # -- r9 newcomer (VERDICT r8 #3: scale-safe EWMA driver row) --
+    "events_user_ewma_segmented",
+    # -- code changed this round (ADVICE NULL-semantics fixes) --
     "events_value_percentiles_sampled",
-    "above_avg_balance",
-    # -- r04-era rows (newest driver row r04; oldest-first 39 of 49) --
-    "teragen_checksum",
-    "montecarlo_pi",
-    "asof_join_last_purchase",
-    "window_tumbling_hourly",
-    "secondary_sort_window",
-    "secondary_sort_collected",
-    "top_k_events",
-    "top_k_per_group",
-    "total_order_sort_head",
-    "keyspec_sort_head",
-    "grep_count",
-    "wordcount",
-    "word_length_stats",
-    "multi_source_wordcount",
-    "aggregate_framework",
-    "uniq_value_count",
-    "value_histogram",
-    "events_basic_stats",
-    "field_selection",
-    "inverse_map",
-    "json_field_extract",
-    "percent_sampled_scan",
-    "regex_filtered_scan",
-    "join_inner_pairs",
-    "join_full_outer",
-    "join_override",
-    "theta_join_acctbal",
-    "union_distinct_nations",
-    "distinct_user_event_pairs",
-    "pricing_summary",
-    "top_unshipped_orders",
-    "order_priority_count",
-    "nation_trade_volume",
-    "top_returning_customers",
-    "customer_order_distribution",
-    "brand_part_stats",
-    "promo_revenue_share",
-    "market_share_by_year",
-    "nation_profit_by_year",
-]
-
-# ---- 50-entry checked-window boundary ----
-# (the driver checks ~50 rows/round — the window must fit; unlisted
-# newcomers auto-slot right after it, BEFORE the overflow)
-# Overflow order = oldest evidence first: the 10 r04 rows the window cap
-# displaced (r9 rotation head), then r05-green, r06-green, and the old
-# r7-checked window at the tail (freshest hard rows in the fleet).
-PRIORITY_OVERFLOW: list[str] = [
-    # -- r04-era remainder (r9 rotation head): window-cap displacements --
+    "events_outlier_counts",
+    # -- r04-era remainder (newest driver row r04; staged at r8 overflow
+    #    head — this closes the r04 cycle) --
     "top_supplier_by_revenue",
     "quantity_band_revenue",
     "small_quantity_revenue",
@@ -161,7 +107,7 @@ PRIORITY_OVERFLOW: list[str] = [
     "corpus_boilerplate_strip",
     "graph_label_propagation",
     "events_enrich_segment",
-    # -- r05-green --
+    # -- r05-green rows (oldest-first 37 of 50) --
     "supplier_diversity_by_part",
     "bulk_suppliers_of_brand",
     "intersect_nations",
@@ -199,6 +145,16 @@ PRIORITY_OVERFLOW: list[str] = [
     "corpus_domain_caps",
     "corpus_global_shuffle",
     "corpus_quality_bins",
+]
+
+# ---- 50-entry checked-window boundary ----
+# (the driver checks ~50 rows/round — the window must fit; unlisted
+# newcomers auto-slot right after it, BEFORE the overflow)
+# Overflow order = oldest evidence first: the 13 r05 rows the window cap
+# displaced (r10 rotation head), then r06-green, r07-checked, and the
+# old r8-checked window at the tail (freshest hard rows in the fleet).
+PRIORITY_OVERFLOW: list[str] = [
+    # -- r05-era remainder (r10 rotation head): window-cap displacements --
     "corpus_contamination_scores",
     "text_lang_id",
     "text_quality_scores",
@@ -263,7 +219,7 @@ PRIORITY_OVERFLOW: list[str] = [
     "similarity_pq_recall_eval",
     "local_supplier_volume",
     "forecast_revenue_change",
-    # -- r07-checked (the old r7 window — freshest hard rows) --
+    # -- r07-checked --
     "dedup_shared_span_pairs",
     "events_close_pairs",
     "corpus_ngram_novelty",
@@ -292,7 +248,6 @@ PRIORITY_OVERFLOW: list[str] = [
     "events_funnel",
     "events_cohort_retention",
     "events_weekday_heatmap",
-    "events_outlier_counts",
     "events_gapfill_minutes",
     "events_multires_rollup",
     "events_rolling_1h_stats",
@@ -314,6 +269,58 @@ PRIORITY_OVERFLOW: list[str] = [
     "important_parts_share",
     "waiting_suppliers",
     "min_cost_supplier",
+    # -- r08-checked (the old r8 window — freshest hard rows;
+    #    events_value_percentiles_sampled moved back to the r9 window
+    #    because its code changed) --
+    "stream_session_expiry_batch",
+    "stream_topk_per_user_batch",
+    "flagship_revenue_by_nation",
+    "random_text_wordcount",
+    "terasort_head",
+    "sudoku_distributed",
+    "pentomino_count",
+    "bbp_pi_digits",
+    "pivot_status_priority",
+    "above_avg_balance",
+    "teragen_checksum",
+    "montecarlo_pi",
+    "asof_join_last_purchase",
+    "window_tumbling_hourly",
+    "secondary_sort_window",
+    "secondary_sort_collected",
+    "top_k_events",
+    "top_k_per_group",
+    "total_order_sort_head",
+    "keyspec_sort_head",
+    "grep_count",
+    "wordcount",
+    "word_length_stats",
+    "multi_source_wordcount",
+    "aggregate_framework",
+    "uniq_value_count",
+    "value_histogram",
+    "events_basic_stats",
+    "field_selection",
+    "inverse_map",
+    "json_field_extract",
+    "percent_sampled_scan",
+    "regex_filtered_scan",
+    "join_inner_pairs",
+    "join_full_outer",
+    "join_override",
+    "theta_join_acctbal",
+    "union_distinct_nations",
+    "distinct_user_event_pairs",
+    "pricing_summary",
+    "top_unshipped_orders",
+    "order_priority_count",
+    "nation_trade_volume",
+    "top_returning_customers",
+    "customer_order_distribution",
+    "brand_part_stats",
+    "promo_revenue_share",
+    "market_share_by_year",
+    "nation_profit_by_year",
 ]
 
 

@@ -624,7 +624,12 @@ def events_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds side is histogram-selected (grouped_percentiles_interpolated
     — the builtin `percentile` would buffer every value of a type in
     one aggregation value) and broadcast back onto the stream; the
-    fence pass is one full scan with partial aggregation."""
+    fence pass is one full scan with partial aggregation. The bounds
+    join is LEFT and the fence flag coalesces to 0, so an event_type
+    whose values are all NULL (the selector omits the group) still
+    surfaces with n_outliers = 0 — matching the oracle, where
+    quantile_cont keeps the group with NULL q1/q3 and the CASE's ELSE
+    counts every row as a non-outlier."""
     from hadoop_common_spark.operators.skew import grouped_percentiles_interpolated
 
     bounds = grouped_percentiles_interpolated(
@@ -640,11 +645,13 @@ def events_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         spark.table("events")
-        .join(F.broadcast(bounds), "event_type")
+        .join(F.broadcast(bounds), "event_type", "left")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(out.cast("int")).cast("bigint").alias("n_outliers"),
+            F.sum(F.coalesce(out.cast("int"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_outliers"),
         )
     )
 
@@ -821,11 +828,12 @@ WITH s AS (
   SELECT event_type, value, event_id
   FROM events
   WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 16 = 0
+    AND value IS NOT NULL
 ),
 rk AS (
   SELECT event_type, value,
          ROW_NUMBER() OVER (PARTITION BY event_type
-                            ORDER BY value ASC NULLS FIRST, event_id ASC) AS rn,
+                            ORDER BY value ASC, event_id ASC) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS cnt
   FROM s
 )
@@ -848,7 +856,12 @@ def events_value_percentiles_sampled(spark: SparkSession, sf_dir: str) -> DataFr
     estimate — is identical across engines, runs, and partitionings. The
     order statistic is the 'lower' method (value at rank ceil(q*n)),
     pure ordering with no float interpolation; ceil(0.9*n) is the same
-    IEEE double in both engines. The rank pick is histogram selection
+    IEEE double in both engines. NULL values are filtered BEFORE
+    ranking on both sides (and n_sampled counts non-null sampled
+    values), so the rank pick targets a non-null value by construction
+    — without the filter, an exact-rank pick landing in a NULL prefix
+    and the oracle's MIN-over-suffix (which skips NULLs) would
+    diverge. The rank pick is histogram selection
     (skew.grouped_quantile_select, r8) — even at 1/16, a per-TYPE
     ranking window's parallelism is the type count, and 1/16 of 100 TB
     is still 6 TB per reducer."""
@@ -857,9 +870,11 @@ def events_value_percentiles_sampled(spark: SparkSession, sf_dir: str) -> DataFr
     h = F.conv(
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
     ).cast("bigint")
-    s = spark.table("events").filter(h % 16 == 0).select("event_type", "value", "event_id")
-    # the oracle orders ASC NULLS FIRST explicitly (DuckDB defaults nulls
-    # LAST); the selector's NULL block sorts first, matching
+    s = (
+        spark.table("events")
+        .filter((h % 16 == 0) & F.col("value").isNotNull())
+        .select("event_type", "value", "event_id")
+    )
     sel = grouped_quantile_select(
         s,
         ["event_type"],
@@ -1022,6 +1037,88 @@ def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
             ewma.alias("ewma_value"),
         )
+    )
+
+
+# Skew-proof EWMA (the scale path of events_user_ewma): the segmented
+# parallel-scan form, driver-checkable because the ORACLE renders the
+# SAME reassociated fold. Each value x contributes the linear map
+# y -> 0.75*y + 0.25*x, i.e. the pair (a, b) = (0.75, x*0.25); maps
+# compose as (a2, b2)∘(a1, b1) = (a2*a1, a2*b1 + b2). Folding element
+# maps left-to-right from the identity reproduces the operator's
+# per-segment recurrence TERM FOR TERM (a' = 0.75*acc.a and
+# b' = 0.75*acc.b + x*0.25 — IEEE * is commutative and correctly
+# rounded, so mp.a*acc.a ≡ acc.a*0.75 bitwise), and the per-key
+# combine over segment maps is the same composition with init (1, 0):
+# its B-track IS the operator's zero-seeded y fold and its A-track the
+# atot product. Final = B + x1*A (the y1 = x1 seed propagated
+# linearly). Order is event-arrival (event_id) — UNIQUE, so the fold
+# order is total by construction at any SF (ts carries second-level
+# ties at sf>=0.1 which would make min_by/arg_min picks and the fold
+# engine-unspecified).
+_EWMA_SEG_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(value AS DOUBLE) AS v FROM events
+),
+bounds AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM e),
+seg AS (
+  SELECT user_id,
+         (event_id - b.lo) // GREATEST((b.hi - b.lo + 1) // 64, 1) AS seg,
+         event_id, v
+  FROM e, bounds b
+),
+segmap AS (
+  SELECT user_id, seg,
+         COUNT(*) AS m,
+         list_reduce(
+           list_prepend({'a': CAST(1.0 AS DOUBLE), 'b': CAST(0.0 AS DOUBLE)},
+             list({'a': CAST(0.75 AS DOUBLE), 'b': v * 0.25} ORDER BY event_id)),
+           (acc, mp) -> {'a': mp.a * acc.a, 'b': mp.a * acc.b + mp.b}
+         ) AS ab,
+         arg_min(v, event_id) AS first_v,
+         MIN(event_id) AS first_o
+  FROM seg GROUP BY user_id, seg
+),
+perkey AS (
+  SELECT user_id,
+         SUM(m) AS n_events,
+         list_reduce(
+           list_prepend({'a': CAST(1.0 AS DOUBLE), 'b': CAST(0.0 AS DOUBLE)},
+             list(ab ORDER BY seg)),
+           (acc, mp) -> {'a': mp.a * acc.a, 'b': mp.a * acc.b + mp.b}
+         ) AS tot,
+         arg_min(first_v, first_o) AS x1
+  FROM segmap GROUP BY user_id
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       tot.b + x1 * tot.a AS ewma_value
+FROM perkey
+"""
+
+
+@query("events_user_ewma_segmented", oracle=_EWMA_SEG_ORACLE)
+def events_user_ewma_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA of `value` per user in event-arrival (event_id) order via
+    the skew-proof parallel scan (skew.segmented_ewma) — the 100 TB
+    form of events_user_ewma, now with a hash-exact driver oracle
+    (see _EWMA_SEG_ORACLE's linear-map rendering). The sequential twin
+    collects each key's ENTIRE history into one aggregation value — a
+    90%-hot key folds 9M values in one task (fixture: 115.7s plain vs
+    3.7s segmented); here the hot key spreads over 64 order-aligned
+    segments, one (key, seg) shuffle plus a per-key combine over a
+    <=64-row aggregate. event_id order makes the fold total by
+    construction (unique), so the result is bit-deterministic across
+    engines, runs, and partitionings."""
+    from hadoop_common_spark.operators.skew import segmented_ewma
+
+    return segmented_ewma(
+        spark.table("events").select("user_id", "event_id", "value"),
+        ["user_id"],
+        order_col="event_id",
+        value_col="value",
+        alpha=0.25,
+        out_col="ewma_value",
+        n_segments=64,
     )
 
 
