@@ -1720,3 +1720,116 @@ else:
         p.stdout,
         p.stderr[-500:],
     )
+
+
+def test_tws_session_expiry_checkpoint_resume_timers(spark, sf_dir, tmp_path):
+    """Crash-resume pin for the timer operator (VERDICT r8 #4): phase 1
+    drains ONLY the real events through session_expiry_tws with a
+    durable checkpoint + file sink, then the query stops — every user's
+    tail session is still OPEN in the RocksDB store with a PENDING
+    event-time timer (no flush batch ran, so no timer has fired). Phase
+    2 restarts from the same checkpoint over two far-future flush files:
+    the RESTORED timers (state-store timer column family, not anything
+    re-registered by input — the sentinel user's rows never touch the
+    real keys) must fire EXACTLY ONCE each. Union across both phases ==
+    the oracle-backed batch twin, duplicate-free; and phase 1 alone must
+    be strictly smaller (the resumed timers, not the first drain,
+    produced the tail sessions). This is the preemption-tolerance
+    contract of the reference's ReliabilityTest/TestBadRecords applied
+    to streaming state (SURVEY §5.3): kill between micro-batches, resume,
+    emit once."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    from hadoop_common_spark.queries import load_all
+    from hadoop_common_spark.streaming.stateful import (
+        session_expiry_tws,
+        transform_with_state_available,
+    )
+    from hadoop_common_spark.tables import load_tables
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf unavailable: TWS driver worker cannot start")
+
+    src = str(tmp_path / "stream_src")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    ev = load_tables(spark, sf_dir)["events"].select("user_id", "event_id", "ts")
+    far = ev.agg(F.max("ts").alias("m")).collect()[0].m
+
+    def add_file(df, name, mtime):
+        w = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(w)
+        dst = os.path.join(src, name)
+        shutil.move(glob.glob(w + "/part-*.parquet")[0], dst)
+        os.utime(dst, (mtime, mtime))
+
+    add_file(ev, "f0.parquet", 1_000_000)
+    schema = spark.read.parquet(f"{src}/f0.parquet").schema
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            session_expiry_tws(stream, gap_sec=1800)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def emitted():
+        return sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.read.parquet(out).collect()
+            if r.user_id >= 0
+        )
+
+    try:
+        # phase 1: real events only — tail sessions stay open, timers pend
+        drain()
+        phase1 = emitted()
+        # phase 2 ("resume after kill"): flush batches advance the
+        # watermark; the checkpoint-restored timers must fire
+        for i, yrs in ((1, 3650), (2, 7300)):
+            add_file(
+                spark.createDataFrame(
+                    [(-1, -i, far + datetime.timedelta(days=yrs))],
+                    "user_id bigint, event_id bigint, ts timestamp",
+                ),
+                f"f{i}.parquet",
+                1_000_000 + i,
+            )
+        drain()
+        got = emitted()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+
+    batch = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in load_all()["stream_session_expiry_batch"].fn(spark, sf_dir).collect()
+    )
+    # exactly-once across the restart: equality is duplicate-sensitive
+    # (a timer that re-fired or a replayed batch would add rows)
+    assert got == batch and len(got) > 0
+    # and the tail sessions came from the RESUMED run's restored timers
+    assert len(phase1) < len(got)
