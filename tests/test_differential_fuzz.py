@@ -434,3 +434,76 @@ def test_fuzz_grouped_rank_select_matches_window(spark, seed):
     got = norm(tuple(x) for x in got_df.collect())
     want = norm(tuple(x) for x in want_df.collect())
     assert got == want, f"seed={seed} style={style}"
+
+
+def test_null_value_semantics_match_oracle(spark, sf_dir, tmp_path):
+    """ADVICE r8 regression pin: the driver's testdata has no NULL
+    `value`s, so it can never exercise the NULL paths of
+    events_outlier_counts (an all-NULL type must survive with
+    n_outliers = 0 via the left-joined bounds) or
+    events_value_percentiles_sampled (NULLs filtered BEFORE ranking on
+    both engines — an exact-rank pick inside a NULL prefix used to
+    diverge from the oracle's MIN-over-suffix). This probe corpus is
+    ~30% NULL values plus one entirely-NULL event_type, and both
+    queries must match their own DuckDB oracle on it."""
+    import datetime
+    import os
+
+    from hadoop_common_spark.queries import load_all
+    from hadoop_common_spark.tables import register_views
+    from tests.conftest import SF_DIR
+
+    rng = random.Random(7)
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(3000):
+        et = ("alpha", "allnull", "beta")[i % 3]
+        v = (
+            None
+            if et == "allnull" or rng.random() < 0.3
+            else round(rng.uniform(-100.0, 100.0), 3)
+        )
+        rows.append(
+            (i, base + datetime.timedelta(seconds=37 * i), i % 50, et, v, "{}")
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    d = str(tmp_path / "sfnull")
+    os.makedirs(d)
+    df.coalesce(1).write.parquet(f"{d}/events.parquet")
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings",
+    ):
+        os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+
+    reg = load_all()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    try:
+        for name in (
+            "events_outlier_counts",
+            "events_value_percentiles_sampled",
+        ):
+            q = reg[name]
+            sdf = q.fn(spark, d)
+            srows = _rowset(sdf.columns, [tuple(r) for r in sdf.collect()], _norm)
+            res = con.execute(q.oracle)
+            dcols = [c[0] for c in res.description]
+            drows = _rowset(dcols, res.fetchall(), _norm)
+            assert sorted(sdf.columns) == sorted(dcols), name
+            assert srows == drows, f"NULL-semantics mismatch: {name}"
+        # and the all-NULL type is genuinely PRESENT with zero outliers
+        oc = {
+            r.event_type: (r.n_events, r.n_outliers)
+            for r in reg["events_outlier_counts"].fn(spark, d).collect()
+        }
+        assert oc["allnull"] == (1000, 0)
+    finally:
+        register_views(spark, SF_DIR, force=True)

@@ -1187,3 +1187,34 @@ def test_range_self_join_binned_equals_theta(spark):
     assert (7, 8) in got        # exact-width delta is inclusive
     assert (2, 3) in got        # bins 0 and 1 — cross-bin neighbor found
     assert not any({6, 7} == {x, y} for x, y in got)  # 90 apart: excluded
+
+
+def test_grouped_rank_select_shuffle_join_path_equals_broadcast(spark, tables):
+    """The broadcast_targets opt-out (for high-cardinality group keys
+    whose groups x targets frame would exceed the broadcast limit) must
+    be a pure plan-freedom change — it removes the FORCED broadcast
+    hint and lets Catalyst/AQE choose the join strategy from its own
+    size estimates — with output identical to the default path."""
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.operators.skew import grouped_rank_select
+
+    ev = spark.table("events").select(
+        "event_type",
+        (F.floor(F.col("value") * 2) / 2).alias("value"),
+        "event_id",
+    )
+    qs = {"p25": 0.25, "p50": 0.5, "p99": 0.99}
+    ranks = {
+        name: (lambda n, _q=q: F.ceil(F.lit(_q) * n).cast("bigint"))
+        for name, q in qs.items()
+    }
+    bcast = grouped_rank_select(
+        ev, ["event_type"], "value", ["event_id"], ranks, broadcast_targets=True
+    )
+    shuf = grouped_rank_select(
+        ev, ["event_type"], "value", ["event_id"], ranks, broadcast_targets=False
+    )
+    assert sorted(tuple(r) for r in bcast.collect()) == sorted(
+        tuple(r) for r in shuf.collect()
+    )
