@@ -211,6 +211,14 @@ REPRESENTATIVE = {
         "partition count is the type count; the window sorts that remain "
         "are the 128-row sketch groups and the one-block residual picks"
     ),
+    "events_user_ewma_segmented": (
+        "segmented parallel-scan EWMA (r9): the heavy pass is ONE "
+        "(user, segment) hash aggregate folding each segment's values "
+        "into a 2-double linear map — no per-key window over the raw "
+        "stream, so a hot key spreads across its 64 segments; the "
+        "per-key combine aggregates the <=64-row map table and the only "
+        "windows in the plan are over that bounded aggregate"
+    ),
 }
 
 
