@@ -318,12 +318,15 @@ def grouped_quantile_select(
     qs: dict[str, float],
     n_col: str = "n",
     n_blocks: int = 4096,
+    broadcast_targets: bool = True,
 ) -> DataFrame:
     """Exact per-group rank-quantiles WITHOUT a per-group window sort:
     the value at 1-based rank ``ceil(q * n)`` per group — exactly what
     ``max(when(row_number() == ceil(q*n), value))`` picks, without ever
     ranking the group. The fraction->rank wrapper over
-    ``grouped_rank_select`` (see there for the algorithm)."""
+    ``grouped_rank_select`` (see there for the algorithm and the
+    bounded-cardinality / non-NULL-key contracts; ``broadcast_targets``
+    is forwarded)."""
     return grouped_rank_select(
         df,
         group_cols,
@@ -335,6 +338,7 @@ def grouped_quantile_select(
         },
         n_col=n_col,
         n_blocks=n_blocks,
+        broadcast_targets=broadcast_targets,
     )
 
 
@@ -345,6 +349,7 @@ def grouped_percentiles_interpolated(
     tiebreak_cols: list[str],
     ps: dict[str, float],
     n_blocks: int = 4096,
+    broadcast_targets: bool = True,
 ) -> DataFrame:
     """Exact linear-interpolated per-group percentiles (Spark's
     ``percentile`` / DuckDB's ``quantile_cont`` semantics, bit-for-bit:
@@ -372,6 +377,7 @@ def grouped_percentiles_interpolated(
         ranks,
         n_col="_nn",
         n_blocks=n_blocks,
+        broadcast_targets=broadcast_targets,
     )
 
     def interp(tag: str, p: float):

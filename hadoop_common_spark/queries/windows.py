@@ -611,6 +611,7 @@ SELECT e.event_type,
                        OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM events e JOIN bounds b ON e.event_type = b.event_type
+WHERE e.event_type IS NOT NULL
 GROUP BY e.event_type
 """
 
@@ -629,7 +630,10 @@ def events_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose values are all NULL (the selector omits the group) still
     surfaces with n_outliers = 0 — matching the oracle, where
     quantile_cont keeps the group with NULL q1/q3 and the CASE's ELSE
-    counts every row as a non-outlier."""
+    counts every row as a non-outlier. A NULL event_type is excluded
+    EXPLICITLY on both engines (the selector's non-NULL group-key
+    contract; without the filter the left join would keep a NULL-type
+    group the oracle's null-unsafe inner join drops)."""
     from hadoop_common_spark.operators.skew import grouped_percentiles_interpolated
 
     bounds = grouped_percentiles_interpolated(
@@ -645,6 +649,7 @@ def events_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         spark.table("events")
+        .filter(F.col("event_type").isNotNull())
         .join(F.broadcast(bounds), "event_type", "left")
         .groupBy("event_type")
         .agg(
@@ -828,7 +833,7 @@ WITH s AS (
   SELECT event_type, value, event_id
   FROM events
   WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 16 = 0
-    AND value IS NOT NULL
+    AND value IS NOT NULL AND event_type IS NOT NULL
 ),
 rk AS (
   SELECT event_type, value,
@@ -870,9 +875,16 @@ def events_value_percentiles_sampled(spark: SparkSession, sf_dir: str) -> DataFr
     h = F.conv(
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
     ).cast("bigint")
+    # NULL event_type is excluded on both engines too: the selector's
+    # group-key joins are null-unsafe (documented contract), so a NULL
+    # group would silently vanish on the Spark side only
     s = (
         spark.table("events")
-        .filter((h % 16 == 0) & F.col("value").isNotNull())
+        .filter(
+            (h % 16 == 0)
+            & F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
         .select("event_type", "value", "event_id")
     )
     sel = grouped_quantile_select(

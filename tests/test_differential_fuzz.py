@@ -444,8 +444,11 @@ def test_null_value_semantics_match_oracle(spark, sf_dir, tmp_path):
     events_value_percentiles_sampled (NULLs filtered BEFORE ranking on
     both engines — an exact-rank pick inside a NULL prefix used to
     diverge from the oracle's MIN-over-suffix). This probe corpus is
-    ~30% NULL values plus one entirely-NULL event_type, and both
-    queries must match their own DuckDB oracle on it."""
+    ~30% NULL values, one entirely-NULL event_type, AND a slice of NULL
+    event_types (both queries exclude the NULL group explicitly on both
+    engines — the selector's group-key joins are null-unsafe, so
+    without the shared filter the engines disagree on whether the
+    group exists). Both queries must match their own DuckDB oracle."""
     import datetime
     import os
 
@@ -457,7 +460,7 @@ def test_null_value_semantics_match_oracle(spark, sf_dir, tmp_path):
     base = datetime.datetime(2024, 1, 1)
     rows = []
     for i in range(3000):
-        et = ("alpha", "allnull", "beta")[i % 3]
+        et = ("alpha", "allnull", "beta", None)[i % 4]
         v = (
             None
             if et == "allnull" or rng.random() < 0.3
@@ -499,11 +502,13 @@ def test_null_value_semantics_match_oracle(spark, sf_dir, tmp_path):
             drows = _rowset(dcols, res.fetchall(), _norm)
             assert sorted(sdf.columns) == sorted(dcols), name
             assert srows == drows, f"NULL-semantics mismatch: {name}"
-        # and the all-NULL type is genuinely PRESENT with zero outliers
+        # the all-NULL type is genuinely PRESENT with zero outliers, and
+        # the NULL event_type group is absent (excluded on both engines)
         oc = {
             r.event_type: (r.n_events, r.n_outliers)
             for r in reg["events_outlier_counts"].fn(spark, d).collect()
         }
-        assert oc["allnull"] == (1000, 0)
+        assert oc["allnull"] == (750, 0)
+        assert None not in oc
     finally:
         register_views(spark, SF_DIR, force=True)

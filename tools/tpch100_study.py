@@ -81,7 +81,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
     configure_for_scale(spark)
-    ui = "http://localhost:4047"
+    # uiWebUrl, not the requested port: a port conflict makes Spark bind
+    # the next free one (spark.port.maxRetries), and a hardcoded URL
+    # would then crash the run AFTER the expensive tier build
+    ui = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
 
     t0 = time.time()
