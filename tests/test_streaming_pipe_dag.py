@@ -1833,3 +1833,106 @@ def test_tws_session_expiry_checkpoint_resume_timers(spark, sf_dir, tmp_path):
     assert got == batch and len(got) > 0
     # and the tail sessions came from the RESUMED run's restored timers
     assert len(phase1) < len(got)
+
+
+def test_tws_topk_checkpoint_resume_liststate(spark, sf_dir, tmp_path):
+    """Checkpoint-restore pin for the ListState maintainer (the timer
+    test covers ValueState+timers; this covers the list column family):
+    phase 1 drains the OLD half of events with a durable checkpoint and
+    stops; phase 2 restarts from the same checkpoint over only the NEW
+    half. For every user the new half touches, the resumed emission
+    must equal the batch top-k over ALL events — impossible unless the
+    per-user k-row ListState survived the restart (a state loss would
+    rank the new half alone). Distinct from the bootstrap test: no
+    initial_state is passed; the ONLY carrier across the kill is the
+    RocksDB checkpoint."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from hadoop_common_spark.streaming.stateful import (
+        topk_events_tws,
+        transform_with_state_available,
+    )
+    from hadoop_common_spark.tables import load_tables
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf unavailable: TWS driver worker cannot start")
+
+    ev = load_tables(spark, sf_dir)["events"].select("user_id", "event_id", "value")
+    old = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 == 1)
+
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def add_file(df, name, mtime):
+        w = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(w)
+        dst = os.path.join(src, name)
+        shutil.move(glob.glob(w + "/part-*.parquet")[0], dst)
+        os.utime(dst, (mtime, mtime))
+
+    add_file(old, "f0.parquet", 1_000_000)
+    schema = spark.read.parquet(f"{src}/f0.parquet").schema
+    out = str(tmp_path / "sink")
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    # memory sink refuses checkpoint recovery — a batch-id-tagged
+    # foreachBatch parquet sink is the recoverable update-mode analog
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def write_batch(bdf, bid):
+            bdf.withColumn("_bid", F.lit(bid)).write.mode("append").parquet(out)
+
+        q = (
+            topk_events_tws(stream, k=3)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        drain()
+        p1_max_bid = spark.read.parquet(out).agg(F.max("_bid")).collect()[0][0]
+        add_file(new, "f1.parquet", 1_000_001)
+        drain()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+
+    got = sorted(
+        (r.user_id, r.event_id, r.value, r.rnk)
+        for r in spark.read.parquet(out)
+        .filter(F.col("_bid") > p1_max_bid)
+        .collect()
+    )
+    touched = {u.user_id for u in new.select("user_id").distinct().collect()}
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    full = (
+        ev.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )
+    want = sorted(
+        (r.user_id, r.event_id, r.value, r.rnk)
+        for r in full.collect()
+        if r.user_id in touched
+    )
+    assert got == want and len(got) > 0
