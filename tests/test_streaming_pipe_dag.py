@@ -1936,3 +1936,96 @@ def test_tws_topk_checkpoint_resume_liststate(spark, sf_dir, tmp_path):
         if r.user_id in touched
     )
     assert got == want and len(got) > 0
+
+
+def test_tws_distinct_types_checkpoint_resume_mapstate(spark, sf_dir, tmp_path):
+    """Checkpoint-restore pin for the MapState column family — with the
+    ValueState+timer and ListState pins this completes the trio: every
+    state kind the three transformWithState operators use survives a
+    kill between micro-batches. Phase 1 drains the old half of events
+    (per-user seen-type maps populated), stops; phase 2 restarts from
+    the checkpoint over the new half only. Each touched user's resumed
+    distinct count must equal batch count_distinct over ALL events —
+    state loss would count the new half's types alone."""
+    import glob
+    import os
+    import shutil
+
+    from hadoop_common_spark.streaming.stateful import (
+        distinct_event_types_tws,
+        transform_with_state_available,
+    )
+    from hadoop_common_spark.tables import load_tables
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf unavailable: TWS driver worker cannot start")
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "event_type"
+    )
+    old = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 == 1)
+
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+    os.makedirs(src)
+
+    def add_file(df, name, mtime):
+        w = str(tmp_path / f"w_{name}")
+        df.coalesce(1).write.parquet(w)
+        dst = os.path.join(src, name)
+        shutil.move(glob.glob(w + "/part-*.parquet")[0], dst)
+        os.utime(dst, (mtime, mtime))
+
+    add_file(old, "f0.parquet", 1_000_000)
+    schema = spark.read.parquet(f"{src}/f0.parquet").schema
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def write_batch(bdf, bid):
+            bdf.withColumn("_bid", F.lit(bid)).write.mode("append").parquet(out)
+
+        q = (
+            distinct_event_types_tws(stream)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        drain()
+        p1_max_bid = spark.read.parquet(out).agg(F.max("_bid")).collect()[0][0]
+        add_file(new, "f1.parquet", 1_000_001)
+        drain()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+
+    got = {
+        r.user_id: r.n_types
+        for r in spark.read.parquet(out).filter(F.col("_bid") > p1_max_bid).collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n"))
+        .collect()
+        if r.user_id in got
+    }
+    touched = {u.user_id for u in new.select("user_id").distinct().collect()}
+    assert set(got) == touched
+    assert got == want and len(got) > 0
