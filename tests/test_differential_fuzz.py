@@ -512,3 +512,74 @@ def test_null_value_semantics_match_oracle(spark, sf_dir, tmp_path):
         assert None not in oc
     finally:
         register_views(spark, SF_DIR, force=True)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_segmented_ewma_oracle_bit_exact(spark, sf_dir, tmp_path, seed):
+    """The r9 segmented-EWMA driver row rests on a cross-engine
+    bit-exactness claim: the DuckDB oracle renders the operator's
+    reassociated linear-map fold term for term, so the doubles must
+    match EXACTLY (tuple equality, no tolerance). The registry sweep
+    checks it on real testdata only; this fuzz stresses the shapes
+    where float identity could crack — mixed magnitudes (1e-12..1e12,
+    negatives, exact dyadics), a 60%-hot key, single-event users, and
+    sparse event_id ranges that leave most segments empty."""
+    import os
+
+    from hadoop_common_spark.queries import load_all
+    from hadoop_common_spark.tables import register_views
+    from tests.conftest import SF_DIR
+
+    rng = random.Random(4200 + seed)
+    n_users = rng.randrange(1, 15)
+    n_events = rng.randrange(1, 600)
+    id_stride = rng.choice([1, 7, 1000, 12345])
+
+    def value():
+        kind = rng.random()
+        if kind < 0.25:
+            return float(rng.randrange(-8, 9)) / 4.0  # exact dyadics, ties
+        if kind < 0.5:
+            return rng.uniform(-1e12, 1e12)
+        if kind < 0.75:
+            return rng.uniform(-1e-12, 1e-12)
+        return rng.uniform(-100.0, 100.0)
+
+    rows = []
+    for i in range(n_events):
+        # 60% of events land on user 0 (the hot key the operator exists for)
+        u = 0 if rng.random() < 0.6 else rng.randrange(n_users)
+        rows.append((i * id_stride, u, value()))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, value double"
+    ).selectExpr(
+        "event_id",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,event_id) AS ts",
+        "user_id",
+        "'t' AS event_type",
+        "value",
+        "'{}' AS props",
+    )
+    d = str(tmp_path / "sfewma")
+    os.makedirs(d)
+    df.coalesce(1).write.parquet(f"{d}/events.parquet")
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings",
+    ):
+        os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+
+    reg = load_all()
+    q = reg["events_user_ewma_segmented"]
+    try:
+        sdf = q.fn(spark, d)
+        srows = sorted(tuple(r) for r in sdf.collect())
+    finally:
+        register_views(spark, SF_DIR, force=True)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    drows = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert srows == drows  # EXACT doubles, not approx
