@@ -1068,6 +1068,14 @@ def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order is total by construction at any SF (ts carries second-level
 # ties at sf>=0.1 which would make min_by/arg_min picks and the fold
 # engine-unspecified).
+#
+# ONE segment-count constant for both engines (ADVICE r9): the fold
+# grouping — and therefore the reassociation the hash-exactness rests
+# on — is a function of the segment count, so the oracle SQL and the
+# segmented_ewma call MUST interpolate the same value.
+# (token substitution, not an f-string: the SQL's {'a': ...} struct
+# literals would read as format fields)
+_EWMA_N_SEG = 64
 _EWMA_SEG_ORACLE = """
 WITH e AS (
   SELECT user_id, event_id, CAST(value AS DOUBLE) AS v FROM events
@@ -1075,7 +1083,7 @@ WITH e AS (
 bounds AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM e),
 seg AS (
   SELECT user_id,
-         (event_id - b.lo) // GREATEST((b.hi - b.lo + 1) // 64, 1) AS seg,
+         (event_id - b.lo) // GREATEST((b.hi - b.lo + 1) // __NSEG__, 1) AS seg,
          event_id, v
   FROM e, bounds b
 ),
@@ -1105,7 +1113,7 @@ perkey AS (
 SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
        tot.b + x1 * tot.a AS ewma_value
 FROM perkey
-"""
+""".replace("__NSEG__", str(_EWMA_N_SEG))
 
 
 @query("events_user_ewma_segmented", oracle=_EWMA_SEG_ORACLE)
@@ -1130,7 +1138,7 @@ def events_user_ewma_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value",
         alpha=0.25,
         out_col="ewma_value",
-        n_segments=64,
+        n_segments=_EWMA_N_SEG,
     )
 
 

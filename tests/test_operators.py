@@ -679,7 +679,7 @@ def test_segmented_running_sum_equals_one_window(spark, tables):
         (r.user_id, r.event_id, r.run)
         for r in ev.withColumn("run", F.sum("v").over(w)).collect()
     )
-    for n_seg in (1, 7, 64, 10**6):
+    for n_seg in (1, 7, 64, 10**6, None):  # None = count-derived default
         got = sorted(
             (r.user_id, r.event_id, r.running)
             for r in segmented_running_sum(
@@ -728,6 +728,52 @@ def test_segmented_running_sum_tiebreak_equals_one_window(spark, tables):
             ).collect()
         )
         assert got == want, f"n_segments={n_seg}"
+
+
+def test_derived_n_segments_bounds_per_segment_state(spark):
+    """VERDICT r9 #3: the segmented scans' per-(key, segment) fold
+    state must be bounded BY CONSTRUCTION, not by a fixed knob. With
+    the count-derived default (max(64, sqrt(N))), a 90%-hot key's
+    largest segment holds O(sqrt N) rows — measured here at a 10x size
+    step (the fixture shape of the bench skew tier, miniaturized):
+    the max per-(key, segment) row count must stay within a constant
+    of sqrt(N) at BOTH sizes, i.e. grow ~sqrt(10)x, not 10x, across
+    the step — while a fixed n_segments=64 would grow it linearly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.operators.skew import (
+        _segment_expr,
+        derive_n_segments,
+    )
+
+    max_per_seg = {}
+    for n in (40_000, 400_000):
+        df = spark.range(n).select(
+            # 90% of rows on user 0 — the hot-key regime
+            F.when(F.pmod("id", F.lit(10)) < 9, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("user_id"),
+            F.col("id").alias("event_id"),
+        )
+        nseg = derive_n_segments(n)
+        assert nseg == max(64, math.isqrt(n))
+        width = max(n // nseg, 1)  # lo=0, hi=n-1 for a dense range
+        occ = (
+            df.withColumn("_seg", _segment_expr("event_id", 0, width))
+            .groupBy("user_id", "_seg")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").alias("m"))
+            .collect()[0]
+        )
+        max_per_seg[n] = occ.m
+        # per-(key, segment) state is O(sqrt N): the hot key holds ~90%
+        # of each segment's ~N/sqrt(N) rows
+        assert occ.m <= 2 * math.isqrt(n), (n, occ.m)
+    # sublinear growth across the 10x step: ~sqrt(10) (~3.2), never ~10
+    ratio = max_per_seg[400_000] / max_per_seg[40_000]
+    assert ratio < 5, max_per_seg
 
 
 def test_grouped_quantile_select_equals_window_rank(spark, tables):
