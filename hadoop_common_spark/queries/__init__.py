@@ -78,83 +78,21 @@ _QUERY_MODULES = [
 
 # Driver-facing iteration order. The external correctness harness walks the
 # registry in dict order and has a bounded budget (~50 rows/round), so the
-# order is part of the evidence strategy. Round-9 rotation (VERDICT r8
-# #1): the r9 newcomer (segmented EWMA driver row, VERDICT r8 #3) leads,
-# then the 2 queries whose CODE changed this round (ADVICE fixes — a
-# changed query re-proves before anything merely stale), then the 10
-# r04-era rows pre-staged at the r8 overflow head, then the 37 oldest
-# r05-green rows. This finishes the r04 cycle the r7 verdict ordered;
-# the remaining 13 r05 rows move to the overflow head for r10. Overflow
-# = r05 remainder -> r06 -> r07-checked -> r08-checked (the old window,
-# now the freshest evidence in the fleet). Names not in either list are
-# slotted right after the window block, BEFORE the overflow, so a new
-# query is never silently pushed out of the checked window.
+# order is part of the evidence strategy. Round-10 rotation (VERDICT r9
+# #1): the r10 newcomer (the salted-join driver row, VERDICT r9 #5)
+# leads, then the 13 r05-era rows the r9 window cap displaced (their
+# newest driver row is r05 — the oldest evidence in the fleet), then the
+# 36 oldest r06-green rows. This brings every query's newest driver row
+# to <=4 rounds old and establishes the steady ~4-round re-proof
+# cadence. Overflow = r06 remainder -> r07-checked -> r08-checked -> the
+# old r9 window (freshest hard rows in the fleet). Names not in either
+# list are slotted right after the window block, BEFORE the overflow, so
+# a new query is never silently pushed out of the checked window.
 PRIORITY_WINDOW: list[str] = [
-    # -- r9 newcomer (VERDICT r8 #3: scale-safe EWMA driver row) --
-    "events_user_ewma_segmented",
-    # -- code changed this round (ADVICE NULL-semantics fixes) --
-    "events_value_percentiles_sampled",
-    "events_outlier_counts",
-    # -- r04-era remainder (newest driver row r04; staged at r8 overflow
-    #    head — this closes the r04 cycle) --
-    "top_supplier_by_revenue",
-    "quantity_band_revenue",
-    "small_quantity_revenue",
-    "large_volume_orders",
-    "inactive_rich_customers",
-    "disjunctive_bracket_revenue",
-    "similarity_lsh_recall_eval",
-    "corpus_boilerplate_strip",
-    "graph_label_propagation",
-    "events_enrich_segment",
-    # -- r05-green rows (oldest-first 37 of 50) --
-    "supplier_diversity_by_part",
-    "bulk_suppliers_of_brand",
-    "intersect_nations",
-    "except_nations",
-    "dedup_minhash_recall_eval",
-    "dedup_incoming_flag",
-    "corpus_gopher_filter",
-    "text_hard_negatives",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_resolution",
-    "similarity_cosine_topk",
-    "similarity_lsh_buckets",
-    "similarity_ivf_topk",
-    "similarity_pq_topk",
-    "corpus_semantic_dedup",
-    "graph_pagerank",
-    "window_sliding_10m_5m",
-    "window_sessionize",
-    "view_click_attribution",
-    "window_user_running_total",
-    "window_user_analytics",
-    "asof_join_next_purchase",
-    "corpus_tfidf_topterms",
-    "pipeline_clean_corpus",
-    "corpus_split_counts",
-    "corpus_token_shards",
-    "corpus_decontamination",
-    "corpus_mixture_sample",
-    "corpus_profile",
-    "corpus_incremental_ingest",
-    "corpus_domain_caps",
-    "corpus_global_shuffle",
-    "corpus_quality_bins",
-]
-
-# ---- 50-entry checked-window boundary ----
-# (the driver checks ~50 rows/round — the window must fit; unlisted
-# newcomers auto-slot right after it, BEFORE the overflow)
-# Overflow order = oldest evidence first: the 13 r05 rows the window cap
-# displaced (r10 rotation head), then r06-green, r07-checked, and the
-# old r8-checked window at the tail (freshest hard rows in the fleet).
-PRIORITY_OVERFLOW: list[str] = [
-    # -- r05-era remainder (r10 rotation head): window-cap displacements --
+    # -- r10 newcomer (VERDICT r9 #5: the salted-join shape's driver row) --
+    "join_salted_enrich",
+    # -- r05-era remainder (newest driver row r05; staged at the r9
+    #    overflow head — this closes the r05 cycle) --
     "corpus_contamination_scores",
     "text_lang_id",
     "text_quality_scores",
@@ -168,7 +106,7 @@ PRIORITY_OVERFLOW: list[str] = [
     "multimodal_metadata",
     "multimodal_fake_decode",
     "multimodal_frame_sample",
-    # -- r06-green (freshest hard rows — checked last round) --
+    # -- r06-green rows (oldest-first 36 of 50) --
     "events_ab_value_ttest",
     "events_signup_conversion_latency",
     "nation_share_of_region",
@@ -205,6 +143,17 @@ PRIORITY_OVERFLOW: list[str] = [
     "corpus_dsir_weights",
     "orders_market_basket",
     "events_user_ewma",
+]
+
+# ---- 50-entry checked-window boundary ----
+# (the driver checks ~50 rows/round — the window must fit; unlisted
+# newcomers auto-slot right after it, BEFORE the overflow)
+# Overflow order = oldest evidence first: the 14 r06-green rows the
+# window cap displaced (r11 rotation head), then r07-checked,
+# r08-checked, and the old r9 window at the tail (freshest hard rows in
+# the fleet).
+PRIORITY_OVERFLOW: list[str] = [
+    # -- r06-green remainder (r11 rotation head): window-cap displacements --
     "customers_rfm_segments",
     "similarity_knn_label_eval",
     "events_key_skew_report",
@@ -321,6 +270,57 @@ PRIORITY_OVERFLOW: list[str] = [
     "promo_revenue_share",
     "market_share_by_year",
     "nation_profit_by_year",
+    # -- r09-checked (the old r9 window — freshest hard rows) --
+    "events_user_ewma_segmented",
+    "events_value_percentiles_sampled",
+    "events_outlier_counts",
+    "top_supplier_by_revenue",
+    "quantity_band_revenue",
+    "small_quantity_revenue",
+    "large_volume_orders",
+    "inactive_rich_customers",
+    "disjunctive_bracket_revenue",
+    "similarity_lsh_recall_eval",
+    "corpus_boilerplate_strip",
+    "graph_label_propagation",
+    "events_enrich_segment",
+    "supplier_diversity_by_part",
+    "bulk_suppliers_of_brand",
+    "intersect_nations",
+    "except_nations",
+    "dedup_minhash_recall_eval",
+    "dedup_incoming_flag",
+    "corpus_gopher_filter",
+    "text_hard_negatives",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_resolution",
+    "similarity_cosine_topk",
+    "similarity_lsh_buckets",
+    "similarity_ivf_topk",
+    "similarity_pq_topk",
+    "corpus_semantic_dedup",
+    "graph_pagerank",
+    "window_sliding_10m_5m",
+    "window_sessionize",
+    "view_click_attribution",
+    "window_user_running_total",
+    "window_user_analytics",
+    "asof_join_next_purchase",
+    "corpus_tfidf_topterms",
+    "pipeline_clean_corpus",
+    "corpus_split_counts",
+    "corpus_token_shards",
+    "corpus_decontamination",
+    "corpus_mixture_sample",
+    "corpus_profile",
+    "corpus_incremental_ingest",
+    "corpus_domain_caps",
+    "corpus_global_shuffle",
+    "corpus_quality_bins",
 ]
 
 

@@ -538,3 +538,51 @@ def entity_link_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("node") % 2 == 0).cast("int")).cast("bigint").alias("n_customers"),
         F.sum((F.col("node") % 2 == 1).cast("int")).cast("bigint").alias("n_suppliers"),
     )
+
+
+# Salted join (r10, VERDICT r9 #5): the one skew-tier winner that had no
+# registry twin. operators/skew.salted_join spreads a hot LEFT key over
+# n_salts reducers by salting the fact side and replicating the dim side
+# n_salts x — the explicit fallback when AQE's runtime skew split cannot
+# help (a single key holding >1 task's worth of rows on BOTH sides; the
+# RehashPartitioner regime, MRC/mapreduce/lib/partition/
+# RehashPartitioner.java:48). The OUTPUT is join-order- and
+# salt-independent — identical to the plain inner join — so the oracle
+# is the plain join; the at-depth perf evidence lives in the bench skew
+# tier (join_salted 4.8s vs join_plain 9.8s on the 90%-hot Zipf fixture,
+# BENCH_DETAIL r9).
+_SALTED_JOIN_ORACLE = """
+SELECT c.c_mktsegment AS segment, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+"""
+
+
+@query("join_salted_enrich", oracle=_SALTED_JOIN_ORACLE)
+def join_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events enriched with the customer's market segment through the
+    skew-proof SALTED join (operators/skew.salted_join), rolled up per
+    (segment, event_type). Inner-join semantics are salt-exact: each
+    fact row carries one deterministic salt and every dim row exists
+    for every salt, so no match is lost or duplicated — the result is
+    bit-identical to the plain join at ANY n_salts, which is what makes
+    the shape driver-checkable. dsum keeps the double aggregate
+    order-independent across the salted partitioning."""
+    from hadoop_common_spark.functions.exact import dsum
+    from hadoop_common_spark.operators.skew import salted_join
+
+    ev = spark.table("events").select("user_id", "event_type", "value")
+    dim = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        salted_join(ev, dim, ["user_id"], how="inner", n_salts=8)
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )
