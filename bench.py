@@ -436,7 +436,7 @@ def bench_skew(spark, scale_dir: str) -> dict[str, float]:
     def timed(name, thunk):
         best = -1.0
         for _ in range(2):  # keep-min like the other tiers
-            t0 = time.time()
+            t0 = time.perf_counter()
             try:
                 _run_noop(thunk())
             except Exception as e:
@@ -445,7 +445,7 @@ def bench_skew(spark, scale_dir: str) -> dict[str, float]:
                     file=sys.stderr,
                 )
                 break
-            el = round(time.time() - t0, 3)
+            el = round(time.perf_counter() - t0, 3)
             best = el if best < 0 else min(best, el)
         out[name] = best
 
@@ -609,12 +609,12 @@ def bench_dfsio(spark, n_rows: int) -> dict:
         F.rpad(F.md5((F.col("id") + 1).cast("string")), 90, "x").alias("payload"),
     )
     mb = n_rows * 100 / 1e6
-    t0 = time.time()
+    t0 = time.perf_counter()
     recs.write.mode("overwrite").parquet(out)
-    w = time.time() - t0
-    t0 = time.time()
+    w = time.perf_counter() - t0
+    t0 = time.perf_counter()
     n = spark.read.parquet(out).count()
-    r = time.time() - t0
+    r = time.perf_counter() - t0
     assert n == n_rows
     shutil.rmtree(out, ignore_errors=True)
     return {
@@ -625,25 +625,74 @@ def bench_dfsio(spark, n_rows: int) -> dict:
     }
 
 
-def bench_cpu(spark, n_rows: int = 400_000_000) -> dict:
-    """Fixed CPU-speed yardstick (VERDICT r8 #6): the DFSIO write MB/s
-    normalizer tracks host I/O speed, which misprices the CPU-bound
-    majority of the query set (r8: the write yardstick said the host ran
-    12% faster between runs while pure-compute queries ran flat, so
-    their normalized ratios inflated). This microbench is pure JVM
+# Versioned kernel tag: cross-round cpu slowdown is only computed when
+# the previous round's record carries the SAME tag — comparing Mrows/s
+# across different kernels would mis-adjudicate every flag.
+CPU_KERNEL = "xxh64-250M-1part-med5x4"
+
+
+def bench_cpu(spark, n_rows: int = 250_000_000, reps: int = 5) -> dict:
+    """ONE snapshot of the CPU-speed yardstick (VERDICT r8 #6): pure JVM
     compute — xxhash64 over a range into a bit_xor aggregate (overflow-
     free under ANSI), no I/O, no shuffle, no Python — so its Mrows/s
-    moves with the speed that actually prices those queries. Keep-min of
-    3 (the first run pays codegen)."""
-    best = None
-    for _ in range(3):
-        t0 = time.time()
-        spark.range(n_rows).selectExpr("bit_xor(xxhash64(id, id + 1))").collect()
-        el = time.time() - t0
-        best = el if best is None else min(best, el)
+    moves with the speed that prices the compute-bound query majority.
+
+    Stabilized per VERDICT r9 #2 (the r8 form — keep-min of 3 over a
+    0.3s 32-thread kernel — measured a 40% run-to-run spread): ONE
+    partition, so the kernel prices per-core throughput and only
+    degrades when every core is busy (the saturating form needs ALL 32
+    cores quiet and swung 25%+ under background load, measured r10);
+    ~1.5-2.5s per rep so scheduling jitter is second-order; one untimed
+    warmup rep (codegen + JIT); MEDIAN of 5, immune to both a
+    turbo-fast outlier (which keep-min latches) and a preempted-slow
+    one. Within-snapshot reps are tight (<5% typical), but this VM's
+    effective CPU speed itself WANDERS ~40% across minutes (steal
+    time / frequency, measured r10: snapshot medians 101-145 Mrows/s
+    over 10 min) — which no single snapshot can average out. The
+    round-level yardstick is therefore the MEDIAN OF SNAPSHOTS taken at
+    spaced points across the whole bench run (see main()), sampling the
+    wander on the same timescale the query timings experience it —
+    the TeraValidate discipline applied to the measuring stick itself
+    (EX/terasort/TeraValidate.java)."""
+
+    def rep() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, n_rows, 1, 1).selectExpr(
+            "bit_xor(xxhash64(id, id + 1))"
+        ).collect()
+        return time.perf_counter() - t0
+
+    rep()  # untimed warmup: codegen + JIT steady state
+    times = [rep() for _ in range(reps)]
+    srt = sorted(times)
+    med = srt[len(srt) // 2]
     return {
-        "cpu_sec": round(best, 3),
-        "cpu_mrows_s": round(n_rows / 1e6 / best, 1),
+        "cpu_sec": round(med, 3),
+        "cpu_mrows_s": round(n_rows / 1e6 / med, 1),
+        "cpu_reps": [round(t, 3) for t in times],
+        "cpu_rep_spread": round((srt[-1] - srt[0]) / srt[0], 3),
+        "kernel": CPU_KERNEL,
+    }
+
+
+def cpu_aggregate(snapshots: list[dict]) -> dict:
+    """Round-level CPU yardstick: median over the run-spanning
+    snapshots, with every snapshot and the across-snapshot spread
+    recorded so a wandering host is visible in the archive (and so the
+    judge can adjudicate a flag against the actual measurement quality
+    instead of trusting one number)."""
+    if not snapshots:
+        return {}
+    rates = sorted(s["cpu_mrows_s"] for s in snapshots)
+    med = rates[len(rates) // 2]
+    return {
+        "cpu_mrows_s": med,
+        "cpu_snapshots": [s["cpu_mrows_s"] for s in snapshots],
+        "cpu_snapshot_reps": [s["cpu_reps"] for s in snapshots],
+        "cpu_rel_spread": round((rates[-1] - rates[0]) / rates[0], 3)
+        if rates[0]
+        else None,
+        "kernel": CPU_KERNEL,
     }
 
 
@@ -924,7 +973,7 @@ def confirm_main(req_path: str) -> None:
         for name in req.get(tier) or []:
             best = None
             for _ in range(4):
-                t0 = time.time()
+                t0 = time.perf_counter()
                 try:
                     if name == "terasort_equivalent":
                         bench_terasort(spark, n_rows=int(2_000_000 * max(sf, 0.001) / 0.1))
@@ -936,7 +985,7 @@ def confirm_main(req_path: str) -> None:
                         file=sys.stderr,
                     )
                     break
-                el = round(time.time() - t0, 3)
+                el = round(time.perf_counter() - t0, 3)
                 best = el if best is None else min(best, el)
             if best is not None:
                 out[tier][name] = best
@@ -972,35 +1021,45 @@ def main() -> None:
         qd = registry.get(name)
         if qd is None:
             continue
-        t0 = time.time()
+        t0 = time.perf_counter()
         try:
             _run_noop(qd.fn(spark, sf_dir))
-            timings[name] = round(time.time() - t0, 3)
+            timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # a broken query must not hide the others
             print(f"# bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
 
-    t0 = time.time()
+    t0 = time.perf_counter()
     try:
         bench_terasort(spark, n_rows=int(2_000_000 * max(sf, 0.001) / 0.1))
-        timings["terasort_equivalent"] = round(time.time() - t0, 3)
+        timings["terasort_equivalent"] = round(time.perf_counter() - t0, 3)
     except Exception as e:
         print(f"# bench error terasort: {type(e).__name__}: {e}", file=sys.stderr)
         timings["terasort_equivalent"] = -1.0
 
     # The yardsticks run BEFORE the regression pass: DFSIO write MB/s
     # prices the I/O-bound queries, the CPU microbench the compute-bound
-    # majority (two-component normalizer, VERDICT r8 #6).
+    # majority (two-component normalizer, VERDICT r8 #6). The CPU
+    # yardstick is SAMPLED at spaced points across the whole run (after
+    # each tier) and the gate uses the median of snapshots — this VM's
+    # effective CPU speed wanders ~40% across minutes, so one early
+    # snapshot would misprice queries timed half an hour later
+    # (VERDICT r9 #2).
     try:
         dfsio = bench_dfsio(spark, n_rows=int(2_000_000 * max(sf, 0.001) / 0.1))
     except Exception as e:
         print(f"# bench error dfsio: {type(e).__name__}: {e}", file=sys.stderr)
         dfsio = {}
-    try:
-        cpu = bench_cpu(spark)
-    except Exception as e:
-        print(f"# bench error cpu: {type(e).__name__}: {e}", file=sys.stderr)
-        cpu = {}
+    cpu_snaps: list[dict] = []
+
+    def cpu_snapshot() -> None:
+        try:
+            cpu_snaps.append(bench_cpu(spark))
+        except Exception as e:
+            print(f"# bench error cpu: {type(e).__name__}: {e}", file=sys.stderr)
+
+    cpu_snapshot()
+    cpu = cpu_aggregate(cpu_snaps)
 
     (
         prev_label, prev_q, prev_scale, prev_scale100, prev_tpch, prev_skew,
@@ -1010,7 +1069,14 @@ def main() -> None:
     if prev_dfsio.get("write_mb_s") and dfsio.get("write_mb_s"):
         slow_write = prev_dfsio["write_mb_s"] / dfsio["write_mb_s"]
     slow_cpu = None
-    if prev_cpu.get("cpu_mrows_s") and cpu.get("cpu_mrows_s"):
+    if (
+        prev_cpu.get("cpu_mrows_s")
+        and cpu.get("cpu_mrows_s")
+        # only comparable on the SAME kernel: r9's saturating kernel
+        # measured ~1000+ Mrows/s vs the 1-partition form's ~140 — a
+        # cross-kernel ratio would swamp the gate (VERDICT r9 #2)
+        and prev_cpu.get("kernel") == cpu.get("kernel")
+    ):
         slow_cpu = prev_cpu["cpu_mrows_s"] / cpu["cpu_mrows_s"]
     # gate against the max of the available components: a flag must
     # survive BOTH yardsticks (prev rounds without a cpu record fall
@@ -1039,13 +1105,13 @@ def main() -> None:
             if v > 4 * median and n not in prev_q
         )
     for name in retime:
-        t0 = time.time()
+        t0 = time.perf_counter()
         try:
             if name == "terasort_equivalent":
                 bench_terasort(spark, n_rows=int(2_000_000 * max(sf, 0.001) / 0.1))
             else:
                 _run_noop(registry[name].fn(spark, sf_dir))
-            timings[name] = min(timings[name], round(time.time() - t0, 3))
+            timings[name] = min(timings[name], round(time.perf_counter() - t0, 3))
         except Exception:
             pass
 
@@ -1078,10 +1144,10 @@ def main() -> None:
                 qd = registry.get(name)
                 if qd is None:
                     continue
-                t0 = time.time()
+                t0 = time.perf_counter()
                 try:
                     _run_noop(qd.fn(spark, scale_dir))
-                    scale_timings[name] = round(time.time() - t0, 3)
+                    scale_timings[name] = round(time.perf_counter() - t0, 3)
                 except Exception as e:
                     print(f"# bench error scale/{name}: {type(e).__name__}: {e}", file=sys.stderr)
                     scale_timings[name] = -1.0
@@ -1109,16 +1175,17 @@ def main() -> None:
                     if v > 4 * s_median and n not in prev_scale
                 )
             for name in retime:
-                t0 = time.time()
+                t0 = time.perf_counter()
                 try:
                     _run_noop(registry[name].fn(spark, scale_dir))
                     scale_timings[name] = min(
-                        scale_timings[name], round(time.time() - t0, 3)
+                        scale_timings[name], round(time.perf_counter() - t0, 3)
                     )
                 except Exception:
                     pass
         except Exception as e:
             print(f"# bench error scale tier: {type(e).__name__}: {e}", file=sys.stderr)
+        cpu_snapshot()
 
     # ---- 100x scale tier (VERDICT r6 #4): the standing form of the
     # BENCH_NOTES spot checks. N=2 keep-min per query; tables warmed
@@ -1145,7 +1212,7 @@ def main() -> None:
                     continue
                 best = -1.0
                 for _ in range(2):
-                    t0 = time.time()
+                    t0 = time.perf_counter()
                     try:
                         _run_noop(qd.fn(spark, scale100_dir))
                     except Exception as e:
@@ -1154,7 +1221,7 @@ def main() -> None:
                             file=sys.stderr,
                         )
                         break
-                    el = round(time.time() - t0, 3)
+                    el = round(time.perf_counter() - t0, 3)
                     best = el if best < 0 else min(best, el)
                     # promptly release the run's DataFrame lineage (any
                     # cached/checkpointed blocks) before the next run —
@@ -1163,6 +1230,7 @@ def main() -> None:
                 scale100_timings[name] = best
         except Exception as e:
             print(f"# bench error scale100 tier: {type(e).__name__}: {e}", file=sys.stderr)
+        cpu_snapshot()
 
     # ---- Zipf-skew stress fixture (VERDICT r7 #3): run at the deepest
     # built tier (skew only bites when the hot key's volume dwarfs the
@@ -1240,7 +1308,7 @@ def main() -> None:
                     continue
                 best = -1.0
                 for _ in range(2):
-                    t0 = time.time()
+                    t0 = time.perf_counter()
                     try:
                         _run_noop(qd.fn(spark, tpch_dir))
                     except Exception as e:
@@ -1249,12 +1317,27 @@ def main() -> None:
                             file=sys.stderr,
                         )
                         break
-                    el = round(time.time() - t0, 3)
+                    el = round(time.perf_counter() - t0, 3)
                     best = el if best < 0 else min(best, el)
                     gc.collect()
                 tpch_timings[name] = best
         except Exception as e:
             print(f"# bench error tpch tier: {type(e).__name__}: {e}", file=sys.stderr)
+        cpu_snapshot()
+
+    # The round-level yardstick: median over every snapshot taken across
+    # the run; the final gate and the archived record both use THIS, not
+    # the early single snapshot the inline de-noise retimes saw.
+    cpu = cpu_aggregate(cpu_snaps)
+    if (
+        prev_cpu.get("cpu_mrows_s")
+        and cpu.get("cpu_mrows_s")
+        and prev_cpu.get("kernel") == cpu.get("kernel")
+    ):
+        slow_cpu = prev_cpu["cpu_mrows_s"] / cpu["cpu_mrows_s"]
+    host_slowdown = max(
+        [s for s in (slow_write, slow_cpu) if s is not None] or [1.0]
+    )
 
     # Fresh-JVM confirmation pass (r7, replacing r5's in-process fresh
     # SESSION): flags that survive the in-session re-time get re-measured

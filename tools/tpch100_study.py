@@ -43,18 +43,24 @@ PLAN_PINS = [
 ]
 
 
-def _stage_totals(ui: str, app_id: str) -> tuple[int, int, int]:
-    """(sum memoryBytesSpilled, sum diskBytesSpilled, n_stages) over all
-    completed stages so far."""
+def _stage_spills(ui: str, app_id: str) -> dict[tuple[int, int], tuple[int, int]]:
+    """{(stageId, attemptId): (memoryBytesSpilled, diskBytesSpilled)} over
+    ALL stages regardless of status. Per-query attribution is by stage-SET
+    difference against a pre-run snapshot, not by differencing cumulative
+    sums (ADVICE r9): a stage that finishes registering in the REST store
+    slightly after the noop save returns, or ends failed/skipped, would
+    otherwise be misattributed to the following query or dropped."""
     with urllib.request.urlopen(
-        f"{ui}/api/v1/applications/{app_id}/stages?status=complete", timeout=10
+        f"{ui}/api/v1/applications/{app_id}/stages", timeout=10
     ) as r:
         stages = json.load(r)
-    return (
-        sum(s.get("memoryBytesSpilled", 0) for s in stages),
-        sum(s.get("diskBytesSpilled", 0) for s in stages),
-        len(stages),
-    )
+    return {
+        (s["stageId"], s.get("attemptId", 0)): (
+            s.get("memoryBytesSpilled", 0),
+            s.get("diskBytesSpilled", 0),
+        )
+        for s in stages
+    }
 
 
 def main() -> None:
@@ -124,13 +130,19 @@ def main() -> None:
     for name in QUERIES:
         best, spill_mem, spill_disk = None, 0, 0
         for i in range(2):
-            m0, d0, _ = _stage_totals(ui, app_id)
-            t0 = time.time()
+            before = _stage_spills(ui, app_id)
+            t0 = time.perf_counter()
             registry[name].fn(spark, tier).write.mode("overwrite").format("noop").save()
-            el = round(time.time() - t0, 3)
-            m1, d1, _ = _stage_totals(ui, app_id)
+            el = round(time.perf_counter() - t0, 3)
+            # settle window: stages can register in the REST store a beat
+            # after the save returns
+            time.sleep(0.5)
+            after = _stage_spills(ui, app_id)
+            new_keys = after.keys() - before.keys()
+            m = sum(after[k][0] for k in new_keys)
+            d = sum(after[k][1] for k in new_keys)
             if best is None or el < best:
-                best, spill_mem, spill_disk = el, m1 - m0, d1 - d0
+                best, spill_mem, spill_disk = el, m, d
         results[name] = {
             "sec": best,
             "spill_mem_mb": round(spill_mem / 1e6, 1),
