@@ -1,0 +1,196 @@
+"""AQE skew-join split study (VERDICT r9 #4).
+
+SURVEY §4.1 maps the reference's RehashPartitioner
+(MRC/mapreduce/lib/partition/RehashPartitioner.java:48 — re-hash a
+skewed key distribution over more reducers) onto Spark's runtime
+OptimizeSkewedJoin, but neither the tpch tier (uniform keys) nor the
+skew tier (salted-vs-plain comparison) ever demonstrated the AQE split
+actually ENGAGING on a Zipf shuffle join. This one-shot, rerunnable
+study does exactly that: the bench skew fixture's 90%-hot join (facts
+with 9/10 of rows on one user_id; dim side carrying a 2 KB payload per
+user so it can never broadcast — both sides shuffle, the SMJ regime a
+100 TB fact-dim join lives in) runs with
+``spark.sql.adaptive.skewJoin.enabled`` off and on, and records per
+run: wall time (keep-min of 2), the FINAL adaptive plan's skew marker
+(``SortMergeJoin(skew=true)`` / ``AQEShuffleRead ... skewed`` — only
+present when OptimizeSkewedJoin split a partition), and join-stage
+task count + max task duration from the status REST API (the split
+turns one straggler task into many bounded ones).
+
+Two findings this study exists to pin (r10, measured):
+
+1. **The split engages and wins** — 13.8s -> 1.8s on the 10M-row /
+   90%-hot fixture, skew marker present, the hot partition's one
+   straggler task replaced by many advisory-sized slices.
+2. **The join child must be a PLAIN shuffle for the rule to match**:
+   with the dim built as ``distinct().withColumn(payload)`` fused into
+   the join stage (HashAggregate between shuffle and join), the rule
+   never fires — a skew-read slice cannot be duplicated through an
+   aggregate without recomputing it. The study therefore MATERIALIZES
+   the dim to parquet first (exactly what a real dimension table is),
+   and the non-engagement of the fused form is documented in
+   BENCH_NOTES so nobody reads it as "AQE handles all skew": derived
+   (agg-fused) join inputs still need operators/skew.salted_join.
+
+Threshold note, recorded honestly: the production defaults
+(``skewedPartitionThresholdInBytes`` 256 MB / advisory 64 MB) are
+sized for cluster-scale shuffles; the local hot partition is tens of
+MB compressed, so the study pins the mechanism at 8 MB/4 MB (recorded
+in the output) — at 100 TB the hot partition is tens of GB and the
+stock defaults engage the same code path.
+
+Usage: python tools/aqe_skew_study.py [sf_dir] [replicas]
+       (defaults /root/testdata/sf0.1, 100)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_DIR)
+
+THRESHOLD = "8MB"
+ADVISORY = "4MB"
+
+
+def _stages(ui: str, app_id: str) -> dict[tuple[int, int], dict]:
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app_id}/stages", timeout=10
+    ) as r:
+        return {
+            (s["stageId"], s.get("attemptId", 0)): s for s in json.load(r)
+        }
+
+
+def _max_task_ms(ui: str, app_id: str, stage_id: int, attempt: int) -> float:
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app_id}/stages/{stage_id}/{attempt}"
+        "?details=true",
+        timeout=30,
+    ) as r:
+        st = json.load(r)
+    tasks = (st[0] if isinstance(st, list) else st).get("tasks") or {}
+    return max(
+        (t.get("taskMetrics", {}).get("executorRunTime", 0) for t in tasks.values()),
+        default=0,
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from bench import build_scale_dir
+    from hadoop_common_spark.tables import load_tables
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = (
+        SparkSession.builder.appName("aqe-skew-study")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+
+    tier = build_scale_dir(spark, sf_dir, replicas=replicas)
+    ev = load_tables(spark, tier)["events"]
+    # the bench_skew fixture shape: 90% of rows collapse onto user 0
+    sk = ev.select(
+        F.when(F.pmod(F.col("event_id"), F.lit(10)) < 9, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "event_id",
+        F.col("value").cast("decimal(20,6)").alias("value"),
+        "event_type",
+    )
+    # MATERIALIZED dim (finding #2 in the module docstring): a fused
+    # distinct()+payload dim leaves a HashAggregate between the shuffle
+    # and the join, which the skew reader cannot slice through
+    dim_path = "/tmp/hcs_aqe_dim.parquet"
+    (
+        ev.select("user_id").distinct()
+        .withColumn(
+            "payload", F.rpad(F.md5(F.col("user_id").cast("string")), 2000, "x")
+        )
+        .write.mode("overwrite").parquet(dim_path)
+    )
+    dim = spark.read.parquet(dim_path)
+    # warm page cache so the first timed run isn't pricing first-touch
+    for _df in (sk, dim):
+        _df.write.mode("overwrite").format("noop").save()
+
+    results: dict[str, dict] = {}
+    for label, skew_on in (("skew_off", False), ("skew_on", True)):
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower())
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", THRESHOLD
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", ADVISORY)
+        best, join_tasks, max_ms, skew_marker = None, None, None, False
+        for _ in range(2):
+            before = set(_stages(ui, app_id))
+            df = sk.join(dim, "user_id")
+            # toRdd().count() on the SAME QueryExecution: the final
+            # adaptive plan (with the skew marker) is only visible on the
+            # EXECUTED QueryExecution — df.write creates a fresh one
+            qe = df._jdf.queryExecution()
+            t0 = time.perf_counter()
+            n = qe.toRdd().count()
+            el = round(time.perf_counter() - t0, 3)
+            time.sleep(0.5)
+            after = _stages(ui, app_id)
+            plan = qe.executedPlan().toString()
+            has_skew = "skew=true" in plan
+            new = {k: v for k, v in after.items() if k not in before}
+            jk = max(
+                new,
+                key=lambda k: new[k].get("shuffleReadBytes", 0),
+                default=None,
+            )
+            if best is None or el < best:
+                best = el
+                skew_marker = has_skew
+                if jk is not None:
+                    join_tasks = new[jk].get("numCompleteTasks")
+                    try:
+                        max_ms = _max_task_ms(ui, app_id, jk[0], jk[1])
+                    except Exception:
+                        max_ms = None
+        results[label] = {
+            "sec": best,
+            "rows": n,
+            "skew_marker_in_plan": skew_marker,
+            "join_stage_tasks": join_tasks,
+            "join_stage_max_task_ms": max_ms,
+        }
+        print(f"# {label}: {json.dumps(results[label])}")
+
+    out = {
+        "replicas": replicas,
+        "thresholds": {
+            "skewedPartitionThresholdInBytes": THRESHOLD,
+            "advisoryPartitionSizeInBytes": ADVISORY,
+            "note": "production defaults 256MB/64MB engage the same path "
+            "at cluster-scale partition sizes",
+        },
+        "runs": results,
+    }
+    print("STUDY_JSON:" + json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
