@@ -219,6 +219,15 @@ REPRESENTATIVE = {
         "per-key combine aggregates the <=64-row map table and the only "
         "windows in the plan are over that bounded aggregate"
     ),
+    "join_salted_enrich": (
+        "salted skew-proof join (r10): the fact side carries a "
+        "deterministic salt, the dim side explodes over the salt domain "
+        "(Generate under the join's dim leg), the join keys on "
+        "(user_id, salt) so a hot user spreads over n_salts reducers, "
+        "and the rollup is partial+final hash aggregation; at sf0.001 "
+        "the dim leg broadcasts — at scale the same plan shuffles on "
+        "the salted key, which is the point"
+    ),
 }
 
 
