@@ -490,6 +490,15 @@ def bench_skew(spark, scale_dir: str) -> dict[str, float]:
             sk, ["user_id"], "event_id", "value", n_segments=64
         ),
     )
+    # the count-derived default (r10, VERDICT r9 #3: max(64, sqrt(N)) ->
+    # ~3.2k segments at this tier) measured alongside the fixed-64 rows,
+    # which keep their explicit knob for baseline continuity — the
+    # derived twins are the flat-per-segment-memory evidence at fixture
+    # scale
+    timed(
+        "cumsum_segmented_derived",
+        lambda: segmented_running_sum(sk, ["user_id"], "event_id", "value"),
+    )
     # EWMA: the plain collected-array fold measured 115.7s on the 9M-row
     # hot key (one-shot r8 study, BENCH_NOTES) — too costly for a
     # standing N=2 row; the fixture gates only the segmented form (the
@@ -497,6 +506,12 @@ def bench_skew(spark, scale_dir: str) -> dict[str, float]:
     # hot key's entire history)
     timed(
         "ewma_segmented",
+        lambda: segmented_ewma(
+            sk, ["user_id"], "event_id", "value", n_segments=64
+        ),
+    )
+    timed(
+        "ewma_segmented_derived",
         lambda: segmented_ewma(sk, ["user_id"], "event_id", "value"),
     )
 
@@ -1492,7 +1507,10 @@ def main() -> None:
         "tpch_total": tpch_total,
         "n_tpch": sum(1 for v in tpch_timings.values() if v >= 0),
         "dfsio": dfsio,
-        "cpu": cpu,
+        # slim cpu record: the per-snapshot rep lists live in
+        # BENCH_DETAIL only — the stdout line must stay under the
+        # driver's ~2000-char tail capture
+        "cpu": {k: v for k, v in cpu.items() if k != "cpu_snapshot_reps"},
         "norm_headline": norm_headline,
         "norm_scale": norm_scale,
         "norm_headline_cpu": norm_headline_cpu,
