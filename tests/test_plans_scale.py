@@ -223,6 +223,78 @@ def test_salted_join_matches_plain_join(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
 
+def test_aqe_skew_join_split_engages(spark, tmp_path):
+    """VERDICT r9 #4, miniaturized from tools/aqe_skew_study.py (100x
+    fixture: 10.8s -> 1.5s, straggler task 10.1s -> 0.61s): Spark's
+    OptimizeSkewedJoin — the runtime RehashPartitioner
+    (MRC/mapreduce/lib/partition/RehashPartitioner.java:48) — must
+    (a) SPLIT the hot partition of a 90%-skewed shuffle join when both
+    join children are plain shuffles (the skew marker appears in the
+    FINAL adaptive plan, which is only visible on the EXECUTED
+    QueryExecution — df.write would create a fresh one), and
+    (b) NOT fire when the dim child is fused with an aggregate
+    (distinct() between shuffle and join): a skew-read slice cannot be
+    duplicated through an aggregate without recomputing it. (b) is the
+    boundary that keeps operators/skew.salted_join in the toolbox —
+    AQE rescues skewed joins of MATERIALIZED inputs only."""
+    n = 200_000
+    left = spark.range(n).select(
+        F.when(F.pmod("id", F.lit(10)) < 9, F.lit(0))
+        .otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim_path = str(tmp_path / "dim.parquet")
+    spark.range(n).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("payload")
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    old = {}
+    for key in confs:
+        try:
+            old[key] = spark.conf.get(key)
+        except Exception:
+            old[key] = None
+    try:
+        for key, val in confs.items():
+            spark.conf.set(key, val)
+        df = left.join(dim, "k")
+        qe = df._jdf.queryExecution()
+        assert qe.toRdd().count() == n  # every left row matches once
+        assert "skew=true" in qe.executedPlan().toString()
+
+        # the boundary: a dim child whose aggregate SURVIVES between its
+        # shuffle and the join is never skew-read — the rule only matches
+        # Sort-over-shuffle children. NOTE the agg must actually survive:
+        # distinct() over provably-unique keys (e.g. a bare range id) is
+        # ELIMINATED by Catalyst, leaving a plain shuffle that happily
+        # splits — hence the floor(id/2) keys here.
+        dim_fused = (
+            spark.range(2 * n)
+            .select((F.col("id") / 2).cast("long").alias("k"))
+            .distinct()
+            .withColumn("payload", F.md5(F.col("k").cast("string")))
+        )
+        qe2 = left.join(dim_fused, "k")._jdf.queryExecution()
+        assert qe2.toRdd().count() == n
+        plan2 = qe2.executedPlan().toString()
+        assert "HashAggregate" in plan2  # the agg really is in the join stage
+        assert "skew=true" not in plan2
+    finally:
+        for key, val in old.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+
+
 def test_user_analytics_single_exchange(spark, sf_dir, registry):
     """Two window orderings over the same partition key must share one
     exchange — the second ordering is an in-partition sort only."""
