@@ -345,7 +345,7 @@ def test_fuzz_segmented_running_sum_matches_plain_window(spark, seed):
         (r.k, r.o, r.run)
         for r in df.withColumn("run", F.sum("v").over(w)).collect()
     )
-    n_seg = rng.choice([1, 2, 13, 64, 10**7])
+    n_seg = rng.choice([1, 2, 13, 64, 10**7, None])  # None = derived default
     got = sorted(
         (r.k, r.o, r.running)
         for r in segmented_running_sum(
