@@ -78,82 +78,19 @@ _QUERY_MODULES = [
 
 # Driver-facing iteration order. The external correctness harness walks the
 # registry in dict order and has a bounded budget (~50 rows/round), so the
-# order is part of the evidence strategy. Round-10 rotation (VERDICT r9
-# #1): the r10 newcomer (the salted-join driver row, VERDICT r9 #5)
-# leads, then the 13 r05-era rows the r9 window cap displaced (their
-# newest driver row is r05 — the oldest evidence in the fleet), then the
-# 36 oldest r06-green rows. This brings every query's newest driver row
-# to <=4 rounds old and establishes the steady ~4-round re-proof
-# cadence. Overflow = r06 remainder -> r07-checked -> r08-checked -> the
-# old r9 window (freshest hard rows in the fleet). Names not in either
-# list are slotted right after the window block, BEFORE the overflow, so
-# a new query is never silently pushed out of the checked window.
+# order is part of the evidence strategy. Round-11 rotation (VERDICT r10
+# #2): the 14 r06-remainder rows lead (their newest driver row is r06 —
+# the oldest evidence in the fleet), backfilled with the 36 oldest
+# r07-checked rows to fill the ~50-row budget. After this round no
+# query's newest driver row is older than r07, holding the steady
+# ≤4-round re-proof cadence. Overflow = r07 remainder -> r08-checked ->
+# r09-checked -> the old r10 window (freshest hard rows in the fleet).
+# Names not in either list are slotted right after the window block,
+# BEFORE the overflow, so a new query is never silently pushed out of
+# the checked window.
 PRIORITY_WINDOW: list[str] = [
-    # -- r10 newcomer (VERDICT r9 #5: the salted-join shape's driver row) --
-    "join_salted_enrich",
-    # -- r05-era remainder (newest driver row r05; staged at the r9
-    #    overflow head — this closes the r05 cycle) --
-    "corpus_contamination_scores",
-    "text_lang_id",
-    "text_quality_scores",
-    "text_token_stats",
-    "text_fingerprints",
-    "text_bpe_token_stats",
-    "text_bpe_merge_pairs",
-    "text_winnow_fingerprint",
-    "text_repetition_stats",
-    "text_pii_scan",
-    "multimodal_metadata",
-    "multimodal_fake_decode",
-    "multimodal_frame_sample",
-    # -- r06-green rows (oldest-first 36 of 50) --
-    "events_ab_value_ttest",
-    "events_signup_conversion_latency",
-    "nation_share_of_region",
-    "orders_revenue_mom",
-    "customers_revenue_gini",
-    "events_first3_journeys",
-    "entity_link_clusters",
-    "bloom_fpr_eval",
-    "events_wau_rolling_kmv",
-    "events_value_ohlc_hourly",
-    "events_wau_rolling_7d",
-    "events_distinct_users_kmv",
-    "events_audience_overlap_kmv",
-    "events_value_kmv_quantiles",
-    "events_hll_distinct_users",
-    "events_cdc_scd2_history",
-    "embedding_kcenter_seeds",
-    "events_audience_overlap",
-    "lineitem_qty_price_correlation",
-    "events_mode_band_by_type",
-    "corpus_weighted_sample_by_source",
-    "entity_link_fuzzy_ids",
-    "supplier_balance_band_match",
-    "text_score_calibration",
-    "events_l_diversity",
-    "embedding_drift_by_label",
-    "corpus_version_diff",
-    "privacy_erasure_cascade",
-    "graph_bfs_distances",
-    "embedding_kmeans_step",
-    "text_quality_linear_score",
-    "events_k_anonymity",
-    "events_cdc_merge",
-    "corpus_dsir_weights",
-    "orders_market_basket",
-    "events_user_ewma",
-]
-
-# ---- 50-entry checked-window boundary ----
-# (the driver checks ~50 rows/round — the window must fit; unlisted
-# newcomers auto-slot right after it, BEFORE the overflow)
-# Overflow order = oldest evidence first: the 14 r06-green rows the
-# window cap displaced (r11 rotation head), then r07-checked,
-# r08-checked, and the old r9 window at the tail (freshest hard rows in
-# the fleet).
-PRIORITY_OVERFLOW: list[str] = [
-    # -- r06-green remainder (r11 rotation head): window-cap displacements --
+    # -- r06-green remainder (newest driver row r06; staged at the r10
+    #    overflow head — this closes the r06 cycle) --
     "customers_rfm_segments",
     "similarity_knn_label_eval",
     "events_key_skew_report",
@@ -168,7 +105,7 @@ PRIORITY_OVERFLOW: list[str] = [
     "similarity_pq_recall_eval",
     "local_supplier_volume",
     "forecast_revenue_change",
-    # -- r07-checked --
+    # -- oldest 36 of the 49 r07-checked rows --
     "dedup_shared_span_pairs",
     "events_close_pairs",
     "corpus_ngram_novelty",
@@ -205,6 +142,17 @@ PRIORITY_OVERFLOW: list[str] = [
     "events_transition_matrix",
     "corpus_pack_sequences",
     "corpus_stratified_sample",
+]
+
+# ---- 50-entry checked-window boundary ----
+# (the driver checks ~50 rows/round — the window must fit; unlisted
+# newcomers auto-slot right after it, BEFORE the overflow)
+# Overflow order = oldest evidence first: the 13 r07-checked rows the
+# window cap displaced (r12 rotation head), then r08-checked,
+# r09-checked, and the old r10 window at the tail (freshest hard rows
+# in the fleet).
+PRIORITY_OVERFLOW: list[str] = [
+    # -- r07-checked remainder (r12 rotation head): window-cap displacements --
     "corpus_split_leakage",
     "corpus_chunk_overlap",
     "orders_scd2_intervals",
@@ -321,6 +269,57 @@ PRIORITY_OVERFLOW: list[str] = [
     "corpus_domain_caps",
     "corpus_global_shuffle",
     "corpus_quality_bins",
+    # -- r10-checked (the old r10 window — freshest hard rows) --
+    "join_salted_enrich",
+    "corpus_contamination_scores",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_token_stats",
+    "text_fingerprints",
+    "text_bpe_token_stats",
+    "text_bpe_merge_pairs",
+    "text_winnow_fingerprint",
+    "text_repetition_stats",
+    "text_pii_scan",
+    "multimodal_metadata",
+    "multimodal_fake_decode",
+    "multimodal_frame_sample",
+    "events_ab_value_ttest",
+    "events_signup_conversion_latency",
+    "nation_share_of_region",
+    "orders_revenue_mom",
+    "customers_revenue_gini",
+    "events_first3_journeys",
+    "entity_link_clusters",
+    "bloom_fpr_eval",
+    "events_wau_rolling_kmv",
+    "events_value_ohlc_hourly",
+    "events_wau_rolling_7d",
+    "events_distinct_users_kmv",
+    "events_audience_overlap_kmv",
+    "events_value_kmv_quantiles",
+    "events_hll_distinct_users",
+    "events_cdc_scd2_history",
+    "embedding_kcenter_seeds",
+    "events_audience_overlap",
+    "lineitem_qty_price_correlation",
+    "events_mode_band_by_type",
+    "corpus_weighted_sample_by_source",
+    "entity_link_fuzzy_ids",
+    "supplier_balance_band_match",
+    "text_score_calibration",
+    "events_l_diversity",
+    "embedding_drift_by_label",
+    "corpus_version_diff",
+    "privacy_erasure_cascade",
+    "graph_bfs_distances",
+    "embedding_kmeans_step",
+    "text_quality_linear_score",
+    "events_k_anonymity",
+    "events_cdc_merge",
+    "corpus_dsir_weights",
+    "orders_market_basket",
+    "events_user_ewma",
 ]
 
 
