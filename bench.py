@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -680,7 +681,10 @@ def bench_cpu(spark, n_rows: int = 250_000_000, reps: int = 5) -> dict:
     rep()  # untimed warmup: codegen + JIT steady state
     times = [rep() for _ in range(reps)]
     srt = sorted(times)
-    med = srt[len(srt) // 2]
+    # statistics.median, not sorted[n//2]: with an even rep count the
+    # latter latches the upper-middle value — a small systematic slow
+    # bias on the yardstick itself (ADVICE r10)
+    med = statistics.median(times)
     return {
         "cpu_sec": round(med, 3),
         "cpu_mrows_s": round(n_rows / 1e6 / med, 1),
@@ -699,7 +703,9 @@ def cpu_aggregate(snapshots: list[dict]) -> dict:
     if not snapshots:
         return {}
     rates = sorted(s["cpu_mrows_s"] for s in snapshots)
-    med = rates[len(rates) // 2]
+    # true midpoint median: the typical snapshot count is EVEN (initial
+    # + 3 tier-end), where sorted[n//2] would bias high (ADVICE r10)
+    med = round(statistics.median(rates), 1)
     return {
         "cpu_mrows_s": med,
         "cpu_snapshots": [s["cpu_mrows_s"] for s in snapshots],
@@ -836,10 +842,18 @@ def _regressions(
     slowdown) — a query flags only if it regressed under BOTH yardsticks,
     so a speedup in one host dimension (r8: disk writes 12% faster while
     compute ran flat) cannot inflate the other dimension's queries into
-    false flags. The raw ratio and each component's normalized ratio are
-    recorded so the judge can adjudicate a flag against the component
-    that matches the query's bound (CPU-bound → ratio_norm_cpu,
-    I/O-bound → ratio_norm_write) instead of trusting the gate."""
+    false flags. Dividing by the max IS the two-component AND (VERDICT
+    r10 #1): norm > 1.3 implies ratio/slow_write > 1.3 AND
+    ratio/slow_cpu > 1.3 whenever both components exist — r10's 8
+    phantom flags happened only because the CPU kernel tag changed that
+    round, so slow_cpu was None and the gate degraded to write-only.
+    The raw ratio, each component's normalized ratio, AND which
+    component(s) fired are recorded so the judge can adjudicate a flag
+    against the component that matches the query's bound (CPU-bound →
+    ratio_norm_cpu, I/O-bound → ratio_norm_write) instead of trusting
+    the gate. A flag whose ``fired`` is not "write+cpu" means only one
+    yardstick was available that round (kernel change / DFSIO failure)
+    — weaker evidence, adjudicate accordingly."""
     out: dict[str, dict] = {}
     for name, now in cur.items():
         old = prev.get(name)
@@ -854,10 +868,16 @@ def _regressions(
                 "ratio": round(ratio, 2),
                 "ratio_norm": round(norm, 2),
             }
+            fired = []
             if slow_write:
                 rec["ratio_norm_write"] = round(ratio / slow_write, 2)
+                if ratio / slow_write > 1.3:
+                    fired.append("write")
             if slow_cpu:
                 rec["ratio_norm_cpu"] = round(ratio / slow_cpu, 2)
+                if ratio / slow_cpu > 1.3:
+                    fired.append("cpu")
+            rec["fired"] = "+".join(fired) if fired else "combined"
             out[name] = rec
     return out
 
@@ -1286,16 +1306,24 @@ def main() -> None:
             # the grouped-HAVING two-pass shapes (Q9's widest fact join,
             # Q18's HAVING-over-lineitem + join-back) and additionally
             # asserts NO nested-loop/cartesian leg sneaks into any of
-            # them (VERDICT r8 #5).
-            for _pin in (
-                "local_supplier_volume",    # Q5
-                "nation_profit_by_year",    # Q9
-                "large_volume_orders",      # Q18
+            # them (VERDICT r8 #5). Q18 is the adjudicated exception
+            # (VERDICT r10 #6, retiring the standing BENCH_NOTES entry):
+            # its join-back leg legitimately broadcasts at this tier —
+            # column pruning puts the replicated orders below the 64 MB
+            # size estimate — and the SMJ form of the SAME join is pinned
+            # at 100x by tools/tpch100_study.py, so broadcast-at-30x /
+            # SMJ-at-100x is the EXPECTED pair. What must hold for Q18
+            # HERE is its heavy leg: the HAVING-over-lineitem shuffle
+            # aggregate (an Exchange hashpartitioning in the plan).
+            for _pin, _need_shuffle_join in (
+                ("local_supplier_volume", True),    # Q5
+                ("nation_profit_by_year", True),    # Q9
+                ("large_volume_orders", False),     # Q18 (see above)
             ):
                 try:
                     _df = registry[_pin].fn(spark, tpch_dir)
                     _plan = _df._jdf.queryExecution().executedPlan().toString()
-                    if (
+                    if _need_shuffle_join and (
                         "SortMergeJoin" not in _plan
                         and "ShuffledHashJoin" not in _plan
                     ):
@@ -1303,6 +1331,15 @@ def main() -> None:
                             f"# bench tpch WARNING: no shuffle join in the "
                             f"{_pin} plan — the fact side is broadcasting and "
                             "the tier is not measuring the at-scale join regime",
+                            file=sys.stderr,
+                        )
+                    if not _need_shuffle_join and (
+                        "Exchange hashpartitioning" not in _plan
+                    ):
+                        print(
+                            f"# bench tpch WARNING: no shuffle aggregate in "
+                            f"the {_pin} plan — the HAVING leg stopped "
+                            "exercising the at-scale aggregate regime",
                             file=sys.stderr,
                         )
                     if (
@@ -1342,7 +1379,14 @@ def main() -> None:
 
     # The round-level yardstick: median over every snapshot taken across
     # the run; the final gate and the archived record both use THIS, not
-    # the early single snapshot the inline de-noise retimes saw.
+    # the early single snapshot the inline de-noise retimes saw. One
+    # final snapshot UNCONDITIONALLY (ADVICE r10): the tier-end
+    # snapshots above live inside the tier `if` blocks, so a run with
+    # SPARK_GRAFT_BENCH_SCALE*=0 would otherwise degrade "median of
+    # run-spanning snapshots" to the single early snapshot the design
+    # explicitly distrusts.
+    if len(cpu_snaps) < 2:
+        cpu_snapshot()
     cpu = cpu_aggregate(cpu_snaps)
     if (
         prev_cpu.get("cpu_mrows_s")
@@ -1435,6 +1479,16 @@ def main() -> None:
         "skew_regressions": _regressions(
             skew_timings, prev_skew, host_slowdown, slow_write, slow_cpu
         ),
+        # Full round-over-round ratios for the small skew tier (VERDICT
+        # r10 #3): the _derived twins and the salted-join row got their
+        # FIRST baselines in r10 — record every raw ratio, not only the
+        # >1.3x flags, so the archive shows the comparison happened even
+        # in an all-green round.
+        "skew_ratios": {
+            n: round(skew_timings[n] / prev_skew[n], 2)
+            for n in sorted(skew_timings)
+            if skew_timings[n] > 0 and prev_skew.get(n, 0) > 0
+        },
     }
     # Host-normalized work metrics (VERDICT r4 #6): seconds × this host's
     # DFSIO write MB/s. Invariant to host speed to first order — r3 vs r4
@@ -1511,12 +1565,19 @@ def main() -> None:
         # BENCH_DETAIL only — the stdout line must stay under the
         # driver's ~2000-char tail capture
         "cpu": {k: v for k, v in cpu.items() if k != "cpu_snapshot_reps"},
+        # a one-snapshot round is a degraded yardstick — make it loud
+        "n_cpu_snapshots": len(cpu_snaps),
         "norm_headline": norm_headline,
         "norm_scale": norm_scale,
         "norm_headline_cpu": norm_headline_cpu,
         "vs_round": prev_label,
         "host_slowdown": round(host_slowdown, 3),
-        "regressions": {k: v["ratio_norm"] for k, v in list(all_reg.items())[:8]},
+        # "norm:components-that-fired" — a flag not marked write+cpu ran
+        # under a degraded single-yardstick gate (VERDICT r10 #1)
+        "regressions": {
+            k: f"{v['ratio_norm']}:{v.get('fired', '?')}"
+            for k, v in list(all_reg.items())[:8]
+        },
         "queries": {"detail": "BENCH_DETAIL.json"},
     }
     line = json.dumps(compact)

@@ -50,8 +50,12 @@ def _segment_expr(order_col: str, lo: int, width: int) -> Column:
     past ~4e15 a double quotient can round a boundary row into the
     next segment on one engine only, breaking cross-engine fold
     grouping (ADVICE r9). ``order - lo >= 0`` so trunc == floor and
-    this matches a DuckDB ``//`` rendering bit-for-bit."""
-    return F.expr(f"(cast(`{order_col}` as bigint) - {lo}) div {width}")
+    this matches a DuckDB ``//`` rendering bit-for-bit. Backticks in
+    ``order_col`` are escaped by doubling (ADVICE r10) — latent today
+    (all callers pass fixed simple names) but the expr would otherwise
+    mis-parse a quoted identifier."""
+    safe = order_col.replace("`", "``")
+    return F.expr(f"(cast(`{safe}` as bigint) - {lo}) div {width}")
 
 
 def salted(df: DataFrame, n_salts: int = 32, salt_col: str = "_salt") -> DataFrame:

@@ -139,7 +139,9 @@ def main() -> None:
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", THRESHOLD
         )
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", ADVISORY)
-        best, join_tasks, max_ms, skew_marker = None, None, None, False
+        best, best_rows, join_tasks, max_ms, skew_marker = (
+            None, None, None, None, False,
+        )
         for _ in range(2):
             before = set(_stages(ui, app_id))
             df = sk.join(dim, "user_id")
@@ -161,7 +163,11 @@ def main() -> None:
                 default=None,
             )
             if best is None or el < best:
+                # every best-rep field moves together (ADVICE r10: rows
+                # previously latched the LAST rep — cosmetic, counts are
+                # identical across reps, but keep the record coherent)
                 best = el
+                best_rows = n
                 skew_marker = has_skew
                 if jk is not None:
                     join_tasks = new[jk].get("numCompleteTasks")
@@ -169,9 +175,15 @@ def main() -> None:
                         max_ms = _max_task_ms(ui, app_id, jk[0], jk[1])
                     except Exception:
                         max_ms = None
+                else:
+                    # no new stage attributed (slow store / settle window
+                    # missed it) — record the miss explicitly rather than
+                    # carrying a stale prior-config value
+                    join_tasks = None
+                    max_ms = None
         results[label] = {
             "sec": best,
-            "rows": n,
+            "rows": best_rows,
             "skew_marker_in_plan": skew_marker,
             "join_stage_tasks": join_tasks,
             "join_stage_max_task_ms": max_ms,
