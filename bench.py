@@ -126,6 +126,7 @@ HEADLINE = [
     "corpus_version_diff",          # release diff: ids+digests only (r6 cont.)
     "entity_link_fuzzy_ids",        # SymSpell-blocked record linkage (r6 cont.)
     "supplier_balance_band_match",  # binned interval-lookup join (r6 cont.)
+    "supplier_balance_wide_band_match",  # its fan-out-heavy width regime (r11)
     "text_score_calibration",       # scorer reliability bins (r6 cont.)
     "events_l_diversity",           # homogeneity-attack audit (r6 cont.)
     "events_audience_overlap",      # grouped-set exact Jaccard (r6 cont.)

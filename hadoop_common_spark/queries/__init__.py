@@ -89,6 +89,11 @@ _QUERY_MODULES = [
 # BEFORE the overflow, so a new query is never silently pushed out of
 # the checked window.
 PRIORITY_WINDOW: list[str] = [
+    # -- r11 newcomers (VERDICT r10 #5: the two gap-shaped rows — the
+    #    TWS MapState batch twin and the interval join's second width
+    #    regime) --
+    "stream_distinct_types_batch",
+    "supplier_balance_wide_band_match",
     # -- r06-green remainder (newest driver row r06; staged at the r10
     #    overflow head — this closes the r06 cycle) --
     "customers_rfm_segments",
@@ -140,8 +145,6 @@ PRIORITY_WINDOW: list[str] = [
     "events_value_percentiles",
     "events_value_ntile_deciles",
     "events_transition_matrix",
-    "corpus_pack_sequences",
-    "corpus_stratified_sample",
 ]
 
 # ---- 50-entry checked-window boundary ----
@@ -153,6 +156,8 @@ PRIORITY_WINDOW: list[str] = [
 # in the fleet).
 PRIORITY_OVERFLOW: list[str] = [
     # -- r07-checked remainder (r12 rotation head): window-cap displacements --
+    "corpus_pack_sequences",
+    "corpus_stratified_sample",
     "corpus_split_leakage",
     "corpus_chunk_overlap",
     "orders_scd2_intervals",

@@ -359,6 +359,57 @@ def supplier_balance_band_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WIDE_BAND_ORACLE = """
+SELECT s.s_suppkey AS suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_matched,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_matched_bal
+FROM supplier s JOIN customer c
+  ON c.c_nationkey = s.s_nationkey
+ AND c.c_acctbal >= s.s_acctbal - 1000.0
+ AND c.c_acctbal <= s.s_acctbal + 1000.0
+GROUP BY s.s_suppkey
+"""
+
+
+@query("supplier_balance_wide_band_match", oracle=_WIDE_BAND_ORACLE)
+def supplier_balance_wide_band_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interval lookup join's OTHER width regime (VERDICT r10 #5):
+    ±1000 bands probed at bin_width=100 — every interval explodes to
+    ~21 bins (vs the ~2 of supplier_balance_band_match, where
+    bin_width == span). This is the fan-out-heavy configuration a
+    caller picks when points are dense and bins must stay small to keep
+    per-bin occupancy bounded: interval duplication is the price, point
+    rows still keep exactly one bin, and a qualifying pair still matches
+    on only the point's own bin, so no post-join dedup exists to hide
+    double counting — the driver row proves the fan-out arithmetic
+    (sequence over 21 bins, edge pruning at both ends) at a width ratio
+    the narrow row never exercises. dsum keeps the double aggregate
+    order-independent."""
+    from hadoop_common_spark.functions.exact import dsum
+    from hadoop_common_spark.operators.joins import interval_lookup_join_binned
+
+    pts = spark.table("customer").select(
+        F.col("c_nationkey").alias("nationkey"), "c_acctbal"
+    )
+    iv = spark.table("supplier").select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_suppkey").alias("suppkey"),
+        (F.col("s_acctbal") - 1000.0).alias("_lo"),
+        (F.col("s_acctbal") + 1000.0).alias("_hi"),
+    )
+    return (
+        interval_lookup_join_binned(
+            pts, iv, "c_acctbal", "_lo", "_hi", bin_width=100.0,
+            block_cols=["nationkey"],
+        )
+        .groupBy("suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            dsum("c_acctbal").alias("sum_matched_bal"),
+        )
+    )
+
+
 # Bloom false-positive-rate eval (r6) — the measured-error member for
 # the membership sketch (the recall/accuracy evals cover LSH, MinHash,
 # PQ, kNN, HLL, KMV; Bloom's figure of merit is FPR). The filter is

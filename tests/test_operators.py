@@ -776,6 +776,95 @@ def test_derived_n_segments_bounds_per_segment_state(spark):
     assert ratio < 5, max_per_seg
 
 
+def test_derived_n_segments_clustered_order_key(spark):
+    """VERDICT r10 #4: ``derive_n_segments``' O(sqrt N) per-segment bound
+    assumes order values spread ~uniformly over their range
+    (operators/skew.py documents it). This fixture exercises the
+    documented FAILURE of that assumption — 95% of rows' order values
+    bunched into the first 1% of the range, the TestTotalOrderPartitioner
+    pathological-splits discipline (JCT/mapreduce/lib/partition/
+    TestTotalOrderPartitioner.java) applied to segment sizing — and pins
+    three things:
+
+    1. correctness NEVER degrades: the segmented running sum equals the
+       one-window form in the clustered regime, derived and overridden
+       alike (segmentation only repartitions the fold);
+    2. the degradation is real and bounded by cluster density: the
+       derived default's hottest (key, segment) holds ~density x sqrt(N)
+       rows — loudly past the uniform 2*sqrt(N) bound, never past the
+       cluster's own row count (the regime a caller detects from the
+       same one-row agg's min/max/count against any quantile hint);
+    3. the documented escape hatch works: an explicit ``n_segments``
+       scaled by 1/cluster_span (here 100x) restores the O(sqrt N)
+       per-segment bound at the documented price of a 100x-sqrt(N)-entry
+       per-key combine array — still O(sqrt N) state per TASK."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoop_common_spark.operators.skew import (
+        _segment_expr,
+        derive_n_segments,
+        segmented_running_sum,
+    )
+
+    n = 100_000
+    # one hot key; 95% of order values dense in [0, n) — the first ~1%
+    # of the [0, 100n) range — the 5% remainder spread to 100x
+    df = spark.range(n).select(
+        F.lit(0).alias("user_id"),
+        F.when(F.pmod("id", F.lit(20)) != 0, F.col("id"))
+        .otherwise(F.col("id") * 100)
+        .alias("event_id"),
+        F.pmod("id", F.lit(7)).alias("v"),
+    )
+    lo, hi = 0, (n - 20) * 100
+    nseg_derived = derive_n_segments(n)
+    assert nseg_derived == math.isqrt(n)
+
+    def max_occupancy(nseg: int) -> int:
+        width = max((hi - lo + 1) // nseg, 1)
+        return (
+            df.withColumn("_seg", _segment_expr("event_id", lo, width))
+            .groupBy("user_id", "_seg")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").alias("m"))
+            .collect()[0]
+            .m
+        )
+
+    # (2) derived default degrades: the cluster's ~0.95N rows land in
+    # ~nseg/100 segments -> hottest segment ~30x sqrt(N), far past the
+    # uniform 2x sqrt(N) bound (LOUD) but bounded by the cluster itself
+    occ_derived = max_occupancy(nseg_derived)
+    assert occ_derived > 10 * math.isqrt(n), occ_derived  # loud, not masked
+    assert occ_derived <= int(0.95 * n) + 1, occ_derived  # density-bounded
+    # (3) the documented override: scale segments by the inverse cluster
+    # span (range/100 holds the mass -> 100x segments) -> O(sqrt N) again
+    occ_override = max_occupancy(100 * nseg_derived)
+    assert occ_override <= 2 * math.isqrt(n), occ_override
+
+    # (1) exactness is segmentation-independent in the clustered regime
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    expected = sorted(
+        (r.event_id, r.running)
+        for r in df.withColumn("running", F.sum("v").over(w)).collect()
+    )
+    for nseg in (None, 100 * nseg_derived):
+        got = sorted(
+            (r.event_id, r.running)
+            for r in segmented_running_sum(
+                df, ["user_id"], "event_id", "v", n_segments=nseg
+            ).collect()
+        )
+        assert got == expected, f"n_segments={nseg}"
+
+
 def test_grouped_quantile_select_equals_window_rank(spark, tables):
     """The histogram-selection quantile picker must equal the plain
     per-group window form (max(when(row_number() == ceil(q*n), value)))

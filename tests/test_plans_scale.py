@@ -236,7 +236,13 @@ def test_aqe_skew_join_split_engages(spark, tmp_path):
     (distinct() between shuffle and join): a skew-read slice cannot be
     duplicated through an aggregate without recomputing it. (b) is the
     boundary that keeps operators/skew.salted_join in the toolbox —
-    AQE rescues skewed joins of MATERIALIZED inputs only."""
+    AQE rescues skewed joins of MATERIALIZED inputs only.
+
+    PINNED AGAINST pyspark 4.1.2 internals (ADVICE r10): the assertions
+    read 'skew=true' / 'HashAggregate' substrings of the executed
+    adaptive plan via _jdf.queryExecution(). A failure right after a
+    Spark upgrade is a PIN MISMATCH (re-derive the markers on the new
+    version), not necessarily a behavior regression."""
     n = 200_000
     left = spark.range(n).select(
         F.when(F.pmod("id", F.lit(10)) < 9, F.lit(0))
