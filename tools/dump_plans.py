@@ -186,6 +186,13 @@ REPRESENTATIVE = {
         "bins, points keep one bin, hash join on (nation, bin) + exact "
         "BETWEEN filter — the bare theta predicate would plan a nested loop"
     ),
+    "supplier_balance_wide_band_match": (
+        "the interval join's fan-out-heavy width regime (r11): ~21 bins "
+        "per interval via Generate(sequence), SAME single hash-join shape "
+        "on (nation, bin) — fan-out trades interval duplication for "
+        "bounded per-bin occupancy; no dedup node exists because a pair "
+        "matches only on the point's own bin"
+    ),
     "embedding_kcenter_seeds": (
         "k=4 farthest-first rounds: each a full scan + partial_max "
         "struct-aggregate (no Window, no Sort anywhere); every new seed "
