@@ -2,7 +2,7 @@
 (filter → project → aggregate → order/limit) over the TPC-H dims are
 rendered BOTH as DataFrame operations and as the equivalent ANSI SQL,
 run on Spark and DuckDB over the same parquet, and compared with the
-driver's normalizer. The fixed 152-query registry checks the operators
+driver's normalizer. The fixed query registry (214 as of r11) checks the operators
 we wrote; this checks the COMPOSITION SPACE between them — engine
 semantic drift (null ordering, overflow, type coercion) surfaces on
 pipelines nobody hand-wrote."""
