@@ -123,7 +123,13 @@ def main():
 
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # testdata ships single-file tables; Spark-written tiers (the
+        # bench scale dirs) are part-file DIRECTORIES — glob those so the
+        # oracle can run at 10x/100x scale too
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     n_pass = n_fail = n_rowsonly = 0
     failures = []
