@@ -121,15 +121,29 @@ def main():
     registry = load_all()
     spark = get_spark("verify-local")
 
-    con = duckdb.connect()
-    for t in TABLE_NAMES:
-        # testdata ships single-file tables; Spark-written tiers (the
-        # bench scale dirs) are part-file DIRECTORIES — glob those so the
-        # oracle can run at 10x/100x scale too
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(p):
-            p = f"{p}/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    def fresh_con():
+        """One DuckDB connection per ORACLE (not per sweep): a single
+        heavyweight oracle (the containment join at the 10x tier ran
+        24 min) can exhaust the shared connection's buffer pool in a way
+        that poisons every later query — observed as cascading
+        'Failed to allocate block of 8 bytes' OOMs on trivially small
+        oracles after one 1400s monster. Views are stateless and
+        re-registering them costs ~ms; a spill directory lets big
+        oracles page instead of dying."""
+        c = duckdb.connect()
+        try:
+            c.execute("SET temp_directory='/tmp/hcs_duckdb_spill'")
+        except Exception:
+            pass  # older duckdb: no temp_directory setting — fine
+        for t in TABLE_NAMES:
+            # testdata ships single-file tables; Spark-written tiers (the
+            # bench scale dirs) are part-file DIRECTORIES — glob those so
+            # the oracle can run at 10x/100x scale too
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(p):
+                p = f"{p}/*.parquet"
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return c
 
     n_pass = n_fail = n_rowsonly = 0
     failures = []
@@ -151,9 +165,11 @@ def main():
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
+            con = fresh_con()
             res = con.execute(qd.oracle)
             dcols = [d[0] for d in res.description]
             drows = _duck_rows_pandas(res) if strict else res.fetchall()
+            con.close()
         except Exception as e:
             n_fail += 1
             failures.append(name)
