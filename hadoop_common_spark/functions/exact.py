@@ -8,7 +8,7 @@ Spark and DuckDB, so double aggregates are computed as exact decimal sums
 and only cast back to double at the end:
 
     Spark : sum(cast(x as decimal(30,6)))  -> cast double
-    DuckDB: CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE)
+    DuckDB: CAST(CAST(SUM(CAST(x AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
 
 The per-element double→decimal rounding is deterministic and identical in
 both engines for any non-tie value (ties at the 6th decimal of a binary
@@ -33,8 +33,25 @@ def dsum(col: Column | str, scale: int = 6) -> Column:
 
 
 def dsum_sql(expr: str, scale: int = 6) -> str:
-    """DuckDB-side rendering of :func:`dsum` over SQL expression ``expr``."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE)"
+    """DuckDB-side rendering of :func:`dsum` over SQL expression ``expr``.
+
+    The STRING hop in the final cast matters past 2**53 scaled units:
+    DuckDB's direct DECIMAL->DOUBLE converts the int128 payload to
+    double FIRST and divides by 10^scale after — two roundings — while
+    Spark's (Java BigDecimal.doubleValue) rounds once, correctly.
+    Measured at the 30x tpch tier: Q1's sum_charge decimal
+    153420009710.814540 (scaled units > 2**53) rendered
+    153420009710.8145 direct vs the correctly rounded ...81454 — a
+    1-ULP cross-engine mismatch on an EXACT decimal both engines agree
+    on. DECIMAL->STRING is exact and STRING->DOUBLE rounds correctly,
+    so the hop restores bit-identical doubles at every scale; below
+    2**53 scaled units both forms were already identical (the full
+    registry is hash-green either way at sf<=0.1). STRING (not
+    VARCHAR) keeps the rendering ENGINE-PORTABLE: two Q22-shape
+    queries reuse this string inside spark.sql(), where VARCHAR
+    requires a length, and Spark's own decimal->string->double is
+    correctly rounded at every step just like the direct cast."""
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS STRING) AS DOUBLE)"
 
 
 def davg(col: Column | str, scale: int = 6) -> Column:
@@ -65,7 +82,9 @@ def dstddev_pop(col: Column | str) -> Column:
 def dstddev_pop_sql(expr: str) -> str:
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
     s = dsum_sql(expr)
-    sq = f"CAST(SUM(CAST(({expr}) * ({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+    # same STRING hop as dsum_sql: the sum-of-squares grows past
+    # 2**53 scaled units even sooner than the plain sum
+    sq = f"CAST(CAST(SUM(CAST(({expr}) * ({expr}) AS DECIMAL(30,6))) AS STRING) AS DOUBLE)"
     return f"SQRT(({sq} - {s} * {s} / {n}) / {n})"
 
 
@@ -80,5 +99,7 @@ def dstddev_samp(col: Column | str) -> Column:
 def dstddev_samp_sql(expr: str) -> str:
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
     s = dsum_sql(expr)
-    sq = f"CAST(SUM(CAST(({expr}) * ({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+    # same STRING hop as dsum_sql: the sum-of-squares grows past
+    # 2**53 scaled units even sooner than the plain sum
+    sq = f"CAST(CAST(SUM(CAST(({expr}) * ({expr}) AS DECIMAL(30,6))) AS STRING) AS DOUBLE)"
     return f"SQRT(({sq} - {s} * {s} / {n}) / ({n} - 1.0))"
