@@ -54,6 +54,22 @@ def dsum_sql(expr: str, scale: int = 6) -> str:
     return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS STRING) AS DOUBLE)"
 
 
+def dsum_over_sql(expr: str, over: str, scale: int = 6) -> str:
+    """Window-function form of :func:`dsum_sql`: exact decimal SUM over a
+    window frame, rendered back to double through the same STRING hop.
+
+    ``over`` is the full OVER clause text (``"OVER w"`` or
+    ``"OVER (PARTITION BY ... )"``). The hop matters identically here:
+    a per-partition running/rolling decimal prefix can exceed 2**53
+    scaled units just like a global sum (a busy user's running total at
+    100 TB), and DuckDB's direct DECIMAL->DOUBLE double-rounds it while
+    Spark's BigDecimal.doubleValue rounds once."""
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) {over}"
+        f" AS STRING) AS DOUBLE)"
+    )
+
+
 def davg(col: Column | str, scale: int = 6) -> Column:
     """Order-independent mean: exact decimal sum divided by count."""
     c = F.col(col) if isinstance(col, str) else col

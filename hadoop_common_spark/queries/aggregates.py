@@ -209,7 +209,7 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sufficient statistics are EXACT decimal sums (dsum — order-
 # independent), and r is one fixed IEEE expression tree over their
 # doubles, so both engines produce identical bits at any partitioning.
-_CORR_ORACLE = """
+_CORR_ORACLE = f"""
 WITH v AS (
   SELECT l_returnflag,
          l_quantity / 10.0 AS x,
@@ -219,11 +219,11 @@ WITH v AS (
 s AS (
   SELECT l_returnflag,
          CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(y * y AS DECIMAL(30,6))) AS DOUBLE) AS syy
+         {dsum_sql('x')} AS sx,
+         {dsum_sql('y')} AS sy,
+         {dsum_sql('x * y')} AS sxy,
+         {dsum_sql('x * x')} AS sxx,
+         {dsum_sql('y * y')} AS syy
   FROM v GROUP BY l_returnflag
 )
 SELECT l_returnflag,
@@ -621,19 +621,20 @@ def _ab_oracle() -> str:
     from hadoop_common_spark.operators.dedup import hash60_sql
 
     h = hash60_sql("'ab:' || CAST(user_id AS VARCHAR)")
+    purchase = (
+        "CASE WHEN event_type = 'purchase' THEN value / 100.0 ELSE 0.0 END"
+    )
     return f"""
 WITH u AS (
   SELECT user_id, {h} % 2 AS arm,
-         CAST(SUM(CAST(CASE WHEN event_type = 'purchase'
-                            THEN value / 100.0 ELSE 0.0 END
-                       AS DECIMAL(30,6))) AS DOUBLE) AS x
+         {dsum_sql(purchase)} AS x
   FROM events GROUP BY user_id
 ),
 s AS (
   SELECT arm,
          CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx
+         {dsum_sql('x')} AS sx,
+         {dsum_sql('x * x')} AS sxx
   FROM u GROUP BY arm
 ),
 w AS (

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from hadoop_common_spark.functions.exact import dsum_sql
 from hadoop_common_spark.operators.textstats import grep, word_count, word_length_stats
 from hadoop_common_spark.queries import query
 
@@ -52,11 +53,11 @@ def grep_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "word_length_stats",
     oracle=f"""
     SELECT COUNT(len) AS n_words,
-           ({ 'CAST(SUM(CAST(len AS DECIMAL(30,6))) AS DOUBLE)' } / COUNT(len)) AS mean_len,
+           ({dsum_sql('len')} / COUNT(len)) AS mean_len,
            CAST(quantile_cont(len, 0.5) AS DOUBLE) AS median_len,
-           SQRT((CAST(SUM(CAST(len * len AS DECIMAL(30,6))) AS DOUBLE)
-                 - CAST(SUM(CAST(len AS DECIMAL(30,6))) AS DOUBLE)
-                   * CAST(SUM(CAST(len AS DECIMAL(30,6))) AS DOUBLE)
+           SQRT(({dsum_sql('len * len')}
+                 - {dsum_sql('len')}
+                   * {dsum_sql('len')}
                    / CAST(COUNT(len) AS DOUBLE))
                 / CAST(COUNT(len) AS DOUBLE)) AS stddev_len
     FROM (SELECT CAST(length(word) AS DOUBLE) AS len FROM ({_WORDS_SQL}))

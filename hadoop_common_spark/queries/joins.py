@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hadoop_common_spark.functions.exact import dsum_sql
 from hadoop_common_spark.operators.joins import (
     anti_join,
     asof_join,
@@ -313,10 +314,10 @@ def entity_link_fuzzy_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # match, interval overlap). Spark plans the bare BETWEEN as a nested
 # loop; operators/joins.interval_lookup_join_binned turns it into one
 # hash equi-join on (nation, bin).
-_BAND_ORACLE = """
+_BAND_ORACLE = f"""
 SELECT s.s_suppkey AS suppkey,
        CAST(COUNT(*) AS BIGINT) AS n_matched,
-       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_matched_bal
+       {dsum_sql('c.c_acctbal')} AS sum_matched_bal
 FROM supplier s JOIN customer c
   ON c.c_nationkey = s.s_nationkey
  AND c.c_acctbal >= s.s_acctbal - 100.0
@@ -359,10 +360,10 @@ def supplier_balance_band_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WIDE_BAND_ORACLE = """
+_WIDE_BAND_ORACLE = f"""
 SELECT s.s_suppkey AS suppkey,
        CAST(COUNT(*) AS BIGINT) AS n_matched,
-       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_matched_bal
+       {dsum_sql('c.c_acctbal')} AS sum_matched_bal
 FROM supplier s JOIN customer c
   ON c.c_nationkey = s.s_nationkey
  AND c.c_acctbal >= s.s_acctbal - 1000.0
@@ -602,10 +603,10 @@ def entity_link_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is the plain join; the at-depth perf evidence lives in the bench skew
 # tier (join_salted 4.8s vs join_plain 9.8s on the 90%-hot Zipf fixture,
 # BENCH_DETAIL r9).
-_SALTED_JOIN_ORACLE = """
+_SALTED_JOIN_ORACLE = f"""
 SELECT c.c_mktsegment AS segment, e.event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+       {dsum_sql('e.value')} AS sum_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment, e.event_type
 """

@@ -11,16 +11,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoop_common_spark.functions.exact import dsum
+from hadoop_common_spark.functions.exact import dsum, dsum_sql
 from hadoop_common_spark.queries import query
 
 
 @query(
     "rollup_region_nation_revenue",
-    oracle="""
+    oracle=f"""
     SELECT r_name AS region, n_name AS nation,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+           {dsum_sql('o_totalprice')} AS total_price
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -118,10 +118,10 @@ def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_UNPIVOT_ORACLE = """
+_UNPIVOT_ORACLE = f"""
 SELECT measure,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total,
+       {dsum_sql('value')} AS total,
        MIN(value) AS min_value,
        MAX(value) AS max_value
 FROM (
@@ -159,12 +159,12 @@ def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pinned two-bounded-shuffle enumeration (operators/sort.
 # global_row_number), and the quintile is pure BIGINT arithmetic over
 # (rank, N) — ((rn-1)*5) div N + 1 — identical on both engines.
-_RFM_ORACLE = """
+_RFM_ORACLE = f"""
 WITH cust AS (
   SELECT o_custkey,
          CAST(FLOOR(epoch(MAX(o_orderdate))) AS BIGINT) AS last_s,
          CAST(COUNT(*) AS BIGINT) AS freq,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS mon
+         {dsum_sql('o_totalprice')} AS mon
   FROM orders GROUP BY o_custkey
 ),
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cust FROM cust),
@@ -175,7 +175,7 @@ SELECT CAST(((r.rn - 1) * 5) // n_cust + 1 AS INT) AS r_score,
        CAST(((f.rn - 1) * 5) // n_cust + 1 AS INT) AS f_score,
        CAST(((m.rn - 1) * 5) // n_cust + 1 AS INT) AS m_score,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       CAST(SUM(CAST(mon AS DECIMAL(30,6))) AS DOUBLE) AS segment_revenue
+       {dsum_sql('mon')} AS segment_revenue
 FROM cust
 JOIN r USING (o_custkey) JOIN f USING (o_custkey) JOIN m USING (o_custkey)
 CROSS JOIN n
@@ -249,10 +249,10 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # revenue with previous-month delta and percent change. The LAG runs
 # over the MONTH AGGREGATE (dozens of rows — whitelisted single
 # partition), never over orders.
-_MOM_ORACLE = """
+_MOM_ORACLE = f"""
 WITH m AS (
   SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+         {dsum_sql('o_totalprice')} AS revenue
   FROM orders GROUP BY 1
 )
 SELECT month, revenue,
@@ -370,10 +370,10 @@ def customers_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 # region's. Unlike rollup (which emits the subtotals), this RELATES the
 # child row to its parent total — one broadcast join of the bounded
 # region aggregate back onto nations.
-_SHARE_ORACLE = """
+_SHARE_ORACLE = f"""
 WITH nat AS (
   SELECT r_name AS region, n_name AS nation,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+         {dsum_sql('o_totalprice')} AS revenue
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey
@@ -381,8 +381,7 @@ WITH nat AS (
   GROUP BY 1, 2
 ),
 reg AS (
-  SELECT region, CAST(SUM(CAST(revenue AS DECIMAL(30,6))) AS DOUBLE)
-           AS region_revenue
+  SELECT region, {dsum_sql('revenue')} AS region_revenue
   FROM nat GROUP BY region
 )
 SELECT nation, n.region, revenue, region_revenue,

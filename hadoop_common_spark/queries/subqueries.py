@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from hadoop_common_spark.functions.exact import dsum_sql
 from hadoop_common_spark.queries import query
 
 
@@ -129,9 +130,9 @@ def brands_with_many_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IMPORTANT_PARTS_SQL = """
+_IMPORTANT_PARTS_SQL = f"""
     SELECT l_partkey,
-           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS part_value
+           {dsum_sql('l_extendedprice * l_quantity')} AS part_value
     FROM lineitem
     GROUP BY l_partkey
     HAVING SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6)))

@@ -454,7 +454,7 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         WITH sup_rev AS (
           SELECT l_suppkey AS suppkey,
-                 CAST(SUM(CAST({REVENUE_SQL} AS DECIMAL(30,6))) AS DOUBLE) AS total_rev
+                 {dsum_sql(REVENUE_SQL)} AS total_rev
           FROM lineitem
           WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
           GROUP BY l_suppkey

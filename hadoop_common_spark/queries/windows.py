@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hadoop_common_spark.functions.exact import dsum, dsum_sql
+from hadoop_common_spark.functions.exact import dsum, dsum_over_sql, dsum_sql
 from hadoop_common_spark.queries import query
 
 EPOCH = "CAST(ts AS LONG)"  # spark: seconds, floor
@@ -235,10 +235,13 @@ def stream_distinct_types_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_user_running_total",
     oracle=f"""
     SELECT event_id, user_id,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+           {dsum_over_sql(
+               'value',
+               f'''OVER (
              PARTITION BY user_id ORDER BY {EPOCH_SQL}, event_id
              ROWS UNBOUNDED PRECEDING
-           ) AS DOUBLE) AS running_value
+           )''',
+           )} AS running_value
     FROM events
     """,
 )
@@ -416,7 +419,7 @@ SELECT event_id, user_id,
        COUNT(*) OVER w AS n_1h,
        MIN(value) OVER w AS min_1h,
        MAX(value) OVER w AS max_1h,
-       CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sum_1h
+       {dsum_over_sql('value', 'OVER w')} AS sum_1h
 FROM (SELECT event_id, user_id, value, {EPOCH_SQL} AS e FROM events)
 WINDOW w AS (PARTITION BY user_id ORDER BY e
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)

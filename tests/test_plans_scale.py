@@ -553,6 +553,45 @@ def test_static_antipattern_sweep():
         )
 
 
+def test_no_direct_decimal_to_double_sql_cast():
+    """Grep-gate for the 1-ULP cross-engine class the tpch-30x sweep
+    caught (VERDICT r11 #1): DuckDB's direct DECIMAL->DOUBLE cast
+    double-rounds past 2**53 scaled units ((double)int128, then /10^s)
+    while Spark's BigDecimal rounds once. Every SQL decimal-sum
+    rendered back to double must therefore take the exact STRING hop
+    (functions/exact.py dsum_sql / dsum_over_sql):
+
+        CAST(CAST(SUM(CAST(x AS DECIMAL(30,s))) AS STRING) AS DOUBLE)
+
+    This sweep fails on any inline `... DECIMAL(p,s))) [OVER ...] AS
+    DOUBLE` in engine source, bench, entry, or tools — the pattern is
+    latent below 2**53 and only an at-scale differential sweep can
+    catch it live, so it must never be reintroduced."""
+    import pathlib
+    import re
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    pat = re.compile(
+        r"DECIMAL\(\d+,\s*\d+\)\)\)(\s+OVER\s*(\([^)]*\)|\w+))?\s+AS\s+DOUBLE",
+        re.I | re.S,
+    )
+    files = (
+        sorted((repo / "hadoop_common_spark").rglob("*.py"))
+        + sorted((repo / "tools").glob("*.py"))
+        + [repo / "bench.py", repo / "__spark_entry__.py"]
+    )
+    bad = []
+    for py in files:
+        text = py.read_text()
+        for m in pat.finditer(text):
+            line = text[: m.start()].count("\n") + 1
+            bad.append(f"{py.relative_to(repo)}:{line}")
+    assert not bad, (
+        "direct DECIMAL->DOUBLE SQL cast (missing the dsum_sql STRING "
+        f"hop; double-rounds in DuckDB past 2**53 scaled units): {bad}"
+    )
+
+
 def test_close_pairs_binned_no_nested_loop(spark, sf_dir, registry):
     """events_close_pairs: the |Δts| <= w predicate must ride the binned
     equi-join (hash join on user_id + bin), never a
