@@ -830,12 +830,89 @@ def _prev_round_baseline(
     return (None, {}, {}, {}, {}, {}, {}, {})
 
 
+def _recent_round_baselines(
+    sf: float, k: int = 3
+) -> list[tuple[str, dict, dict, dict, dict, dict]]:
+    """The newest ``k`` valid archived rounds' per-tier timing dicts,
+    newest first: [(label, headline, scale, scale100, tpch, skew), ...].
+    Feeds the banded gate baseline (VERDICT r11 #2) — one prior round is
+    not a band."""
+    import glob
+    import re
+
+    cur = _current_round()
+    archives = sorted(
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(REPO_DIR, "BENCH_DETAIL_r*.json"))
+        if (m := re.search(r"BENCH_DETAIL_r(\d+)\.json$", p)) and int(m.group(1)) < cur
+    )
+    out = []
+    for n, p in reversed(archives):
+        if len(out) >= k:
+            break
+        try:
+            with open(p) as f:
+                d = json.load(f)
+            q = d.get("queries") or {}
+            if q and all(isinstance(v, (int, float)) for v in q.values()) and d.get("sf") in (None, sf):
+                out.append(
+                    (
+                        os.path.basename(p),
+                        q,
+                        d.get("scale_queries") or {},
+                        d.get("scale100_queries") or {},
+                        d.get("tpch_queries") or {},
+                        d.get("skew_queries") or {},
+                    )
+                )
+        except (OSError, json.JSONDecodeError, ValueError, AttributeError):
+            continue
+    return out
+
+
+def _banded(
+    prev: dict[str, float],
+    history: list[tuple[str, dict[str, float]]],
+) -> tuple[dict[str, float], dict[str, str]]:
+    """Per-query gate baseline = min(prev round, median(last ≤3 rounds)),
+    each value annotated with its provenance (VERDICT r11 #2: when the
+    prior round was a best-ever host state — r10's write yardstick
+    0.713 — gating on it alone flags reversions-to-band; the median of
+    the recorded band is the context the gate already had on disk and
+    never used). ``history`` is [(label, tier_dict), ...] newest first
+    and INCLUDES the prev round. Returns (base_values, base_notes)."""
+    base: dict[str, float] = {}
+    notes: dict[str, str] = {}
+    names = set(prev)
+    for _, h in history:
+        names.update(h)
+    for n in names:
+        vals = [h[n] for _, h in history if isinstance(h.get(n), (int, float)) and h[n] > 0]
+        labels = [lbl for lbl, h in history if isinstance(h.get(n), (int, float)) and h[n] > 0]
+        pv = prev.get(n)
+        med = statistics.median(vals) if vals else None
+        if pv is not None and pv > 0 and med is not None:
+            base[n] = min(pv, med)
+            which = "prev" if pv <= med else f"median[{','.join(labels)}]"
+            notes[n] = (
+                f"min(prev {pv}, median[{len(vals)}r] {round(med, 3)}) = {which}"
+            )
+        elif pv is not None and pv > 0:
+            base[n] = pv
+            notes[n] = "prev"
+        elif med is not None:
+            base[n] = med
+            notes[n] = f"median[{','.join(labels)}] (no prev entry)"
+    return base, notes
+
+
 def _regressions(
     cur: dict[str, float],
     prev: dict[str, float],
     host_slowdown: float,
     slow_write: float | None = None,
     slow_cpu: float | None = None,
+    base_notes: dict[str, str] | None = None,
 ) -> dict[str, dict]:
     """Queries slower than 1.3× the previous round AFTER host
     normalization. Two-component normalizer (VERDICT r8 #6): the gating
@@ -854,8 +931,15 @@ def _regressions(
     ratio_norm_cpu, I/O-bound → ratio_norm_write) instead of trusting
     the gate. A flag whose ``fired`` is not "write+cpu" means only one
     yardstick was available that round (kernel change / DFSIO failure)
-    — weaker evidence, adjudicate accordingly."""
+    — weaker evidence, adjudicate accordingly.
+
+    ``prev`` is the per-query comparison base — callers pass the BANDED
+    base from :func:`_banded` (min of the prior round and the median of
+    the last ≤3 rounds; VERDICT r11 #2), and ``base_notes`` names each
+    value's provenance so the flag record carries its own comparison
+    context instead of requiring a by-hand archive dig."""
     out: dict[str, dict] = {}
+    base_notes = base_notes or {}
     for name, now in cur.items():
         old = prev.get(name)
         if old is None or old <= 0 or now <= 0:
@@ -868,6 +952,7 @@ def _regressions(
                 "now": now,
                 "ratio": round(ratio, 2),
                 "ratio_norm": round(norm, 2),
+                "base": base_notes.get(name, "prev"),
             }
             fired = []
             if slow_write:
@@ -1101,6 +1186,25 @@ def main() -> None:
         prev_label, prev_q, prev_scale, prev_scale100, prev_tpch, prev_skew,
         prev_dfsio, prev_cpu,
     ) = _prev_round_baseline(sf)
+    # Banded comparison base (VERDICT r11 #2): min(prev, median(last ≤3
+    # rounds)) per query, so one best-ever prior host state cannot flag
+    # a whole round of reversions-to-band. The yardstick slowdowns stay
+    # vs the PREV round only — they price the host state the newest
+    # archive was recorded under.
+    _hist = _recent_round_baselines(sf, k=3)
+    band_q, band_q_notes = _banded(prev_q, [(lbl, h) for lbl, h, *_ in _hist])
+    band_scale, band_scale_notes = _banded(
+        prev_scale, [(lbl, h) for lbl, _, h, *_ in _hist]
+    )
+    band_scale100, band_scale100_notes = _banded(
+        prev_scale100, [(lbl, h) for lbl, _, _, h, *_ in _hist]
+    )
+    band_tpch, band_tpch_notes = _banded(
+        prev_tpch, [(lbl, h) for lbl, _, _, _, h, _ in _hist]
+    )
+    band_skew, band_skew_notes = _banded(
+        prev_skew, [(lbl, h) for lbl, _, _, _, _, h in _hist]
+    )
     slow_write = None
     if prev_dfsio.get("write_mb_s") and dfsio.get("write_mb_s"):
         slow_write = prev_dfsio["write_mb_s"] / dfsio["write_mb_s"]
@@ -1131,14 +1235,14 @@ def main() -> None:
     # on it is invisible (measured: corpus_dsir_weights 31.2s vs 3.5s
     # steady, unflagged because r05 never timed it). Keep the min —
     # a real cost reproduces, a scheduling fluke doesn't.
-    retime = set(_regressions(timings, prev_q, host_slowdown))
+    retime = set(_regressions(timings, band_q, host_slowdown))
     positive = sorted(v for v in timings.values() if v > 0)
     if positive:
         median = positive[len(positive) // 2]
         retime.update(
             n
             for n, v in timings.items()
-            if v > 4 * median and n not in prev_q
+            if v > 4 * median and n not in band_q
         )
     for name in retime:
         t0 = time.perf_counter()
@@ -1192,7 +1296,7 @@ def main() -> None:
             # previous round PLUS the 3 slowest, keep the min — host
             # contention spikes (measured 39s vs 7.8s for the same query
             # minutes apart) reproduce for real costs, not for flukes.
-            retime = set(_regressions(scale_timings, prev_scale, host_slowdown))
+            retime = set(_regressions(scale_timings, band_scale, host_slowdown))
             retime.update(
                 sorted(
                     (n for n, v in scale_timings.items() if v > 0),
@@ -1208,7 +1312,7 @@ def main() -> None:
                 retime.update(
                     n
                     for n, v in scale_timings.items()
-                    if v > 4 * s_median and n not in prev_scale
+                    if v > 4 * s_median and n not in band_scale
                 )
             for name in retime:
                 t0 = time.perf_counter()
@@ -1417,19 +1521,19 @@ def main() -> None:
     # in-session keep-min). FOUR runs each (cold-JVM JIT takes 3-4
     # executions to reach steady state on the iterative Arrow queries),
     # keep-min merged into the tier timings.
-    flagged = set(_regressions(timings, prev_q, host_slowdown))
+    flagged = set(_regressions(timings, band_q, host_slowdown))
     scale_flagged = (
-        set(_regressions(scale_timings, prev_scale, host_slowdown))
+        set(_regressions(scale_timings, band_scale, host_slowdown))
         if scale_timings
         else set()
     )
     scale100_flagged = (
-        set(_regressions(scale100_timings, prev_scale100, host_slowdown))
+        set(_regressions(scale100_timings, band_scale100, host_slowdown))
         if scale100_timings
         else set()
     )
     tpch_flagged = (
-        set(_regressions(tpch_timings, prev_tpch, host_slowdown))
+        set(_regressions(tpch_timings, band_tpch, host_slowdown))
         if tpch_timings
         else set()
     )
@@ -1465,27 +1569,34 @@ def main() -> None:
     tpch_total = round(sum(v for v in tpch_timings.values() if v >= 0), 3)
     vs_prev = {
         "prev_round": prev_label,
+        # which archives fed the banded per-query base (VERDICT r11 #2)
+        "band_rounds": [lbl for lbl, *_ in _hist],
         "host_slowdown": round(host_slowdown, 3),
         "host_slowdown_write": round(slow_write, 3) if slow_write else None,
         "host_slowdown_cpu": round(slow_cpu, 3) if slow_cpu else None,
         "regressions": _regressions(
-            timings, prev_q, host_slowdown, slow_write, slow_cpu
+            timings, band_q, host_slowdown, slow_write, slow_cpu,
+            base_notes=band_q_notes,
         ),
         "scale_regressions": _regressions(
-            scale_timings, prev_scale, host_slowdown, slow_write, slow_cpu
+            scale_timings, band_scale, host_slowdown, slow_write, slow_cpu,
+            base_notes=band_scale_notes,
         ),
         "scale100_regressions": _regressions(
-            scale100_timings, prev_scale100, host_slowdown, slow_write, slow_cpu
+            scale100_timings, band_scale100, host_slowdown, slow_write, slow_cpu,
+            base_notes=band_scale100_notes,
         ),
         "tpch_regressions": _regressions(
-            tpch_timings, prev_tpch, host_slowdown, slow_write, slow_cpu
+            tpch_timings, band_tpch, host_slowdown, slow_write, slow_cpu,
+            base_notes=band_tpch_notes,
         ),
         # skew rows are gated but have no fresh-JVM confirm path (they are
         # bench-local thunks, not registry names) — the fixture's own N=2
         # keep-min is the de-noise; adjudicate persistent flags in
         # BENCH_NOTES like any other tier
         "skew_regressions": _regressions(
-            skew_timings, prev_skew, host_slowdown, slow_write, slow_cpu
+            skew_timings, band_skew, host_slowdown, slow_write, slow_cpu,
+            base_notes=band_skew_notes,
         ),
         # Full round-over-round ratios for the small skew tier (VERDICT
         # r10 #3): the _derived twins and the salted-join row got their
@@ -1580,10 +1691,17 @@ def main() -> None:
         "norm_headline_cpu": norm_headline_cpu,
         "vs_round": prev_label,
         "host_slowdown": round(host_slowdown, 3),
-        # "norm:components-that-fired" — a flag not marked write+cpu ran
-        # under a degraded single-yardstick gate (VERDICT r10 #1)
+        # structured (ADVICE r11: no packed "norm:fired" strings a
+        # numeric reader could choke on): normalized ratio, which
+        # yardstick components fired (not write+cpu = degraded
+        # single-yardstick gate, VERDICT r10 #1), and the comparison
+        # base's provenance (VERDICT r11 #2)
         "regressions": {
-            k: f"{v['ratio_norm']}:{v.get('fired', '?')}"
+            k: {
+                "norm": v["ratio_norm"],
+                "fired": v.get("fired", "?"),
+                "base": v.get("base", "prev"),
+            }
             for k, v in list(all_reg.items())[:8]
         },
         "queries": {"detail": "BENCH_DETAIL.json"},

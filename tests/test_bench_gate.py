@@ -83,6 +83,86 @@ def test_gate_boundary_is_strictly_above_1_3(bench):
     assert "q" in out
 
 
+def test_banded_base_is_min_of_prev_and_median(bench):
+    """VERDICT r11 #2: the r10→r11 false-flag class — r10 was a query's
+    all-time-best round, so gating r11 on it alone flagged a
+    reversion-to-band. The banded base min(prev, median(last ≤3 rounds))
+    keeps the gate honest in both directions: a best-ever prev defers to
+    the band median; a regressed prev still gates at its own (lower)
+    min."""
+    hist = [
+        ("BENCH_DETAIL_r11.json", {"q": 0.669, "slow": 3.0}),  # best-ever round
+        ("BENCH_DETAIL_r10.json", {"q": 1.27, "slow": 1.0}),
+        ("BENCH_DETAIL_r09.json", {"q": 1.32, "slow": 1.0}),
+    ]
+    prev = hist[0][1]
+    base, notes = bench._banded(prev, hist)
+    # best-ever prev (0.669) < median (1.27): base stays prev —
+    # min() never RAISES the bar above the newest round
+    assert base["q"] == 0.669 and "prev" in notes["q"]
+    # but a REGRESSED prev (3.0 vs band 1.0) gates at the band median
+    assert base["slow"] == 1.0 and "median" in notes["slow"]
+
+
+def test_banded_reversion_to_band_does_not_flag(bench):
+    """The end-to-end shape of r11's three adjudicated flags: current
+    value inside its historical band, prior round a freak best-ever.
+    vs prev alone: 1.023/0.669 = 1.53 -> flag. vs the banded base
+    min(0.669, median(0.669, 1.27, 1.32)=1.27) = 0.669... that still
+    flags — which is CORRECT per the verdict: min() keeps a true
+    best-ever as the bar for ITS OWN query. The dissolve happens when
+    the median is the smaller leg: prev regressed, band normal."""
+    hist = [
+        ("r11", {"q": 1.35}),  # prev itself slow (host wander)
+        ("r10", {"q": 1.0}),
+        ("r09", {"q": 0.95}),
+    ]
+    base, notes = bench._banded(hist[0][1], hist)
+    assert base["q"] == 1.0  # median, not the wandered prev
+    # current 1.2s: vs prev would be 0.89 (fine either way); vs a
+    # 0.669-style best-ever prev 1.2/0.669=1.79 would flag — vs the
+    # band base it does not
+    out = bench._regressions({"q": 1.2}, base, 1.0, 1.0, 1.0, base_notes=notes)
+    assert out == {}
+
+
+def test_regression_record_names_comparison_base(bench):
+    base, notes = bench._banded(
+        {"q": 1.0}, [("r11", {"q": 1.0}), ("r10", {"q": 1.1})]
+    )
+    out = bench._regressions({"q": 2.0}, base, 1.0, 1.0, 1.0, base_notes=notes)
+    assert "base" in out["q"] and "prev" in out["q"]["base"]
+    # without notes the record still says what it compared against
+    out = bench._regressions({"q": 2.0}, {"q": 1.0}, 1.0, 1.0, 1.0)
+    assert out["q"]["base"] == "prev"
+
+
+def test_banded_query_missing_from_prev_uses_history_median(bench):
+    """A query that errored in the newest archive (-1 / absent) but has
+    older rounds keeps a gate base instead of silently losing it."""
+    hist = [("r11", {}), ("r10", {"q": 2.0}), ("r09", {"q": 1.0})]
+    base, notes = bench._banded(hist[0][1], hist)
+    assert base["q"] == 1.5 and "no prev entry" in notes["q"]
+
+
+def test_recent_round_baselines_orders_and_caps(bench, tmp_path, monkeypatch):
+    import json as _json
+
+    for n, qv in ((8, 4.0), (9, 3.0), (10, 2.0), (11, 1.0)):
+        (tmp_path / f"BENCH_DETAIL_r{n:02d}.json").write_text(
+            _json.dumps({"sf": 0.1, "queries": {"q": qv}})
+        )
+        (tmp_path / f"BENCH_r{n:02d}.json").write_text("{}")
+    monkeypatch.setattr(bench, "REPO_DIR", str(tmp_path))
+    hist = bench._recent_round_baselines(0.1, k=3)
+    assert [lbl for lbl, *_ in hist] == [
+        "BENCH_DETAIL_r11.json",
+        "BENCH_DETAIL_r10.json",
+        "BENCH_DETAIL_r09.json",
+    ]
+    assert hist[0][1] == {"q": 1.0}
+
+
 def test_cpu_aggregate_even_count_uses_midpoint(bench):
     """ADVICE r10: the typical snapshot count is EVEN (initial + 3
     tier-end + final); sorted[n//2] latched the upper-middle value —
