@@ -78,84 +78,20 @@ _QUERY_MODULES = [
 
 # Driver-facing iteration order. The external correctness harness walks the
 # registry in dict order and has a bounded budget (~50 rows/round), so the
-# order is part of the evidence strategy. Round-11 rotation (VERDICT r10
-# #2): the 14 r06-remainder rows lead (their newest driver row is r06 —
-# the oldest evidence in the fleet), backfilled with the 36 oldest
-# r07-checked rows to fill the ~50-row budget. After this round no
-# query's newest driver row is older than r07, holding the steady
-# ≤4-round re-proof cadence. Overflow = r07 remainder -> r08-checked ->
-# r09-checked -> the old r10 window (freshest hard rows in the fleet).
-# Names not in either list are slotted right after the window block,
-# BEFORE the overflow, so a new query is never silently pushed out of
-# the checked window.
+# order is part of the evidence strategy. Round-12 rotation (VERDICT r11
+# #4): the 15 r07-remainder rows lead (their newest driver row is r07 —
+# the oldest evidence in the fleet; pre-staged at the r11 overflow
+# head), backfilled with the 35 oldest r08-checked rows to fill the
+# ~50-row budget. After this round no query's newest driver row is
+# older than r08, holding the steady ≤4-round re-proof cadence.
+# Overflow = the 14 r08-remainder rows (r13 rotation head) ->
+# r09-checked -> r10-checked -> the old r11 window (freshest hard rows
+# in the fleet). Names not in either list are slotted right after the
+# window block, BEFORE the overflow, so a new query is never silently
+# pushed out of the checked window.
 PRIORITY_WINDOW: list[str] = [
-    # -- r11 newcomers (VERDICT r10 #5: the two gap-shaped rows — the
-    #    TWS MapState batch twin and the interval join's second width
-    #    regime) --
-    "stream_distinct_types_batch",
-    "supplier_balance_wide_band_match",
-    # -- r06-green remainder (newest driver row r06; staged at the r10
-    #    overflow head — this closes the r06 cycle) --
-    "customers_rfm_segments",
-    "similarity_knn_label_eval",
-    "events_key_skew_report",
-    "tpch_fk_integrity",
-    "text_inverted_index",
-    "corpus_weighted_sample",
-    "text_pmi_pairs",
-    "dedup_containment_pairs",
-    "dedup_canonical_quality",
-    "corpus_dedup_rate_by_source",
-    "corpus_temperature_mixture",
-    "similarity_pq_recall_eval",
-    "local_supplier_volume",
-    "forecast_revenue_change",
-    # -- oldest 36 of the 49 r07-checked rows --
-    "dedup_shared_span_pairs",
-    "events_close_pairs",
-    "corpus_ngram_novelty",
-    "similarity_matryoshka_recall_eval",
-    "dedup_shared_span_pairs_capped",
-    "zorder_layout_keys",
-    "join_semi_anti",
-    "returnflag_priority_pivot",
-    "rollup_region_nation_revenue",
-    "cube_status_priority",
-    "grouping_sets_events",
-    "dedup_embedding_cosine",
-    "similarity_ivfpq_topk",
-    "similarity_lsh_multiprobe_topk",
-    "dedup_winnow_pairs",
-    "dedup_exact_normalized",
-    "embedding_quantize_int8",
-    "hybrid_search_rerank",
-    "text_bm25_topk",
-    "corpus_bigram_familiarity",
-    "text_fuzzy_word_pairs",
-    "text_boilerplate_ngrams",
-    "text_token_cms_topk",
-    "graph_triangle_count",
-    "graph_clustering_coefficient",
-    "events_funnel",
-    "events_cohort_retention",
-    "events_weekday_heatmap",
-    "events_gapfill_minutes",
-    "events_multires_rollup",
-    "events_rolling_1h_stats",
-    "events_value_percentiles",
-    "events_value_ntile_deciles",
-    "events_transition_matrix",
-]
-
-# ---- 50-entry checked-window boundary ----
-# (the driver checks ~50 rows/round — the window must fit; unlisted
-# newcomers auto-slot right after it, BEFORE the overflow)
-# Overflow order = oldest evidence first: the 13 r07-checked rows the
-# window cap displaced (r12 rotation head), then r08-checked,
-# r09-checked, and the old r10 window at the tail (freshest hard rows
-# in the fleet).
-PRIORITY_OVERFLOW: list[str] = [
-    # -- r07-checked remainder (r12 rotation head): window-cap displacements --
+    # -- r07-checked remainder (newest driver row r07; staged at the
+    #    r11 overflow head — this closes the r07 cycle) --
     "corpus_pack_sequences",
     "corpus_stratified_sample",
     "corpus_split_leakage",
@@ -171,9 +107,7 @@ PRIORITY_OVERFLOW: list[str] = [
     "important_parts_share",
     "waiting_suppliers",
     "min_cost_supplier",
-    # -- r08-checked (the old r8 window — freshest hard rows;
-    #    events_value_percentiles_sampled moved back to the r9 window
-    #    because its code changed) --
+    # -- oldest 35 of the 49 r08-checked rows --
     "stream_session_expiry_batch",
     "stream_topk_per_user_batch",
     "flagship_revenue_by_nation",
@@ -209,6 +143,17 @@ PRIORITY_OVERFLOW: list[str] = [
     "regex_filtered_scan",
     "join_inner_pairs",
     "join_full_outer",
+]
+
+# ---- 50-entry checked-window boundary ----
+# (the driver checks ~50 rows/round — the window must fit; unlisted
+# newcomers auto-slot right after it, BEFORE the overflow)
+# Overflow order = oldest evidence first: the 14 r08-checked rows the
+# window cap displaced (r13 rotation head), then r09-checked,
+# r10-checked, and the old r11 window at the tail (freshest hard rows
+# in the fleet).
+PRIORITY_OVERFLOW: list[str] = [
+    # -- r08-checked remainder (r13 rotation head): window-cap displacements --
     "join_override",
     "theta_join_acctbal",
     "union_distinct_nations",
@@ -325,6 +270,57 @@ PRIORITY_OVERFLOW: list[str] = [
     "corpus_dsir_weights",
     "orders_market_basket",
     "events_user_ewma",
+    # -- r11-checked (the old r11 window — freshest hard rows) --
+    "stream_distinct_types_batch",
+    "supplier_balance_wide_band_match",
+    "customers_rfm_segments",
+    "similarity_knn_label_eval",
+    "events_key_skew_report",
+    "tpch_fk_integrity",
+    "text_inverted_index",
+    "corpus_weighted_sample",
+    "text_pmi_pairs",
+    "dedup_containment_pairs",
+    "dedup_canonical_quality",
+    "corpus_dedup_rate_by_source",
+    "corpus_temperature_mixture",
+    "similarity_pq_recall_eval",
+    "local_supplier_volume",
+    "forecast_revenue_change",
+    "dedup_shared_span_pairs",
+    "events_close_pairs",
+    "corpus_ngram_novelty",
+    "similarity_matryoshka_recall_eval",
+    "dedup_shared_span_pairs_capped",
+    "zorder_layout_keys",
+    "join_semi_anti",
+    "returnflag_priority_pivot",
+    "rollup_region_nation_revenue",
+    "cube_status_priority",
+    "grouping_sets_events",
+    "dedup_embedding_cosine",
+    "similarity_ivfpq_topk",
+    "similarity_lsh_multiprobe_topk",
+    "dedup_winnow_pairs",
+    "dedup_exact_normalized",
+    "embedding_quantize_int8",
+    "hybrid_search_rerank",
+    "text_bm25_topk",
+    "corpus_bigram_familiarity",
+    "text_fuzzy_word_pairs",
+    "text_boilerplate_ngrams",
+    "text_token_cms_topk",
+    "graph_triangle_count",
+    "graph_clustering_coefficient",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_weekday_heatmap",
+    "events_gapfill_minutes",
+    "events_multires_rollup",
+    "events_rolling_1h_stats",
+    "events_value_percentiles",
+    "events_value_ntile_deciles",
+    "events_transition_matrix",
 ]
 
 

@@ -166,10 +166,15 @@ def main():
             continue
         try:
             con = fresh_con()
-            res = con.execute(qd.oracle)
-            dcols = [d[0] for d in res.description]
-            drows = _duck_rows_pandas(res) if strict else res.fetchall()
-            con.close()
+            # close on the failure path too: an oracle that dies mid-sweep
+            # (the at-scale OOM case) must not leak its buffer pool into
+            # the next 200 oracles
+            try:
+                res = con.execute(qd.oracle)
+                dcols = [d[0] for d in res.description]
+                drows = _duck_rows_pandas(res) if strict else res.fetchall()
+            finally:
+                con.close()
         except Exception as e:
             n_fail += 1
             failures.append(name)
