@@ -592,6 +592,36 @@ def test_no_direct_decimal_to_double_sql_cast():
     )
 
 
+def test_duckdb_decimal_double_rounding_hop_is_load_bearing():
+    """Live demonstration that the grep-gate above guards a REAL
+    divergence, not a style rule: on the installed DuckDB, the direct
+    DECIMAL->DOUBLE cast of the exact value the tpch-30x sweep caught
+    (Q1 sum_charge, scaled units ~1.5e17 > 2**53) lands 1 ULP below
+    the correctly rounded double, while the STRING hop matches
+    Python's (and BigDecimal's) single rounding bit-for-bit. If a
+    DuckDB upgrade ever fixes the double-rounding, this test says so
+    and the hop becomes removable."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        direct, hop = con.execute(
+            "SELECT CAST(CAST('153420009710.814540' AS DECIMAL(30,6))"
+            "            AS DOUBLE),"
+            "       CAST(CAST(CAST('153420009710.814540' AS DECIMAL(30,6))"
+            "            AS STRING) AS DOUBLE)"
+        ).fetchone()
+    finally:
+        con.close()
+    correct = float("153420009710.814540")  # Python rounds once, correctly
+    assert hop == correct
+    assert direct != hop, (
+        "DuckDB no longer double-rounds DECIMAL->DOUBLE — the STRING "
+        "hop in functions/exact.py is now redundant (keep it for Spark "
+        "parity, but update this pin and the dsum_sql docstring)"
+    )
+
+
 def test_close_pairs_binned_no_nested_loop(spark, sf_dir, registry):
     """events_close_pairs: the |Δts| <= w predicate must ride the binned
     equi-join (hash join on user_id + bin), never a
