@@ -1264,6 +1264,11 @@ def main() -> None:
             timings[name] = min(timings[name], round(time.perf_counter() - t0, 3))
         except Exception:
             pass
+    # headline-tier-end snapshot (VERDICT r11 #6: cpu_rel_spread hit
+    # 0.35 in r11 and 0.83 in the first r12 run — the host's effective
+    # CPU speed wanders minute-to-minute, so the median needs a 5th
+    # spaced point; the headline tier is the longest unsampled stretch)
+    cpu_snapshot()
 
     # ---- 10x scale tier: same queries, 10x events/documents/embeddings.
     # Regressions invisible under 1-2s of fixed overhead at sf0.1 are
