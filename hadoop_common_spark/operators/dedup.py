@@ -318,26 +318,46 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
     md5 hash; each bit votes ±1; the fingerprint sets bits with positive
     vote. Near-dups differ in few bits (Hamming distance).
 
-    Array-fold formulation: token hashes → fold into a ``bits``-length
-    vote vector with ``F.aggregate``/``zip_with`` → fingerprint. Entirely
-    map-side (zero shuffles; integer votes, so exact regardless of fold
-    order — an explode formulation would blow rows up ×bits and shuffle
-    twice)."""
-    masks = F.array(*[F.lit(1 << j).cast("bigint") for j in range(bits)])
+    Explode + ``bits`` codegen ``sum()`` aggregates: one row per token,
+    per-bit set-counts ``c_j = sum((h >> j) & 1)`` plus the token count,
+    fingerprint bit j set iff ``2*c_j > n`` (identical integer votes to
+    the ±1 formulation: votes_j = 2*c_j - n). The whole pipeline stays
+    in whole-stage codegen; the r1-r11 form was a map-side
+    ``F.aggregate``/``zip_with`` array fold — zero shuffles, but
+    higher-order functions run interpreted and allocate two
+    ``bits``-length arrays per TOKEN (measured 2× slower at the 100×
+    tier: 10.5s fold vs 5.4s explode for the same fingerprints). The
+    explode form's shuffle is one partially-aggregated row per document
+    (the groupBy key is the row the tokens exploded from, so map-side
+    combine finishes each doc locally): ``bits+1`` longs per doc —
+    bounded by doc count, never token count, and cheap against the 2×
+    CPU at any scale where docs average ≳0.5 KB. ``explode_outer``
+    keeps the one-row-per-doc contract: a token-less doc yields one
+    NULL-hash row, every ``c_j`` aggregates to NULL, and the
+    ``2*c_j > n`` test is false for every bit — fingerprint 0, exactly
+    the fold's empty-array result. The interpreted fold survives as the
+    per-row streaming shape in :func:`minhash_signature_mapside`'s
+    family (stateless projection, no aggregation state)."""
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-    hashes = F.transform(toks, lambda t: hash60(t))
-    zero = F.array_repeat(F.lit(0).cast("bigint"), bits)
-    bit_votes = lambda h: F.transform(  # noqa: E731
-        masks, lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint")
+    th = df.select(F.col(id_col), F.explode_outer(toks).alias("_t")).select(
+        F.col(id_col), hash60(F.col("_t")).alias("_h")
     )
-    votes = F.aggregate(hashes, zero, lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, b: a + b))
-    fingerprint_bits = F.zip_with(
-        votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("bigint"))
+    # SQL-string expressions, not 60 Column-API trees: each F.sum/F.when/
+    # operator call is a py4j round trip, and the Column-API form spent
+    # 5-7 SECONDS of driver time just CONSTRUCTING the plan (measured via
+    # build-vs-run split; the bench times construction too, and on a real
+    # cluster that is dead driver time before any task launches). One
+    # F.expr per aggregate + one parsed fingerprint expression is ~60
+    # round trips instead of ~1000.
+    g = th.groupBy(id_col).agg(
+        F.expr("count(1) AS _n"),
+        *[F.expr(f"sum(shiftright(_h, {j}) & 1) AS _c{j}") for j in range(bits)],
     )
-    return df.select(
-        F.col(id_col),
-        F.aggregate(fingerprint_bits, F.lit(0).cast("bigint"), lambda a, b: a + b).alias("simhash"),
+    fp = " + ".join(
+        f"IF(2 * _c{j} > _n, CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))"
+        for j in range(bits)
     )
+    return g.selectExpr(f"`{id_col}`", f"({fp}) AS simhash")
 
 
 def simhash_pairs(
@@ -686,13 +706,6 @@ def shared_span_pairs(
     max_gram_df²/2 per gram). The run detection is one window over
     (pair, diag) — partition cardinality is pairs×diagonals, never
     corpus-sized."""
-    n_grams = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.struct(
-            i.alias("i"), F.col(text_col).substr(i, F.lit(k)).alias("g")
-        ),
-    )
     # repartition BEFORE the per-char gram fan-out: a small corpus scans
     # as one split and would run the (text_len × k)-byte explode on one
     # core (measured 3s single-threaded vs 0.3s spread at sf0.1); at
@@ -705,6 +718,12 @@ def shared_span_pairs(
     # consumer instead re-reads the ONE repartition exchange
     # (ReuseExchange; shuffle files are disk-backed by construction) and
     # re-runs the explode — linear CPU, no memory floor at any scale.
+    # Gram generation is explode(sequence) THEN substr as a plain
+    # projection — NOT transform(sequence, i -> struct(i, substr(...)))
+    # with the struct array exploded: higher-order functions run
+    # interpreted and allocate a struct per gram before the Generate,
+    # while the post-explode substr is whole-stage-codegen (measured 2×:
+    # 6.9s vs 12.5s for the bare gram table at the 100× tier).
     par = df.sparkSession.sparkContext.defaultParallelism
     pg = (
         # length >= k filter FIRST: Spark's sequence(1, 0) yields [1, 0]
@@ -713,8 +732,20 @@ def shared_span_pairs(
         # cannot reach any span >= k anyway
         df.filter(F.length(F.col(text_col)) >= k)
         .repartition(par)
-        .select(F.col(block_col).alias("_blk"), F.col(id_col), F.explode(grams).alias("_x"))
-        .select("_blk", id_col, F.col("_x.i").alias("_i"), F.col("_x.g").alias("_g"))
+        .select(
+            F.col(block_col).alias("_blk"),
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(
+                F.sequence(F.lit(1), F.length(F.col(text_col)) - (k - 1))
+            ).alias("_i"),
+        )
+        .select(
+            "_blk",
+            id_col,
+            "_i",
+            F.col(text_col).substr(F.col("_i"), F.lit(k)).alias("_g"),
+        )
     )
     if max_gram_df is not None:
         # CAPPED form: everything happens in ONE pass over ONE
@@ -751,7 +782,18 @@ def shared_span_pairs(
         wo = _W.partitionBy("_blk", "_g").orderBy(id_col)
         wp = _W.partitionBy("_blk", "_g")
         surv = (
-            pg.withColumn("_dr", F.dense_rank().over(wo))
+            # explicit (blk, gram) exchange at 4× parallelism: the window
+            # would insert the same exchange at spark.sql.shuffle.partitions
+            # anyway, but the gram table is ~50 bytes × one row per
+            # character of corpus text, so core-count-sized partitions
+            # spill the window sort (measured at the 100× tier: 210 MB
+            # per sort at 32 partitions vs ~9.6 GB execution memory
+            # shared by 32 concurrent tasks → spill; 4× partitions kept
+            # the sorts in memory and cut the window stage ~30%). The
+            # count scales with defaultParallelism, not a constant, so a
+            # real cluster gets the same bytes-per-sort bound.
+            pg.repartition(4 * par, "_blk", "_g")
+            .withColumn("_dr", F.dense_rank().over(wo))
             .withColumn("_df", F.max("_dr").over(wp))
             .filter(F.col("_df") <= max_gram_df)
         )

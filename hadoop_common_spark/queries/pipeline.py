@@ -905,9 +905,25 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = eligible.select(
         "doc_id", F.size(grams).cast("bigint").alias("n_grams")
     )
+    # The exploded path deliberately skips the per-doc array_distinct and
+    # builds grams as explode(sequence) + a POST-explode codegen substr:
+    # per-gram min(doc_id) is unchanged by in-doc multiplicity (the
+    # groupBy(_g) dedups globally anyway), and the interpreted
+    # transform(sequence, i -> substr(...)) + array_distinct pass was the
+    # dominant per-row cost (whole query measured 21s -> 16s at the 100×
+    # tier; the same HOF-vs-codegen trade as shared_span_pairs' gram
+    # table). The `totals` branch above must KEEP the distinct array —
+    # n_grams counts DISTINCT grams — and that per-row pass is now about
+    # half the query's cost with no cheaper exact form (a countDistinct
+    # over the exploded rows would shuffle the whole gram table by doc).
     pg = (
         eligible.repartition(par)
-        .select("doc_id", F.explode(grams).alias("_g"))
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(1), F.length("text") - (k - 1))).alias("_i"),
+        )
+        .select("doc_id", F.col("text").substr(F.col("_i"), F.lit(k)).alias("_g"))
     )
     # NO gram-keyed join back (the naive form re-shuffles every gram a
     # second time — measured 1.5x slower at 10x): a doc's novel-gram
