@@ -217,12 +217,19 @@ def minhash_lsh_pairs(
             "would silently weaken the (bands, rows) LSH guarantee"
         )
     rows = num_hashes // bands
-    # One shingling pass total: the signature groupBy also collects the
-    # distinct shingle set, so the verify join reads it from the (reused)
-    # aggregation exchange instead of re-shingling each side. Measured:
-    # a localCheckpoint here is ~1.3× SLOWER than the exchange reuse —
-    # materializing the shingle-set arrays costs more than Spark's
-    # ReusedExchange, so the lazy form stays.
+    # One shingling pass total: the signature groupBy collects the
+    # distinct shingle set alongside the minhashes, and the result is
+    # localCheckpoint'ed — the sketch table all three consumers (band
+    # keys, verify side A, verify side B) read. The checkpoint is load-
+    # bearing: each consumer prunes a DIFFERENT column subset, so the
+    # optimizer compiles three DIFFERENT partial aggregates and
+    # ReusedExchange never fires — the shingling+signature pipeline ran
+    # 3× (re-measured r12: 10.0s → 3.0s at the 10× tier with the
+    # checkpoint; the old "checkpoint is 1.3× slower" note predates the
+    # first-match-band shape that added the third consumer). Storage is
+    # MEMORY_AND_DISK and one row per doc (16 longs + the distinct
+    # shingle set) — the "write the sketch table between stages" shape
+    # simhash_pairs already uses.
     sh_rows = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_one")
     ).withColumn("_base", hash32(F.col("_one")))
@@ -232,7 +239,7 @@ def minhash_lsh_pairs(
             for j in range(num_hashes)
         ],
         F.collect_set("_one").alias("_shset"),
-    )
+    ).localCheckpoint(eager=False)
     if max_bucket_size is None:
         # FIRST-MATCH-BAND candidate dedup (same trick as simhash_pairs):
         # each bk row carries the doc's FULL band-key vector, and a pair
@@ -240,14 +247,16 @@ def minhash_lsh_pairs(
         # filter instead of a .distinct() shuffle over the candidate
         # multiset (near-identical docs agree on ALL bands, so that
         # multiset is ~bands x the unique pairs at high dup density; the
-        # r5 100x study measured it at 2.2B rows). The carried vector is
-        # bands x 32-char md5 per row — fixed width, never corpus-sized.
+        # r5 100x study measured it at 2.2B rows). Band keys are STRUCTS
+        # of the band's raw minhash values (not md5-of-concat strings):
+        # grouping is identical (both injective on the band vector), the
+        # carried vector is bands × rows longs instead of bands × 32-char
+        # strings, and 4 md5 calls per doc disappear. The capped path
+        # keeps lsh_band_keys' md5 form — occupancy semantics there are
+        # part of the oracle contract.
         keys = [
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
-                )
+            F.struct(
+                *[F.col(f"h{b * rows + r}").alias(f"k{r}") for r in range(rows)]
             )
             for b in range(bands)
         ]

@@ -1118,22 +1118,24 @@ LIMIT 100
 def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 token collocations by ratio-form PMI over a +/-3-token
     co-occurrence window (c_ab >= 5). Pair generation is MAP-SIDE
-    shifted-array zip_with (operators/textstats.cooccurrence_pairs — no
-    self-join on position, which would shuffle every token once per
-    window slot; per-element element_at indexing inside
-    transform(sequence(...)) measured 30x slower than the zip form at
-    sf0.1); pair and unigram counts are map-side-combined aggregations,
+    row-form double explode (operators/textstats.cooccurrence_pair_rows
+    — no self-join on position, which would shuffle every token once
+    per window slot; the interpreted zip_with array build it replaces
+    measured 4× slower at the 100× tier, and per-element element_at
+    inside transform(sequence(...)) 30x slower still at sf0.1); pair
+    and unigram counts are map-side-combined aggregations,
     and the pair aggregate feeds both the filtered table and the grand
     total through one ReusedExchange; the two vocabulary joins are hash
     joins keyed on the token; N attaches as a broadcast single-row
     scalar; top-100 is TakeOrderedAndProject."""
-    from hadoop_common_spark.operators.textstats import cooccurrence_pairs
+    from hadoop_common_spark.operators.textstats import cooccurrence_pair_rows
 
     docs = spark.table("documents").filter(F.trim(F.col("text")) != "")
     t = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
-    pairs = docs.select(F.explode(cooccurrence_pairs(t, 3)).alias("p")).select(
-        F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b")
-    )
+    # row-form pair generation (double explode + post-Generate indexing):
+    # the explode(zip_with(...)) form ran the pair build interpreted —
+    # measured 4× slower at the 100× tier (see cooccurrence_pair_rows)
+    pairs = cooccurrence_pair_rows(docs, t, 3)
     uni = (
         docs.select(F.explode(t).alias("tok"))
         .groupBy("tok")

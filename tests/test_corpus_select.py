@@ -190,6 +190,40 @@ def test_cooccurrence_pairs_exact(spark):
         assert got[i] == sorted(want), f"case {i}"
 
 
+def test_cooccurrence_pair_rows_matches_column_form(spark):
+    """The row-form pair generator (double explode + post-Generate
+    indexing, the codegen fast path text_pmi_pairs uses) must emit
+    exactly the column form's pair MULTISET — including empty/1-token
+    docs (no rows), repeated tokens (multiplicity preserved), and
+    windows clipped at the array end."""
+    from hadoop_common_spark.operators.textstats import (
+        cooccurrence_pair_rows,
+        cooccurrence_pairs,
+    )
+
+    cases = [
+        [],
+        ["one"],
+        ["a", "b"],
+        ["b", "a", "b", "a"],
+        ["w1", "w2", "w3", "w4", "w5", "w6"],
+        ["x"] * 5,
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, t array<string>"
+    )
+    col_form = sorted(
+        (p.a, p.b)
+        for r in df.select(cooccurrence_pairs(F.col("t"), 3).alias("p")).collect()
+        for p in r.p
+    )
+    row_form = sorted(
+        (r.tok_a, r.tok_b)
+        for r in cooccurrence_pair_rows(df, F.col("t"), 3).collect()
+    )
+    assert row_form == col_form
+
+
 def test_market_basket_matches_python(spark):
     from itertools import combinations
 
