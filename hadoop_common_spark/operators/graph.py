@@ -22,8 +22,9 @@ Scale notes (100 TB): state per round is one (node, label) table —
 linear in nodes, never materializes components; every step is an
 equi-join Catalyst plans as a shuffle (or broadcast, if the frontier
 collapses) hash join; `localCheckpoint` truncates the growing lineage so
-round N doesn't replay rounds 1..N-1; convergence is one count() action
-per round on the already-computed diff.
+round N doesn't replay rounds 1..N-1; convergence is an ``Observation``
+metric (count of changed labels) collected by the eager localCheckpoint's
+own job — no separate count() action per round.
 """
 
 from __future__ import annotations
