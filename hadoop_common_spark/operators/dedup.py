@@ -791,18 +791,16 @@ def shared_span_pairs(
         wo = _W.partitionBy("_blk", "_g").orderBy(id_col)
         wp = _W.partitionBy("_blk", "_g")
         surv = (
-            # explicit (blk, gram) exchange at 4× parallelism: the window
-            # would insert the same exchange at spark.sql.shuffle.partitions
-            # anyway, but the gram table is ~50 bytes × one row per
-            # character of corpus text, so core-count-sized partitions
-            # spill the window sort (measured at the 100× tier: 210 MB
-            # per sort at 32 partitions vs ~9.6 GB execution memory
-            # shared by 32 concurrent tasks → spill; 4× partitions kept
-            # the sorts in memory and cut the window stage ~30%). The
-            # count scales with defaultParallelism, not a constant, so a
-            # real cluster gets the same bytes-per-sort bound.
-            pg.repartition(4 * par, "_blk", "_g")
-            .withColumn("_dr", F.dense_rank().over(wo))
+            # implicit window exchange at spark.sql.shuffle.partitions —
+            # r12's explicit repartition(4*par, blk, gram) "spill fix"
+            # was REVERTED in r13: the extra 128-partition exchange never
+            # reproduced its claimed win outside warm keep-min confirms
+            # (fresh-JVM A/B, 100× tier: no-repartition 39.5s cold /
+            # 29.5-32.5s warm vs 4×-repartition 43.3 / 32.2-32.6; sf0.1:
+            # 9.1/3.0 vs 9.8/3.5 — VERDICT r12 #1). Window-sort sizing
+            # stays AQE's job (coalescing/advisory size), not a hand
+            # multiplier.
+            pg.withColumn("_dr", F.dense_rank().over(wo))
             .withColumn("_df", F.max("_dr").over(wp))
             .filter(F.col("_df") <= max_gram_df)
         )
@@ -861,8 +859,18 @@ def shared_span_pairs(
         b = pg.select(
             "_blk", F.col(id_col).alias("id_b"), F.col("_i").alias("_ib"), "_g"
         )
+        # merge hint: the planner's size estimate for an exploded gram
+        # table is garbage (it tracks the un-exploded scan), so at bench
+        # scale it BROADCASTS one whole positional-gram side — a
+        # hash-relation build of every character position in the corpus,
+        # measured 3.5-4.4s warm vs 1.9-2.5s for the SMJ form at sf0.1
+        # (r13 fresh-JVM A/B), and a plan shape that cannot exist at
+        # 100 TB (the build side is corpus-sized — it only "fits" while
+        # the estimator is wrong). The hint pins the shuffle join the
+        # right scale plan uses everywhere; AQE still coalesces/skew-
+        # splits its exchanges.
         m = (
-            a.join(b, ["_blk", "_g"])
+            a.join(b.hint("merge"), ["_blk", "_g"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "_ia", "_ib")
         )
