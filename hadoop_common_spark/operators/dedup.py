@@ -346,7 +346,21 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
     ``2*c_j > n`` test is false for every bit — fingerprint 0, exactly
     the fold's empty-array result. The interpreted fold survives as the
     per-row streaming shape in :func:`minhash_signature_mapside`'s
-    family (stateless projection, no aggregation state)."""
+    family (stateless projection, no aggregation state).
+
+    Preconditions (ADVICE r12): ``id_col`` values must be unique — the
+    aggregate merges duplicate ids' token multisets into ONE fingerprint
+    row, where the r1-r11 per-row fold emitted one row per input row.
+    And because ``id_col`` is interpolated into parsed SQL, it must not
+    collide with the internal aliases ``_h``/``_n``/``_c0.._c59`` or
+    contain a backtick; every registry caller passes a plain unique key
+    column (doc_id)."""
+    if (
+        id_col in {"_h", "_n", "_t"}
+        or (id_col.startswith("_c") and id_col[2:].isdigit())
+        or "`" in id_col
+    ):
+        raise ValueError(f"simhash: id_col {id_col!r} collides with internal aliases")
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     th = df.select(F.col(id_col), F.explode_outer(toks).alias("_t")).select(
         F.col(id_col), hash60(F.col("_t")).alias("_h")
