@@ -1036,6 +1036,18 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "_is_t", F.pmod(hash60(F.col("_g")), F.lit(_DSIR_B)).alias("b")
         )
+        # materialize the hashed feature stream ONCE (r13, VERDICT r12
+        # #4): its two consumers (bucket dictionary, per-doc scoring)
+        # prune different columns, so without this the tokenize+md5
+        # explode ran twice (the same divergent-pruning ReusedExchange
+        # failure minhash hit in r12). The checkpointed projection is
+        # 17 bytes/feature — ~1.7 GB at the 100x tier against a 16 GB
+        # heap with disk fallback (measured before committing: the 100x
+        # run holds; the r12 negative result that rejected a one-pass
+        # form was a corpus-sized groupBy pre-aggregate SHUFFLE, not a
+        # narrow checkpoint). On a cluster this is the temp feature
+        # table you'd write between the two passes (guide §8).
+        .localCheckpoint(eager=False)
     )
     dict_df = fb.groupBy("b").agg(
         F.count(F.lit(1)).cast("bigint").alias("c_r"),
