@@ -281,6 +281,13 @@ def minhash_lsh_pairs(
             ]
         )
         cand = (
+            # NO merge hint here, unlike the shingle/chunk self-joins: the
+            # r13 A/B measured the SMJ form 2x WORSE at the 10x tier
+            # (20.1/10.5/9.5s vs 7.1/4.5/4.3s) — sorting struct band keys
+            # while carrying both full key vectors costs far more than the
+            # hash build saves. The broadcast-side volume is bands rows
+            # per doc of fixed-width longs, the one estimator blind spot
+            # in this family whose hash build actually wins.
             a.join(b, ["band", "band_key"])
             .filter(F.col("id_a") < F.col("id_b"))
             .filter(first_eq == F.col("band"))
@@ -452,7 +459,15 @@ def simhash_pairs(
     b = ck.select(F.col(id_col).alias("id_b"), F.col("_fp").alias("_fb"), "chunk", "chunk_val")
     xor = F.col("_fa").bitwiseXOR(F.col("_fb"))
     hamming = F.bit_count(xor).cast("bigint")
-    cand = a.join(b, ["chunk", "chunk_val"]).filter(F.col("id_a") < F.col("id_b"))
+    # merge hint (r13): the chunk table is corpus-sized (chunks rows per
+    # document), but the planner estimates it from the tiny checkpointed
+    # (id, fp) sketch and BROADCASTS one whole side — a hash-relation
+    # build of every (chunk, value) in the corpus. Fresh-JVM A/B at the
+    # 100x tier: BHJ 45.8/34.2s vs SMJ 21.7/16.3s (2x), tie at sf0.1/10x
+    # — and the broadcast shape cannot exist at 100 TB anyway (the build
+    # side only "fits" while the estimator is wrong, exactly the
+    # shared_span_pairs artifact).
+    cand = a.join(b.hint("merge"), ["chunk", "chunk_val"]).filter(F.col("id_a") < F.col("id_b"))
     if max_bucket_size is None:
         # FIRST-MATCH-BAND dedup (the classic LSH trick): a qualifying
         # pair shares >=1 chunk, so emit it ONLY from its lowest-index
@@ -553,8 +568,10 @@ def ngram_jaccard_pairs(
         )
         a = sh_cold.select(F.col("_blk"), F.col(id_col).alias("id_a"), "_sh")
         b = sh_cold.select(F.col("_blk"), F.col(id_col).alias("id_b"), "_sh")
+        # merge hint (r13): see the uncapped site below — same
+        # corpus-sized exploded build side, same estimator blind spot
         cand = (
-            a.join(b, ["_blk", "_sh"])
+            a.join(b.hint("merge"), ["_blk", "_sh"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .distinct()
@@ -575,8 +592,14 @@ def ngram_jaccard_pairs(
     sizes = docsh.select(F.col(id_col), F.size("_shs").alias("_n"))
     a = sh.select(F.col("_blk"), F.col(id_col).alias("id_a"), "_sh")
     b = sh.select(F.col("_blk"), F.col(id_col).alias("id_b"), "_sh")
+    # merge hint (r13): the exploded (block, shingle) table is
+    # corpus-sized, but the planner sizes it from the checkpointed
+    # doc-level sketch and BROADCASTS one whole side (plan evidence
+    # plans/r12: BroadcastHashJoin over both shingle sides). The SMJ is
+    # the only shape that exists at 100 TB and measured at-or-better at
+    # every bench tier (see OPTIMIZATION_r13.md, sparse-join family).
     inter = (
-        a.join(b, ["_blk", "_sh"])
+        a.join(b.hint("merge"), ["_blk", "_sh"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_inter"))
@@ -658,8 +681,10 @@ def containment_pairs(
         )
         a = sh_cold.select(F.col("_blk"), F.col(id_col).alias("id_a"), "_sh")
         b = sh_cold.select(F.col("_blk"), F.col(id_col).alias("id_b"), "_sh")
+        # merge hint (r13): see the uncapped site below — same
+        # corpus-sized exploded build side, same estimator blind spot
         cand = (
-            a.join(b, ["_blk", "_sh"])
+            a.join(b.hint("merge"), ["_blk", "_sh"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .distinct()
@@ -679,8 +704,14 @@ def containment_pairs(
     sizes = docsh.select(F.col(id_col), F.size("_shs").alias("_n"))
     a = sh.select(F.col("_blk"), F.col(id_col).alias("id_a"), "_sh")
     b = sh.select(F.col("_blk"), F.col(id_col).alias("id_b"), "_sh")
+    # merge hint (r13): the exploded (block, shingle) table is
+    # corpus-sized, but the planner sizes it from the checkpointed
+    # doc-level sketch and BROADCASTS one whole side (plan evidence
+    # plans/r12: BroadcastHashJoin over both shingle sides). The SMJ is
+    # the only shape that exists at 100 TB and measured at-or-better at
+    # every bench tier (see OPTIMIZATION_r13.md, sparse-join family).
     inter = (
-        a.join(b, ["_blk", "_sh"])
+        a.join(b.hint("merge"), ["_blk", "_sh"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_inter"))
