@@ -1132,9 +1132,114 @@ def confirm_main(req_path: str) -> None:
     spark.stop()
 
 
+# Inline per-query timings for the compact stdout line (VERDICT r12 #2:
+# the driver's PERF comparison reads parsed["queries"] and the pointer
+# form left it empty — per_query: {}, bench_ok: false). The full
+# 185-query map cannot ride the line (the driver captures a 2000-char
+# stdout tail; r03's oversized line lost the round's parsed record), so
+# the line carries as many entries as fit under the cap, filled in THIS
+# fixed priority order — most-expensive-first per the r13 round-start
+# baseline, non-headline tiers key-prefixed ("scale/", "scale100/",
+# "tpch/"). The order is a COMMITTED constant, identical at every core
+# count, so a reduced-core scaling run reports the same keys and the
+# driver can ratio them; BENCH_DETAIL.json keeps the full map either way.
+INLINE_QUERIES: list[tuple[str, str]] = [
+    ("scale100/", "dedup_shared_span_pairs_capped"),
+    ("scale100/", "dedup_simhash_pairs"),
+    ("scale100/", "corpus_dsir_weights"),
+    ("scale100/", "corpus_ngram_novelty"),
+    ("tpch/", "local_supplier_volume"),
+    ("scale/", "dedup_embedding_cosine"),
+    ("tpch/", "large_volume_orders"),
+    ("scale100/", "text_repetition_stats"),
+    ("scale/", "dedup_minhash_recall_eval"),
+    ("scale/", "dedup_ngram_jaccard"),
+    ("scale/", "dedup_containment_pairs"),
+    ("scale/", "corpus_semantic_dedup"),
+    ("scale100/", "embedding_kmeans_step"),
+    ("", "entity_link_clusters"),
+    ("", "dedup_shared_span_pairs_capped"),
+    ("scale/", "dedup_shared_span_pairs_capped"),
+    ("scale/", "corpus_tfidf_topterms"),
+    ("", "dedup_canonical_quality"),
+    ("scale100/", "events_audience_overlap"),
+    ("scale/", "dedup_minhash_lsh"),
+    ("", "corpus_dsir_weights"),
+    ("scale100/", "events_close_pairs"),
+    ("scale100/", "events_audience_overlap_kmv"),
+    ("", "dedup_shared_span_pairs"),
+    ("scale/", "graph_pagerank"),
+    ("scale100/", "text_pmi_pairs"),
+    ("scale100/", "events_distinct_users_kmv"),
+    ("scale100/", "text_quality_linear_score"),
+    ("", "dedup_embedding_cosine"),
+    ("scale100/", "events_value_kmv_quantiles"),
+    ("scale100/", "text_score_calibration"),
+    ("", "graph_bfs_distances"),
+    ("scale/", "corpus_dsir_weights"),
+    ("", "corpus_ngram_novelty"),
+    ("tpch/", "nation_profit_by_year"),
+    ("tpch/", "pricing_summary"),
+    ("tpch/", "waiting_suppliers"),
+    ("scale/", "dedup_simhash_pairs"),
+    ("", "dedup_minhash_lsh"),
+    ("", "pricing_summary"),
+    ("", "orders_market_basket"),
+    ("", "lineitem_qty_price_correlation"),
+    ("", "pentomino_count"),
+    ("scale100/", "events_wau_rolling_7d"),
+    ("scale/", "corpus_bigram_familiarity"),
+    ("scale100/", "embedding_kcenter_seeds"),
+    ("scale/", "similarity_lsh_recall_eval"),
+    ("", "dedup_containment_pairs"),
+    ("scale/", "similarity_pq_topk"),
+    ("", "corpus_bigram_familiarity"),
+    ("scale/", "events_value_kmv_quantiles"),
+    ("scale/", "corpus_ngram_novelty"),
+    ("scale100/", "events_wau_rolling_kmv"),
+    ("tpch/", "tpch_fk_integrity"),
+    ("scale/", "text_pmi_pairs"),
+    ("tpch/", "flagship_revenue_by_nation"),
+    ("scale/", "events_distinct_users_kmv"),
+    ("", "graph_triangle_count"),
+    ("scale/", "graph_triangle_count"),
+    ("", "dedup_ngram_jaccard"),
+    ("scale/", "events_audience_overlap"),
+    ("scale/", "events_audience_overlap_kmv"),
+    ("scale100/", "window_sessionize"),
+    ("", "corpus_semantic_dedup"),
+    ("", "similarity_pq_topk"),
+    ("", "similarity_knn_label_eval"),
+    ("", "bloom_fpr_eval"),
+    ("scale/", "events_wau_rolling_kmv"),
+    ("scale100/", "events_l_diversity"),
+    ("", "dedup_simhash"),
+    ("", "dedup_simhash_pairs"),
+    ("", "text_pmi_pairs"),
+    ("", "wordcount"),
+    ("", "flagship_revenue_by_nation"),
+    ("", "terasort_equivalent"),
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    # Time-bounded mode (VERDICT r12 #2/#5): the driver re-runs the bench
+    # at a REDUCED core count to measure per-query scaling, and the full
+    # four-tier run (~25 min at 32 cores, including 100x-tier builds and
+    # the retime/confirm de-noise passes) blew its budget at 8 cores
+    # (BENCH_r12_c8.json: rc 124 — zero scaling ratios that round). At
+    # <=8 cores (or when SPARK_GRAFT_BENCH_BUDGET=seconds is set) the run
+    # drops the pieces a scaling measurement doesn't need: the 100x tier
+    # (force back with SPARK_GRAFT_BENCH_SCALE100=1), the skew fixture,
+    # the second keep-min repeats, and every retime/fresh-JVM confirm
+    # pass (the regression gate is meaningless against 32-core archives
+    # anyway — its record is replaced by a "bounded" marker). Bounded
+    # runs write BENCH_DETAIL_c{cpus}.json and leave the round archives
+    # alone, so a scaling run can never become the next round's baseline.
+    bounded = cpus <= 8 or bool(float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "0") or 0))
 
     from hadoop_common_spark.queries import load_all
     from hadoop_common_spark.session import get_spark
@@ -1245,9 +1350,9 @@ def main() -> None:
     # on it is invisible (measured: corpus_dsir_weights 31.2s vs 3.5s
     # steady, unflagged because r05 never timed it). Keep the min —
     # a real cost reproduces, a scheduling fluke doesn't.
-    retime = set(_regressions(timings, band_q, host_slowdown))
+    retime = set() if bounded else set(_regressions(timings, band_q, host_slowdown))
     positive = sorted(v for v in timings.values() if v > 0)
-    if positive:
+    if not bounded and positive:
         median = positive[len(positive) // 2]
         retime.update(
             n
@@ -1311,18 +1416,22 @@ def main() -> None:
             # previous round PLUS the 3 slowest, keep the min — host
             # contention spikes (measured 39s vs 7.8s for the same query
             # minutes apart) reproduce for real costs, not for flukes.
-            retime = set(_regressions(scale_timings, band_scale, host_slowdown))
-            retime.update(
-                sorted(
-                    (n for n, v in scale_timings.items() if v > 0),
-                    key=lambda n: -scale_timings[n],
-                )[:3]
+            retime = (
+                set() if bounded
+                else set(_regressions(scale_timings, band_scale, host_slowdown))
             )
+            if not bounded:
+                retime.update(
+                    sorted(
+                        (n for n, v in scale_timings.items() if v > 0),
+                        key=lambda n: -scale_timings[n],
+                    )[:3]
+                )
             # same no-baseline outlier rule as the headline tier: a query
             # added this round has no prev_scale entry, so a contention
             # spike on it is invisible to _regressions
             s_pos = sorted(v for v in scale_timings.values() if v > 0)
-            if s_pos:
+            if not bounded and s_pos:
                 s_median = s_pos[len(s_pos) // 2]
                 retime.update(
                     n
@@ -1351,6 +1460,10 @@ def main() -> None:
     if (
         os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0"
         and os.environ.get("SPARK_GRAFT_BENCH_SCALE100", "1") != "0"
+        # bounded mode: the 100x tier (build + ~27 queries, the single
+        # biggest slice of the run) is what blew the 8-core budget; skip
+        # it unless explicitly forced back with SPARK_GRAFT_BENCH_SCALE100=1
+        and (not bounded or os.environ.get("SPARK_GRAFT_BENCH_SCALE100") == "1")
     ):
         try:
             scale100_dir = build_scale_dir(spark, sf_dir, replicas=SCALE100_REPLICAS)
@@ -1366,7 +1479,7 @@ def main() -> None:
                 if qd is None:
                     continue
                 best = -1.0
-                for _ in range(2):
+                for _ in range(1 if bounded else 2):
                     t0 = time.perf_counter()
                     try:
                         _run_noop(qd.fn(spark, scale100_dir))
@@ -1393,7 +1506,11 @@ def main() -> None:
     # decisive at 100x). Skip with SPARK_GRAFT_BENCH_SKEW=0.
     skew_timings: dict[str, float] = {}
     skew_base = scale100_dir or scale_dir
-    if skew_base is not None and os.environ.get("SPARK_GRAFT_BENCH_SKEW", "1") != "0":
+    if (
+        skew_base is not None
+        and os.environ.get("SPARK_GRAFT_BENCH_SKEW", "1") != "0"
+        and not bounded  # fixture thunks, not registry queries: no scaling row needed
+    ):
         try:
             skew_timings = bench_skew(spark, skew_base)
         except Exception as e:
@@ -1486,7 +1603,7 @@ def main() -> None:
                 if qd is None:
                     continue
                 best = -1.0
-                for _ in range(2):
+                for _ in range(1 if bounded else 2):
                     t0 = time.perf_counter()
                     try:
                         _run_noop(qd.fn(spark, tpch_dir))
@@ -1552,6 +1669,10 @@ def main() -> None:
         if tpch_timings
         else set()
     )
+    if bounded:
+        # no confirm pass: the flags are vs 32-core archives and the
+        # subprocess would double the runtime the mode exists to bound
+        flagged = scale_flagged = scale100_flagged = tpch_flagged = set()
     if flagged or scale_flagged or scale100_flagged or tpch_flagged:
         # Stop the parent JVM FIRST: nothing below uses the session, and
         # a live parent holding the 100x-tier heap competes with the
@@ -1667,12 +1788,20 @@ def main() -> None:
     # per-round archive the NEXT round diffs against (VERDICT r4 #1 — the
     # working file alone is overwritten by every run, so intra-round runs
     # reset the baseline and round-over-round drifts go invisible).
-    with open(os.path.join(REPO_DIR, "BENCH_DETAIL.json"), "w") as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
-    with open(
-        os.path.join(REPO_DIR, f"BENCH_DETAIL_r{_current_round():02d}.json"), "w"
-    ) as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
+    if bounded:
+        # a reduced-core scaling run must never overwrite the working
+        # detail file or the round archive the next round's banded gate
+        # (and the judge) diff against — its numbers are a different
+        # machine shape, not a different code state
+        with open(os.path.join(REPO_DIR, f"BENCH_DETAIL_c{cpus}.json"), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    else:
+        with open(os.path.join(REPO_DIR, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+        with open(
+            os.path.join(REPO_DIR, f"BENCH_DETAIL_r{_current_round():02d}.json"), "w"
+        ) as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
     all_reg = dict(
         list(vs_prev["regressions"].items())
         + [(f"scale/{k}", v) for k, v in vs_prev["scale_regressions"].items()]
@@ -1711,7 +1840,9 @@ def main() -> None:
         # yardstick components fired (not write+cpu = degraded
         # single-yardstick gate, VERDICT r10 #1), and the comparison
         # base's provenance (VERDICT r11 #2)
-        "regressions": {
+        "regressions": {}
+        if bounded  # flags vs 32-core archives are not regressions
+        else {
             k: {
                 "norm": v["ratio_norm"],
                 "fired": v.get("fired", "?"),
@@ -1721,10 +1852,32 @@ def main() -> None:
         },
         "queries": {"detail": "BENCH_DETAIL.json"},
     }
+    compact["cpus"] = cpus
+    if bounded:
+        compact["bounded"] = True
     line = json.dumps(compact)
-    if len(line) > 1900:  # belt-and-braces: never exceed the tail capture
+    if len(line) > 1700:  # leave inline-query room inside the tail capture
         compact.pop("regressions", None)
         line = json.dumps(compact)
+    # Inline per-query timings (VERDICT r12 #2): fill from the committed
+    # priority order until the line nears the driver's 2000-char tail
+    # capture. The "detail" pointer stays (full map in BENCH_DETAIL.json).
+    tier_map = {
+        "": timings,
+        "scale/": scale_timings,
+        "scale100/": scale100_timings,
+        "tpch/": tpch_timings,
+    }
+    for pref, name in INLINE_QUERIES:
+        v = tier_map[pref].get(name)
+        if not isinstance(v, (int, float)) or v <= 0:
+            continue
+        compact["queries"][pref + name] = round(v, 2)
+        new_line = json.dumps(compact)
+        if len(new_line) > 1900:
+            del compact["queries"][pref + name]
+            break
+        line = new_line
     print(line)
     spark.stop()
 

@@ -177,3 +177,20 @@ def test_cpu_aggregate_even_count_uses_midpoint(bench):
     assert agg["cpu_snapshots"] == [100.0, 140.0, 120.0, 160.0]
     assert agg["cpu_rel_spread"] == 0.6
     assert bench.cpu_aggregate([]) == {}
+
+
+def test_inline_queries_name_real_bench_rows(bench):
+    """Every INLINE_QUERIES entry must name a query its tier actually
+    times — a typo'd or stale name silently shrinks the per-query map
+    the driver's PERF comparison and the reduced-core scaling sweep
+    parse from the stdout line (VERDICT r12 #2/#5)."""
+    tiers = {
+        "": set(bench.HEADLINE) | {"terasort_equivalent"},
+        "scale/": set(bench.SCALE_QUERIES),
+        "scale100/": set(bench.SCALE100_QUERIES),
+        "tpch/": set(bench.TPCH_SCALE_QUERIES),
+    }
+    bad = [(p, n) for p, n in bench.INLINE_QUERIES if n not in tiers[p]]
+    assert not bad, f"INLINE_QUERIES entries not in their tier: {bad}"
+    # deterministic across runs/core counts: no duplicates
+    assert len(set(bench.INLINE_QUERIES)) == len(bench.INLINE_QUERIES)
