@@ -78,82 +78,20 @@ _QUERY_MODULES = [
 
 # Driver-facing iteration order. The external correctness harness walks the
 # registry in dict order and has a bounded budget (~50 rows/round), so the
-# order is part of the evidence strategy. Round-12 rotation (VERDICT r11
-# #4): the 15 r07-remainder rows lead (their newest driver row is r07 —
-# the oldest evidence in the fleet; pre-staged at the r11 overflow
-# head), backfilled with the 35 oldest r08-checked rows to fill the
-# ~50-row budget. After this round no query's newest driver row is
-# older than r08, holding the steady ≤4-round re-proof cadence.
-# Overflow = the 14 r08-remainder rows (r13 rotation head) ->
-# r09-checked -> r10-checked -> the old r11 window (freshest hard rows
-# in the fleet). Names not in either list are slotted right after the
-# window block, BEFORE the overflow, so a new query is never silently
-# pushed out of the checked window.
+# order is part of the evidence strategy. Round-13 rotation (VERDICT r12
+# #8, continuing the cadence): the 14 r08-remainder rows lead (their
+# newest driver row is r08 — the oldest evidence in the fleet; staged
+# at the r12 overflow head), backfilled with the 36 oldest r09-checked
+# rows to fill the ~50-row budget. After this round no query's newest
+# driver row is older than r09, holding the steady ≤4-round re-proof
+# cadence. Overflow = the 14 r09-remainder rows (r14 rotation head) ->
+# r10-checked -> r11-checked -> the just-checked r12 window (freshest
+# hard rows in the fleet). Names not in either list are slotted right
+# after the window block, BEFORE the overflow, so a new query is never
+# silently pushed out of the checked window.
 PRIORITY_WINDOW: list[str] = [
-    # -- r07-checked remainder (newest driver row r07; staged at the
-    #    r11 overflow head — this closes the r07 cycle) --
-    "corpus_pack_sequences",
-    "corpus_stratified_sample",
-    "corpus_split_leakage",
-    "corpus_chunk_overlap",
-    "orders_scd2_intervals",
-    "lineitem_unpivot_measures",
-    "multimodal_audio_features",
-    "multimodal_resize_plan",
-    "above_nation_avg_balance",
-    "customers_without_urgent_orders",
-    "parts_in_urgent_orders",
-    "brands_with_many_parts",
-    "important_parts_share",
-    "waiting_suppliers",
-    "min_cost_supplier",
-    # -- oldest 35 of the 49 r08-checked rows --
-    "stream_session_expiry_batch",
-    "stream_topk_per_user_batch",
-    "flagship_revenue_by_nation",
-    "random_text_wordcount",
-    "terasort_head",
-    "sudoku_distributed",
-    "pentomino_count",
-    "bbp_pi_digits",
-    "pivot_status_priority",
-    "above_avg_balance",
-    "teragen_checksum",
-    "montecarlo_pi",
-    "asof_join_last_purchase",
-    "window_tumbling_hourly",
-    "secondary_sort_window",
-    "secondary_sort_collected",
-    "top_k_events",
-    "top_k_per_group",
-    "total_order_sort_head",
-    "keyspec_sort_head",
-    "grep_count",
-    "wordcount",
-    "word_length_stats",
-    "multi_source_wordcount",
-    "aggregate_framework",
-    "uniq_value_count",
-    "value_histogram",
-    "events_basic_stats",
-    "field_selection",
-    "inverse_map",
-    "json_field_extract",
-    "percent_sampled_scan",
-    "regex_filtered_scan",
-    "join_inner_pairs",
-    "join_full_outer",
-]
-
-# ---- 50-entry checked-window boundary ----
-# (the driver checks ~50 rows/round — the window must fit; unlisted
-# newcomers auto-slot right after it, BEFORE the overflow)
-# Overflow order = oldest evidence first: the 14 r08-checked rows the
-# window cap displaced (r13 rotation head), then r09-checked,
-# r10-checked, and the old r11 window at the tail (freshest hard rows
-# in the fleet).
-PRIORITY_OVERFLOW: list[str] = [
-    # -- r08-checked remainder (r13 rotation head): window-cap displacements --
+    # -- r08-checked remainder (newest driver row r08 — the oldest
+    #    evidence in the fleet; staged at the r12 overflow head) --
     "join_override",
     "theta_join_acctbal",
     "union_distinct_nations",
@@ -168,7 +106,7 @@ PRIORITY_OVERFLOW: list[str] = [
     "promo_revenue_share",
     "market_share_by_year",
     "nation_profit_by_year",
-    # -- r09-checked (the old r9 window — freshest hard rows) --
+    # -- oldest 36 of the 50 r09-checked rows --
     "events_user_ewma_segmented",
     "events_value_percentiles_sampled",
     "events_outlier_counts",
@@ -205,6 +143,17 @@ PRIORITY_OVERFLOW: list[str] = [
     "window_sliding_10m_5m",
     "window_sessionize",
     "view_click_attribution",
+]
+
+# ---- 50-entry checked-window boundary ----
+# (the driver checks ~50 rows/round — the window must fit; unlisted
+# newcomers auto-slot right after it, BEFORE the overflow)
+# Overflow order = oldest evidence first: the 14 r09-checked rows the
+# window cap displaced (r14 rotation head), then r10-checked,
+# r11-checked, and the just-checked r12 window at the tail (freshest
+# hard rows in the fleet).
+PRIORITY_OVERFLOW: list[str] = [
+    # -- r09-checked remainder (r14 rotation head): window-cap displacements --
     "window_user_running_total",
     "window_user_analytics",
     "asof_join_next_purchase",
@@ -219,7 +168,7 @@ PRIORITY_OVERFLOW: list[str] = [
     "corpus_domain_caps",
     "corpus_global_shuffle",
     "corpus_quality_bins",
-    # -- r10-checked (the old r10 window — freshest hard rows) --
+    # -- r10-checked (the old r10 window) --
     "join_salted_enrich",
     "corpus_contamination_scores",
     "text_lang_id",
@@ -270,7 +219,7 @@ PRIORITY_OVERFLOW: list[str] = [
     "corpus_dsir_weights",
     "orders_market_basket",
     "events_user_ewma",
-    # -- r11-checked (the old r11 window — freshest hard rows) --
+    # -- r11-checked (the old r11 window) --
     "stream_distinct_types_batch",
     "supplier_balance_wide_band_match",
     "customers_rfm_segments",
@@ -321,6 +270,57 @@ PRIORITY_OVERFLOW: list[str] = [
     "events_value_percentiles",
     "events_value_ntile_deciles",
     "events_transition_matrix",
+    # -- r12-checked (the old r12 window — freshest hard rows) --
+    "corpus_pack_sequences",
+    "corpus_stratified_sample",
+    "corpus_split_leakage",
+    "corpus_chunk_overlap",
+    "orders_scd2_intervals",
+    "lineitem_unpivot_measures",
+    "multimodal_audio_features",
+    "multimodal_resize_plan",
+    "above_nation_avg_balance",
+    "customers_without_urgent_orders",
+    "parts_in_urgent_orders",
+    "brands_with_many_parts",
+    "important_parts_share",
+    "waiting_suppliers",
+    "min_cost_supplier",
+    "stream_session_expiry_batch",
+    "stream_topk_per_user_batch",
+    "flagship_revenue_by_nation",
+    "random_text_wordcount",
+    "terasort_head",
+    "sudoku_distributed",
+    "pentomino_count",
+    "bbp_pi_digits",
+    "pivot_status_priority",
+    "above_avg_balance",
+    "teragen_checksum",
+    "montecarlo_pi",
+    "asof_join_last_purchase",
+    "window_tumbling_hourly",
+    "secondary_sort_window",
+    "secondary_sort_collected",
+    "top_k_events",
+    "top_k_per_group",
+    "total_order_sort_head",
+    "keyspec_sort_head",
+    "grep_count",
+    "wordcount",
+    "word_length_stats",
+    "multi_source_wordcount",
+    "aggregate_framework",
+    "uniq_value_count",
+    "value_histogram",
+    "events_basic_stats",
+    "field_selection",
+    "inverse_map",
+    "json_field_extract",
+    "percent_sampled_scan",
+    "regex_filtered_scan",
+    "join_inner_pairs",
+    "join_full_outer",
 ]
 
 
