@@ -250,6 +250,12 @@ def range_self_join_binned(
         *blocks, F.col(id_col).alias(id_b), F.col("_v").alias("_vb"), "_bin"
     )
     return (
+        # NO merge hint (r13 A/B, unlike the dedup sparse self-joins):
+        # pinning SMJ here measured neutral-warm / worse-cold at the
+        # 100x tier (9.96/3.66/3.84s vs 8.46/3.76/3.91s BHJ) — the
+        # narrow (block, id, v, bin) build side hashes cheaply, so the
+        # planner's broadcast is the right local call and AQE will
+        # demote it itself once real-scale stats exceed the threshold.
         probe.join(build, blocks + ["_bin"])
         .filter(
             (F.col(id_a) < F.col(id_b))

@@ -165,6 +165,12 @@ def capped_self_join_pairs(
     a = keyed.select(*key_cols, F.col(id_col).alias(id_a))
     b = keyed.select(*key_cols, F.col(id_col).alias(id_b))
     return (
+        # NO merge hint (r13 A/B): pinning SMJ here measured ~1.6x WORSE
+        # for the banded embedding join at the 10x tier (19.6/8.3/7.4s
+        # vs 12.0/5.0/5.0s broadcast) — like the MinHash band join, the
+        # narrow fixed-width band-key rows hash far cheaper than they
+        # sort. The dedup shingle/chunk/gram self-joins are the family
+        # where SMJ wins (operators/dedup.py r13 notes).
         a.join(b, key_cols)
         .filter(F.col(id_a) < F.col(id_b))
         .select(id_a, id_b)
